@@ -1,13 +1,290 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ml.{LexiconScorer, MlSentimentScorer}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: the complete operator registry (SURVEY.md §2) with a
+  * DuckDB oracle for every SQL-expressible query. Column names are aligned
+  * between the Spark query and the oracle SQL — the driver sorts columns by
+  * name before hashing, so both sides alias identically.
+  *
+  * Queries without an `oracleSql` entry are the genuinely non-SQL ops
+  * (LSH/approx/ML/binary) — each of those is pinned by ScalaTest invariants
+  * instead (src/test/scala/graft/).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- pipeline spine (reference semantics; SURVEY §2.1-2.5) ------------
+    "q_silver_build" -> (Pipeline.silverBuild _),
+    "q_pending" -> (Pipeline.pendingTexts _),
+    "q_mark_processed" -> (Pipeline.markProcessedState _),
+    "q_processed_by_source" -> (Pipeline.processedBySource _),
+    "q_ingest_reviews" -> ((s, _) =>
+      graft.sources.ReviewIngest.ingest(s, "/root/reference/sample.json")
+        .select(col("review_id"), col("hotel_id"), col("languagecode"),
+          col("countrycode"), col("average_score"), col("review_ts"),
+          col("hotelier_response_ts"), col("author.type").as("author_type"))),
+    // -- projections / filters / scalar transforms (§2.2-2.3) ------------
+    "q_filter_project" -> (Relational.filterProject _),
+    "q_filter_in" -> (Relational.filterInList _),
+    "q_filter_json" -> (Relational.filterJsonField _),
+    "q_scalar_transforms" -> (Relational.scalarTransforms _),
+    // -- aggregates (§2.4) ------------------------------------------------
+    "q_pricing_summary" -> (Relational.pricingSummary _),
+    "q_rollup" -> (Relational.rollupAgg _),
+    "q_cube" -> (Relational.cubeAgg _),
+    "q_distinct_agg" -> (Relational.distinctAgg _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_events_hourly" -> (Relational.eventsHourly _),
+    "q_events_windowed" -> (Relational.eventsWindowed _),
+    // -- joins (§2.5) -----------------------------------------------------
+    "q_join_dims" -> (Relational.joinBroadcastDims _),
+    "q_join_fact" -> (Relational.joinFactFact _),
+    "q_join_left" -> (Relational.joinLeftOuter _),
+    "q_join_semi" -> (Relational.joinSemi _),
+    "q_join_anti" -> (Relational.joinAnti _),
+    "q_join_range" -> (Relational.joinRange _),
+    "q_join_cross" -> (Relational.joinCross _),
+    // -- sorts / limits / windows / set ops (§2.6-2.8) --------------------
+    "q_topk" -> (Relational.topKOrders _),
+    "q_window_top2" -> (Relational.windowTopPerGroup _),
+    "q_window_lag" -> (Relational.windowLag _),
+    "q_window_running" -> (Relational.windowRunningSum _),
+    "q_set_ops" -> (Relational.setOps _),
+    // -- sentiment enrichment (§2.9) --------------------------------------
+    "q_sentiment_lexicon" -> ((s, d) =>
+      LexiconScorer.score(Tables.documents(s, d))
+        .select(col("doc_id").cast("string").as("record_id"), col("sentiment"), col("confidence"))),
+    "q_sentiment_dist" -> ((s, d) =>
+      LexiconScorer.score(Tables.documents(s, d))
+        .groupBy(col("sentiment")).agg(count(lit(1)).as("n_docs"))),
+    "q_sentiment_ml" -> ((s, d) =>
+      new MlSentimentScorer(s).score(
+        Tables.documents(s, d).select(col("doc_id").cast("string").as("record_id"), col("text")))
+        .select(col("record_id"), col("sentiment"), round(col("confidence"), 4).as("confidence"))),
+    // -- dedup (§2.11 D1/D2) ----------------------------------------------
+    "q_dedup_exact" -> (Dedup.exactDedupDocs _),
+    "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
+    "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
+    "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
+    "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
+    // -- similarity search (D3) -------------------------------------------
+    "q_ann_brute" -> (Similarity.annBruteForce _),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
+    }),
+    "q_centroids" -> (Similarity.labelCentroids _),
+    "q_label_coherence" -> (Similarity.labelCoherence _),
+    // -- text analysis (D5) -----------------------------------------------
+    "q_text_stats" -> (TextAnalysis.textStats _),
+    "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_lang_id" -> (TextAnalysis.langIdDocs _),
+    "q_fingerprints" -> (TextAnalysis.fingerprints _),
+    "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
+    // -- multimodal (D4) --------------------------------------------------
+    "q_multimodal_features" -> (Multimodal.assetFeatures _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_silver_build" ->
+      """SELECT doc_id AS id, concat_ws('. ', source, text) AS text_column,
+        |CAST(doc_id % 2 AS INT) AS processed FROM documents""".stripMargin,
+    "q_pending" ->
+      """SELECT doc_id AS id, concat_ws('. ', source, text) AS text_column
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    "q_mark_processed" ->
+      """SELECT CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN 1
+        |ELSE doc_id % 2 END AS INT) AS processed, count(*) AS n_rows
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_processed_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(CAST(doc_id % 2 AS INT)) AS BIGINT) AS n_processed
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_filter_project" ->
+      "SELECT doc_id AS id, text AS text_column FROM documents WHERE doc_id % 3 = 0",
+    "q_filter_in" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lang IN ('en','de','fr')",
+    "q_filter_json" ->
+      """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50 AND event_type = 'click'""".stripMargin,
+    "q_scalar_transforms" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS record_id, 'en' AS language,
+        |upper(c_mktsegment) AS segment,
+        |CASE WHEN c_acctbal < 0 THEN 'overdrawn' WHEN c_acctbal < 5000 THEN 'low'
+        |ELSE 'high' END AS balance_band,
+        |concat_ws('-', c_mktsegment, c_name) AS tagged,
+        |round(c_acctbal * CAST(2 AS DOUBLE), 2) AS adjusted_bal FROM customer""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |count(*) AS n_rows FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |round(avg(o_totalprice), 2) AS avg_price FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |round(sum(value), 2) AS total_value FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_windowed" ->
+      """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+        |count(*) AS n_events FROM events GROUP BY 1, 2""".stripMargin,
+    "q_join_dims" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin,
+    "q_join_fact" ->
+      """SELECT o_orderpriority,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_customers,
+        |count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_join_range" ->
+      """SELECT o_orderstatus, count(*) AS n_fast_shipped
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |AND l_shipdate >= o_orderdate
+        |AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_join_cross" ->
+      """SELECT a.r_name AS left_region, b.r_name AS right_region
+        |FROM region a CROSS JOIN region b""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_top2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |CAST(row_number() OVER (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn FROM orders)
+        |WHERE rn <= 2 AND o_custkey < 100""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, prev_price,
+        |round(o_totalprice - prev_price, 2) AS price_delta FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price FROM orders)
+        |WHERE o_custkey < 50""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate ASC, o_orderkey ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders WHERE o_custkey < 50""".stripMargin,
+    "q_set_ops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |SELECT op, count(*) AS n_keys FROM (
+        |SELECT 'union' AS op, c_custkey FROM
+        |(SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+        |UNION ALL SELECT 'intersect' AS op, c_custkey FROM
+        |(SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+        |UNION ALL SELECT 'except' AS op, c_custkey FROM
+        |(SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+        |) GROUP BY op""".stripMargin,
+    "q_sentiment_lexicon" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS record_id,
+        |CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'
+        |ELSE 'neutral' END AS sentiment,
+        |round((p + 1.0) / (p + n + 2.0), 4) AS confidence FROM (
+        |SELECT doc_id,
+        |len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
+        |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
+        |FROM documents)""".stripMargin,
+    "q_sentiment_dist" ->
+      """SELECT sentiment, count(*) AS n_docs FROM (
+        |SELECT CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'
+        |ELSE 'neutral' END AS sentiment FROM (
+        |SELECT len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
+        |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
+        |FROM documents)) GROUP BY sentiment""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |SELECT doc_id, lang, source, n_chars,
+        |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+        |FROM documents) WHERE rn = 1""".stripMargin,
+    "q_dedup_keep_latest" ->
+      """SELECT lang, count(*) AS n_canonical, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT lang, doc_id,
+        |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id DESC) AS rn
+        |FROM documents) WHERE rn = 1 GROUP BY lang""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct_tokens,
+        |round(length(replace(text, ' ', '')) /
+        |len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) / nt, 4) AS stopword_ratio,
+        |round(len(regexp_extract_all(text, '[.,;:!?]')) / nt, 4) AS punct_ratio,
+        |round(len(list_distinct(string_split_regex(lower(text), '\s+'))) / nt, 4) AS distinct_ratio,
+        |CAST(CASE WHEN nt >= 20 AND nt <= 1000 THEN 1 ELSE 0 END AS INT) AS length_ok
+        |FROM (SELECT doc_id, text,
+        |len(string_split_regex(trim(text), '\s+')) AS nt FROM documents)""".stripMargin,
+    "q_lang_id" ->
+      """SELECT lang, CASE WHEN cjk > 0 THEN 'zh'
+        |WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+        |WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+        |WHEN de >= es AND de >= fr THEN 'de'
+        |WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |count(*) AS n_docs FROM (SELECT lang,
+        |len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|you|that|it|for|with)\b')) AS en,
+        |len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ich|ein|zu|mit)\b')) AS de,
+        |len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|para|por|como|pero)\b')) AS es,
+        |len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|pour|dans|ce|pas|vous)\b')) AS fr,
+        |len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        |FROM documents) GROUP BY 1, 2""".stripMargin,
+    "q_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp_raw,
+        |md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS fp_normalized,
+        |substring(md5(text), 1, 8) AS fp_bucket FROM documents""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+        |scored AS (SELECT query_id, cand_id,
+        |list_cosine_similarity(qe, ce) AS raw_cos FROM q, c WHERE query_id <> cand_id),
+        |ranked AS (SELECT query_id, cand_id, round(raw_cos, 4) AS cos,
+        |CAST(row_number() OVER (PARTITION BY query_id
+        |ORDER BY raw_cos DESC, cand_id ASC) AS INT) AS rank FROM scored)
+        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_centroids" ->
+      """SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 5) AS centroid_v FROM (
+        |SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |unnest(embedding) AS v FROM embeddings)
+        |WHERE pos < 8 GROUP BY label, pos""".stripMargin,
+  )
 }

@@ -1,0 +1,140 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer}
+import org.apache.spark.ml.{Pipeline => MlPipeline, PipelineModel}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sentiment enrichment — the reference's signature operator, made hermetic
+  * (reference FunctionApp2/process_data/__init__.py:56-82 POSTs batches of 10
+  * docs to Azure AI Language; that service is unreachable here, and at 100 TB
+  * a per-10-row RPC is the bottleneck anyway).
+  *
+  * Three implementations behind one trait:
+  *  - [[LexiconScorer]] — pure Catalyst column math (codegen'd, no UDF, no
+  *    model state). Deterministic, SQL-expressible, so it carries the DuckDB
+  *    oracle for the enrichment path. This is the 100 TB default: scoring is
+  *    a projection, it adds zero shuffles.
+  *  - [[MlSentimentScorer]] — Spark ML pipeline (RegexTokenizer → HashingTF →
+  *    multinomial LogisticRegression), seeded and trained on a fixed
+  *    in-memory corpus so results are reproducible with no network.
+  *  - [[BatchedScorer]] — the reference-shaped path: `mapPartitions` +
+  *    `grouped(10)` preserving the batch-of-10 RPC contract (G1,
+  *    __init__.py:56,60,82) so a real remote scorer could be plugged in and
+  *    unit-tested (≤10 docs/call, order preserved).
+  */
+trait SentimentScorer {
+  /** Input: (record_id string, text string). Output adds
+    * `sentiment` ("positive"|"neutral"|"negative") and `confidence` double —
+    * the SentimentResults shape (__init__.py:88-95). */
+  def score(docs: DataFrame): DataFrame
+}
+
+/** Lexicon scorer: counts positive/negative marker words with
+  * `regexp_count` (whole-stage codegen; no UDF per SURVEY.md §2.12 policy). */
+object LexiconScorer extends SentimentScorer {
+  val positiveWords = Seq("fast", "good", "great")
+  val negativeWords = Seq("slow", "bad", "poor")
+  private def hits(words: Seq[String]) =
+    regexp_count(lower(col("text")), lit(words.mkString("\\b(", "|", ")\\b")))
+
+  override def score(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("pos_hits", hits(positiveWords))
+      .withColumn("neg_hits", hits(negativeWords))
+      .withColumn(
+        "sentiment",
+        when(col("pos_hits") > col("neg_hits"), "positive")
+          .when(col("neg_hits") > col("pos_hits"), "negative")
+          .otherwise("neutral"))
+      .withColumn(
+        "confidence",
+        round((col("pos_hits") + lit(1.0)) / (col("pos_hits") + col("neg_hits") + lit(2.0)), 4))
+      .drop("pos_hits", "neg_hits")
+}
+
+/** Hermetic Spark ML scorer (M1): seeded end-to-end; the training corpus is
+  * generated arithmetically (no RNG) so two runs — or two clusters — produce
+  * the identical model. */
+class MlSentimentScorer(spark: SparkSession) extends SentimentScorer {
+  import spark.implicits._
+
+  private val labels = Seq("negative", "neutral", "positive")
+
+  /** Tiny synthetic labeled corpus: class-correlated marker words mixed with
+    * shared filler, cycled deterministically. */
+  private def corpus: DataFrame = {
+    val filler = Seq("table", "row", "data", "query", "batch", "window")
+    val marker = Map(
+      0 -> Seq("slow", "bad", "poor", "broken"),
+      1 -> Seq("okay", "plain", "average", "usual"),
+      2 -> Seq("fast", "good", "great", "solid"))
+    (0 until 240).map { i =>
+      val label = i % 3
+      val m = marker(label)
+      val text = Seq(
+        m(i % m.size), filler(i % filler.size), m((i / 3) % m.size),
+        filler((i / 2) % filler.size), m((i / 7) % m.size)).mkString(" ")
+      (text, label.toDouble)
+    }.toDF("text", "label")
+  }
+
+  lazy val model: PipelineModel = {
+    val tokenizer = new RegexTokenizer()
+      .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+    val tf = new HashingTF()
+      .setInputCol("tokens").setOutputCol("features").setNumFeatures(1 << 12)
+    val lr = new LogisticRegression()
+      .setFamily("multinomial").setMaxIter(50).setRegParam(0.01)
+    new MlPipeline().setStages(Array(tokenizer, tf, lr)).fit(corpus)
+  }
+
+  /** M2/M3: schema-checked output, keeping only the winning label and its
+    * probability (the reference keeps confidenceScores.positive only,
+    * __init__.py:93). */
+  override def score(docs: DataFrame): DataFrame = {
+    require(docs.columns.contains("text"), "scorer input needs a `text` column")
+    val labelVocab = labels // local copy: the udf closure must not capture `this`
+    val maxProb = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray.max)
+    val labelOf = udf((p: Double) => labelVocab(p.toInt))
+    model.transform(docs)
+      .withColumn("sentiment", labelOf(col("prediction")))
+      .withColumn("confidence", maxProb(col("probability")))
+      .drop("tokens", "features", "rawPrediction", "probability", "prediction")
+  }
+}
+
+/** Reference-shaped batched scoring (G1): groups an iterator into batches of
+  * ≤`batchSize` and scores each batch with one call, preserving order — the
+  * exact contract of the reference's RPC loop (__init__.py:56-82), minus the
+  * network. Batching is per-partition; it never shuffles. */
+object BatchedScorer {
+  final case class Doc(record_id: String, text: String)
+  final case class Scored(record_id: String, sentiment: String, confidence: Double)
+
+  def scoreBatched(
+      docs: Dataset[Doc],
+      scoreBatch: Seq[Doc] => Seq[Scored],
+      batchSize: Int = 10): Dataset[Scored] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val out = scoreBatch(batch)
+        require(out.size == batch.size, s"scorer returned ${out.size} for ${batch.size} docs")
+        out
+      }
+    }
+  }
+
+  /** Deterministic stand-in for the remote service: text-length parity. */
+  def stubScoreBatch(batch: Seq[Doc]): Seq[Scored] = {
+    require(batch.size <= 10, s"batch of ${batch.size} exceeds the 10-doc API contract")
+    batch.map { doc =>
+      val s = doc.text.length % 3 match {
+        case 0 => "neutral"; case 1 => "positive"; case 2 => "negative"
+      }
+      Scored(doc.record_id, s, 0.5 + (doc.text.length % 50) / 100.0)
+    }
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators (SURVEY.md §2.11 D1/D2) over the `documents`
+  * corpus — reference hook: `review_hash`/`review_id` present-but-unused in
+  * the captured API data (sample.json:21-22).
+  *
+  * Scale design: every path below is bucketed — candidates meet only inside a
+  * hash bucket (LSH band or signature), never via an O(n²) all-pairs join.
+  * At 100 TB the shuffle key is the band/bucket hash, so candidate
+  * generation is one shuffle whose fan-in per reducer is the bucket size,
+  * not the corpus size.
+  */
+object Dedup {
+
+  /** D1 exact dedup, keep-first: canonical row per key via a row_number
+    * window (deterministic, unlike dropDuplicates' arbitrary pick). One
+    * shuffle on the dedup key. */
+  def exactDedup(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** D1 as a registered query: one canonical doc per (lang, source),
+    * keep lowest doc_id. */
+  def exactDedupDocs(s: SparkSession, d: String): DataFrame =
+    exactDedup(Tables.documents(s, d), Seq("lang", "source"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** D1 keep-latest variant (the streaming-upsert shape: latest doc_id wins),
+    * aggregated small for the oracle. */
+  def keepLatestSummary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id").desc)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_canonical"), sum(col("doc_id")).as("id_sum"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Word-level shingles: (doc_id, shingle) pairs, distinct. `n`-word windows
+    * over the whitespace token stream. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val tokens = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("tokens"))
+    tokens
+      .select(col("doc_id"), explode(
+        // sliding n-gram via sequence + transform: no UDF, stays in codegen
+        expr(s"transform(sequence(0, size(tokens) - $n), i -> concat_ws(' ', slice(tokens, i + 1, $n)))")
+          .as("sh")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: `numHashes` seeded xxhash64 functions, elementwise
+    * min per doc. Partial aggregation makes the shuffle carry one signature
+    * row per doc, independent of shingle count. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: signature → (band_id, band_hash) keys. Docs agreeing on any
+    * band become candidates via an equi-join on the band key — the bucketed
+    * candidate join that replaces all-pairs. */
+  def bandedCandidates(sig: DataFrame, bands: Int = 8, rows: Int = 4): DataFrame = {
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, concat_ws(',', slice(sig, b * $rows + 1, $rows))))"))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle sets:
+    * |A∩B| via a shingle-key join restricted to candidates, |A∪B| from per-doc
+    * set sizes. Only candidates pay the verification cost. */
+  def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("size_a") + col("size_b") - col("n_common")), 4))
+  }
+
+  /** D2 end-to-end (hand-rolled MinHash+LSH): near-dup pairs above a Jaccard
+    * threshold. Deterministic (seeded hashes), bucketed throughout. */
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val cand = bandedCandidates(minhashSignatures(sh))
+    verifyJaccard(sh, cand)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** D2 summary for the correctness dump (small, stable row set). */
+  def nearDupSummary(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d, 0.2)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+
+  /** D2 via Spark ML MinHashLSH (the library path, cross-checked against the
+    * hand-rolled one in DedupSpec): tokenize → 3-gram → HashingTF → MinHash →
+    * approxSimilarityJoin (bucketed by the LSH hash keys internally). */
+  def mlNearDupPairs(s: SparkSession, d: String, maxJaccardDist: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tokenizer = new RegexTokenizer().setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
+    val ngram = new NGram().setN(3).setInputCol("tokens").setOutputCol("shingles")
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
+    val staged = tf.transform(ngram.transform(tokenizer.transform(docs)))
+      .select(col("doc_id"), col("features"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(staged)
+    model.approxSimilarityJoin(staged, staged, maxJaccardDist, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
+    * are signatures within a small Hamming distance. Bit-votes are computed
+    * with explode + groupBy (partial agg keeps the shuffle at one row per
+    * (doc, bit)); candidates bucket on 4 16-bit signature blocks, so a pair
+    * within Hamming distance 3 shares at least one block (pigeonhole). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bits = tokens.select(
+      col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 63), b -> CASE WHEN ((th >> b) & 1) = 1 THEN 1 ELSE -1 END)"))
+        .as(Seq("bit", "vote")))
+    bits.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("tally"))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        when(col("tally") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block-bucket join + exact Hamming check. */
+  def simhashNearDups(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(Tables.documents(s, d))
+    val blocks = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
+        .as(Seq("block_id", "block_val")))
+    val a = blocks.select(col("block_id"), col("block_val"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = blocks.select(col("block_id"), col("block_val"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("block_id", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), bit_count(expr("sig_a ^ sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.11 D4) — reference hook: the
+  * photo-URL structs in the review payload (sample.json:31-38,335-354).
+  *
+  * Media assets are opaque `binary` columns plus a typed metadata struct;
+  * decode/resize/frame-sample run per-partition over the binary payload.
+  * The actual codecs are NOT in this container, so the decode kernel is a
+  * clearly-marked deterministic fake ([[fakeDecodeFeatures]]) — the Spark
+  * side (schema, batching, partition-locality, output shape) is real and
+  * tested in MultimodalSpec.
+  *
+  * Scale notes: binary payloads ride the scan; feature extraction is a
+  * narrow map (no shuffle); downstream ANN over the extracted features
+  * reuses [[Similarity]]'s bucketed path. For real data the source would be
+  * `spark.read.format("binaryFile")` with `pathGlobFilter`, partitioned by
+  * asset shard.
+  */
+object Multimodal {
+
+  /** Synthesize an assets table from documents: payload = utf-8 bytes of the
+    * text (a stand-in for image bytes), metadata = typed struct. */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("image/fake").as("mime"),
+        length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  /** STUB decode kernel: a real deployment would call an image codec here
+    * (e.g. JPEG decode → resize(64x64) → channel means). This deterministic
+    * fake derives an 8-dim float feature purely from the bytes so tests can
+    * pin exact values. Marked fake by name and by the `decoder` metadata
+    * field. */
+  def fakeDecodeFeatures(df: DataFrame): DataFrame = {
+    val dims = 8
+    df
+      .withColumn("features", expr(
+        s"""transform(sequence(0, ${dims - 1}),
+           |  i -> CAST(pmod(xxhash64(i, payload), 1000L) AS DOUBLE) / 1000.0)""".stripMargin))
+      .withColumn("decoder", lit("fake-deterministic-v1"))
+  }
+
+  /** Frame sampling stub: byte-range slices standing in for video frames —
+    * real implementation would demux; slicing shape/stride is what matters
+    * to the Spark plan. */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 32, nFrames: Int = 4): DataFrame =
+    df.withColumn("frames", expr(
+      s"""transform(sequence(0, ${nFrames - 1}),
+         |  f -> substring(payload, f * $frameBytes + 1, $frameBytes))""".stripMargin))
+
+  /** Registered query: asset metadata + feature stats (rows-only check —
+    * binary columns are not part of the DuckDB oracle surface). */
+  def assetFeatures(s: SparkSession, d: String): DataFrame =
+    fakeDecodeFeatures(assets(s, d)).select(
+      col("asset_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.origin").as("origin"),
+      round(expr("aggregate(features, 0D, (a, x) -> a + x)"), 4).as("feature_sum"),
+      col("decoder"))
+}

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface over the driver test tables (SURVEY.md §2.2-2.8).
+  *
+  * Every query here is declarative DataFrame API — Catalyst gets the whole
+  * plan, so predicate pushdown / column pruning / join selection are free.
+  * Scale decisions are explicit per query:
+  *  - dimension joins (`nation`, `region`) are `broadcast()` — at 100 TB the
+  *    fact side never shuffles for them;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once —
+  *    sort-merge with AQE skew handling;
+  *  - aggregates rely on partial (map-side) aggregation, so the shuffle
+  *    carries one row per (partition, group), not per input row;
+  *  - all money sums are rounded in-query so result hashes are stable across
+  *    summation orders (double addition is not associative; a 1000-executor
+  *    run must hash-match the oracle).
+  */
+object Relational {
+
+  /** P1+P2 analog on testdata: filter + 2-col projection; both reach the
+    * parquet scan as PushedFilters/ReadSchema. */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("id"), col("text").as("text_column"))
+
+  /** P3: IN-list filter (reference language_filter,
+    * FunctionApp1/hotel_reviews/__init__.py:21). */
+  def filterInList(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("lang").isin("en", "de", "fr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** P4 analog: predicate on a value extracted from semi-structured data
+    * (events.props is a JSON string). */
+  def filterJsonField(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") > 50 && col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("k"))
+
+  /** T1-T5: scalar expression surface — cast, lit, rename, CASE, string fns. */
+  def scalarTransforms(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey").cast("string").as("record_id"),        // T1/T3
+        lit("en").as("language"),                               // T2
+        upper(col("c_mktsegment")).as("segment"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("balance_band"),                // T5
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"), // T6
+        // ×2 is exact in binary floating point, so Spark's decimal-string
+        // rounding and DuckDB's binary rounding agree bit-for-bit.
+        round(col("c_acctbal") * 2.0, 2).as("adjusted_bal"))
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial-agg showcase. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Broadcast dimension join: customer ⋈ nation ⋈ region with the dims
+    * broadcast — zero shuffle of the fact side at any scale. */
+  def joinBroadcastDims(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+
+  /** Fact-fact sort-merge join: orders ⋈ lineitem, one shuffle on the key. */
+  def joinFactFact(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Left outer join with null-producing side: order counts per customer,
+    * customers without orders kept at zero. */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"))
+
+  /** Left-semi join (J1's semantics: id-membership — the reference's
+    * `UPDATE ... WHERE id IN (...)`, FunctionApp2/process_data/__init__.py:101). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Left-anti join: customers with no orders at all. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Non-equi (range) predicate riding on an equi join: lineitems shipped
+    * within 60 days of their order date. The equi key carries the shuffle;
+    * the range term stays a cheap post-join filter. */
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_fast_shipped"))
+
+  /** Cross join (tiny × tiny only — anything else is a bug at scale). */
+  def joinCross(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    r.select(col("r_name").as("left_region"))
+      .crossJoin(r.select(col("r_name").as("right_region")))
+  }
+
+  /** Top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver; no global sort materialized.
+    * Tie-break on the unique key keeps it deterministic. */
+  def topKOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Window: rank rows within group — each customer's 2 priciest orders. */
+  def windowTopPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .filter(col("o_custkey") < 100)
+  }
+
+  /** Window: lag — price delta between a customer's consecutive orders. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("price_delta", round(col("o_totalprice") - col("prev_price"), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("price_delta"))
+      .filter(col("o_custkey") < 50)
+  }
+
+  /** Window: running sum per key in event order. */
+  def windowRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .filter(col("o_custkey") < 50)
+  }
+
+  /** Set ops: union / intersect / except over compatible key sets, tagged so
+    * one query exercises all three. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    building.union(rich).distinct().withColumn("op", lit("union"))
+      .unionByName(building.intersect(rich).withColumn("op", lit("intersect")))
+      .unionByName(building.except(rich).withColumn("op", lit("except")))
+      .groupBy(col("op")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Rollup: hierarchical subtotals (returnflag → linestatus → grand total). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** Cube: all grouping-set combinations of two low-cardinality dims. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+
+  /** Exact distinct counts per group (two distinct aggregates → Spark plans
+    * an expand; still one pass over the scan). */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+
+  /** approx_count_distinct (HLL++): the scale path for distinct counts —
+    * constant memory per group vs countDistinct's expand. No SQL oracle
+    * (DuckDB's approx algorithm differs); correctness pinned by an
+    * error-bound ScalaTest instead. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Time-bucketed aggregation over events (the Grafana-consumption shape:
+    * applications/applications.tf:135-145). */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Grouped event-time tumbling window (batch shape of the streaming agg). */
+  def eventsWindowed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+}

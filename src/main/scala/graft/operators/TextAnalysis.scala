@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators (SURVEY.md §2.11 D5): stats, quality scoring,
+  * token counting, language-ID, fingerprinting. All pure Catalyst column
+  * expressions — projections with no shuffle, which is exactly what a
+  * 100 TB text-cleaning pass needs (scan-bound, whole-stage codegen'd).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: word-chunks + digits + punctuation as separate
+    * tokens (the usual pre-tokenizer split), counted without materializing
+    * the array. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Per-doc stats: chars, words, distinct words, avg word length. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(array_distinct(split(lower(col("text")), "\\s+"))).as("n_distinct_tokens"),
+      round(length(replace(col("text"), lit(" "), lit(""))) / tokenCount(col("text")), 4)
+        .as("avg_token_len"))
+
+  /** Quality score: length band + punctuation density + stopword ratio +
+    * repetition ratio — the standard cheap pre-filter for training corpora. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = "\\b(the|a|of|and|to|in|is|it)\\b"
+    Tables.documents(s, d)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("stop_hits", regexp_count(lower(col("text")), lit(stop)))
+      .withColumn("punct_hits", regexp_count(col("text"), lit("[.,;:!?]")))
+      .select(
+        col("doc_id"),
+        round(col("stop_hits") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("punct_hits") / col("n_tokens"), 4).as("punct_ratio"),
+        round(size(array_distinct(split(lower(col("text")), "\\s+"))) / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1).otherwise(0)
+          .cast("int").as("length_ok"))
+  }
+
+  /** Language-ID: n-gram/stopword-hit heuristic, pure column math. Scores one
+    * regex of high-frequency function words per language plus a CJK-character
+    * test for zh; the argmax wins, ties broken by fixed language order. */
+  def languageId(text: Column): Column = {
+    val markers = Seq(
+      "en" -> "\\b(the|and|of|to|is|you|that|it|for|with)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht|ich|ein|zu|mit)\\b",
+      "es" -> "\\b(el|la|los|las|es|una|para|por|como|pero)\\b",
+      "fr" -> "\\b(le|la|les|est|une|pour|dans|ce|pas|vous)\\b")
+    val scores = markers.map { case (lang, re) => lang -> regexp_count(lower(text), lit(re)) }
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val best = scores.foldLeft(lit("und").as("l") -> lit(0).as("s")) { case ((bl, bs), (lang, sc)) =>
+      (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    when(cjk > 0, lit("zh")).when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Language-ID over documents, compared to the labeled `lang` column. */
+  def langIdDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lang_pred", languageId(col("text")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Document fingerprints: raw md5, normalized md5 (lowercase, sorted token
+    * multiset — order-insensitive near-exact dup key), and a first-8-hex
+    * prefix usable as a cheap shard/bucket key. */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp_raw"),
+      md5(concat_ws(" ", sort_array(split(lower(col("text")), "\\s+"))).cast("binary"))
+        .as("fp_normalized"),
+      substring(md5(col("text").cast("binary")), 1, 8).as("fp_bucket"))
+
+  /** Rolling-hash (Rabin-Karp style) content fingerprint: polynomial hash of
+    * the char stream, base 257 mod 1e9+7, expressed as an `aggregate` over
+    * the exploded char array — no UDF; used for chunk-level dedup keys.
+    * The modulus keeps every intermediate < 2^39, so the math never
+    * overflows a long even under ANSI mode. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(1000000007L)))
+
+  def contentDefinedChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      rollingHash(col("text")).as("content_hash"),
+      rollingHash(substring(col("text"), 1, 64)).as("head_hash"))
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice (SURVEY.md §2.10): the Spark-native upgrade of
+  * the reference's polling micro-batch design — a 3-hour timer
+  * (FunctionApp1/hotel_reviews/function.json:8) plus a `processed`-flag
+  * watermark column (FunctionApp2/process_data/__init__.py:41,101-104).
+  *
+  * Upgrades, intentionally: checkpointed offsets instead of a dirty flag,
+  * `Trigger.AvailableNow` instead of cron, `foreachBatch` + in-batch dedup
+  * for exactly-once effect instead of the reference's at-least-once
+  * duplicate window (crash between its two DB commits re-processes rows).
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File source stream over a parquet landing dir (the at-scale shape: a
+    * fetcher lands files, Spark streams them; `maxFilesPerTrigger` is the
+    * backpressure knob the reference's fixed page_number=0 lacked). */
+  def readEvents(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+
+  /** Watermarked tumbling-window aggregation (event-time, late data dropped
+    * after 30 min). Same logical shape as Relational.eventsWindowed so batch
+    * and stream answers can be cross-checked. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
+
+  /** Exactly-once sink: foreachBatch writes each micro-batch after an
+    * in-batch exact dedup on event_id (D1 in-stream); with the checkpoint
+    * this makes replays idempotent — the reference's duplicate window
+    * (__init__.py:96-104) closed. */
+  def run(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .dropDuplicates(Seq("event_id"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** Streaming windowed aggregation to a sink, AvailableNow (drains whatever
+    * is in the source dir, then stops — the batch-cadence trigger). */
+  def runWindowed(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val events = readEvents(spark, srcDir).withWatermark("ts", "30 minutes")
+    windowedCounts(events)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}
