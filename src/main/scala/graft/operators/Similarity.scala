@@ -67,9 +67,11 @@ object Similarity {
     * Cost: L equi-joins on the bucket key instead of one all-pairs cross
     * join — at 100 TB the bucket key is the shuffle key and each reducer
     * sees one bucket, not the corpus. Recall vs exact is pinned in
-    * SimilaritySpec. */
+    * SimilaritySpec. Defaults favor recall on near-orthogonal embeddings
+    * (few bits, many tables); at real scale raise `bits` to shrink buckets
+    * and keep per-reducer fan-in bounded. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              tables: Int = 6, bits: Int = 10): DataFrame = {
+              tables: Int = 12, bits: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val qSig = (0 until tables).foldLeft(
       queries.select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("q_emb"))) {

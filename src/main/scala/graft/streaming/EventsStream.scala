@@ -65,9 +65,8 @@ object EventsStream {
 
   /** Streaming windowed aggregation to a sink, AvailableNow (drains whatever
     * is in the source dir, then stops — the batch-cadence trigger). */
-  def runWindowed(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
-    val events = readEvents(spark, srcDir).withWatermark("ts", "30 minutes")
-    windowedCounts(events)
+  def runWindowed(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery =
+    windowedCounts(readEvents(spark, srcDir))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
@@ -75,5 +74,4 @@ object EventsStream {
       .format("parquet")
       .option("path", outDir)
       .start()
-  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup invariants (D1/D2): idempotence, keep-rule determinism, and LSH
+  * candidate quality on planted near-duplicates. */
+class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
+  import spark.implicits._
+
+  test("D1: exact dedup keeps exactly one row per key, lowest order value") {
+    val df = Seq((1L, "a", 10), (2L, "a", 5), (3L, "b", 7)).toDF("id", "key", "v")
+    val out = Dedup.exactDedup(df, Seq("key"), "id").collect()
+    assert(out.length === 2)
+    assert(out.map(r => r.getString(1) -> r.getLong(0)).toMap === Map("a" -> 1L, "b" -> 3L))
+  }
+
+  test("D1: dedup is idempotent — dedup(dedup(x)) == dedup(x)") {
+    val docs = Tables.documents(spark, sf)
+    val once = Dedup.exactDedup(docs, Seq("lang", "source"), "doc_id")
+    val twice = Dedup.exactDedup(once, Seq("lang", "source"), "doc_id")
+    assert(once.count() === twice.count())
+    assert(once.except(twice).isEmpty)
+  }
+
+  test("D2: minhash signatures are deterministic across runs") {
+    val sh = Dedup.shingles(Tables.documents(spark, sf))
+    val s1 = Dedup.minhashSignatures(sh).orderBy("doc_id").collect()
+    val s2 = Dedup.minhashSignatures(sh).orderBy("doc_id").collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("D2: LSH banding finds planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val nearDup = base.replace("lazy", "sleepy") // high-jaccard pair
+    val distinct = "completely different content about spark execution engines and shuffles " * 4
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val cand = Dedup.bandedCandidates(Dedup.minhashSignatures(sh))
+    val verified = Dedup.verifyJaccard(sh, cand)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("D2: exact Jaccard verification computes the right value") {
+    // two docs sharing exactly half their shingle sets
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, n = 3) // shingles: 4 per doc, 2 shared
+    val j = Dedup.verifyJaccard(sh, Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .select("jaccard").head().getDouble(0)
+    assert(j === 2.0 / 6.0 +- 0.001)
+  }
+
+  test("D2: ML MinHashLSH agrees with hand-rolled LSH on planted dups") {
+    val base = "spark shuffles partition data across executors for wide dependencies " * 3
+    val docs = Seq(
+      (1L, base), (2L, base.replace("wide", "narrow")),
+      (3L, "unrelated text about hotel reviews and sentiment scoring pipelines " * 3))
+      .toDF("doc_id", "text")
+    val tokenizer = new org.apache.spark.ml.feature.RegexTokenizer()
+      .setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
+    val ngram = new org.apache.spark.ml.feature.NGram().setN(3)
+      .setInputCol("tokens").setOutputCol("shingles")
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
+    val staged = tf.transform(ngram.transform(tokenizer.transform(docs)))
+    val lsh = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+    val pairs = lsh.fit(staged).approxSimilarityJoin(staged, staged, 0.6, "d")
+      .select(col("datasetA.doc_id").as[Long], col("datasetB.doc_id").as[Long])
+      .filter(r => r._1 < r._2).collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("SimHash: identical docs get identical signatures; near-dups are close") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val docs = Seq((1L, base), (2L, base), (3L, base.replace("beta", "exla")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val hamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hamming <= 16, s"near-dup hamming was $hamming")
+  }
+}

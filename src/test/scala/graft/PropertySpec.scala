@@ -1,0 +1,64 @@
+package graft
+
+import graft.ml.BatchedScorer
+import graft.ml.BatchedScorer.Doc
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants (SURVEY.md §5.5) using ScalaCheck generators
+  * with fixed seeds (scalatest runner; no scalatestplus bridge available
+  * offline): batching covers exactly n docs, dedup uniqueness under random
+  * input, tokenizer agreement with an independent implementation. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("batching covers exactly n docs for any n") {
+    samples(Gen.choose(0, 200), 25).foreach { n =>
+      val docs = (1 to n).map(i => Doc(i.toString, s"d$i"))
+      val grouped = docs.grouped(10).flatMap(BatchedScorer.stubScoreBatch).toSeq
+      assert(grouped.size === n)
+      assert(grouped.map(_.record_id).toSet === docs.map(_.record_id).toSet)
+    }
+  }
+
+  test("exact dedup output has unique keys for random inputs") {
+    val rowsGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0, 8)))
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("id", "key")
+      val out = Dedup.exactDedup(df, Seq("key"), "id")
+      val keys = out.select("key").collect().map(_.getInt(0))
+      assert(keys.length === keys.distinct.length)
+    }
+  }
+
+  test("token count matches an independent Scala tokenizer on random text") {
+    val wordGen = Gen.listOf(Gen.oneOf("fast", "slow", "spark", "data", "x", "yz"))
+    val texts = samples(wordGen, 10).map(_.mkString(" "))
+    val df = texts.toDF("text")
+    val counted = df.select(col("text"), TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    counted.foreach { case (text, n) =>
+      val expected = if (text.trim.isEmpty) 0 else text.trim.split("\\s+").length
+      assert(n === expected, s"text='$text'")
+    }
+  }
+
+  test("ragged review JSON never drops rows (random key subsets)") {
+    val allKeys = Seq("review_id", "hotel_id", "title", "pros", "cons", "languagecode")
+    val keysGen = Gen.someOf(allKeys.tail) // review_id always present
+    val recs = samples(keysGen, 20).zipWithIndex.map { case (keys, i) =>
+      val fields = (Seq(s""""review_id": $i""") ++ keys.map(k => s""""$k": "v$i"""")).mkString(", ")
+      s"{$fields}"
+    }
+    val envelope = s"""{"count": ${recs.size}, "result": [${recs.mkString(", ")}], "sort_options": []}"""
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ragged").toFile
+    java.nio.file.Files.writeString(new java.io.File(tmp, "r.json").toPath, envelope)
+    val out = graft.sources.ReviewIngest.ingest(spark, tmp.getAbsolutePath)
+    assert(out.count() === recs.size.toLong)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ml.{BatchedScorer, LexiconScorer, MlSentimentScorer}
+import graft.ml.BatchedScorer.{Doc, Scored}
+import org.apache.spark.sql.functions._
+
+/** Enrichment contract tests (SURVEY.md §2.9 M1-M3, §2.4 G1) — the batch-of-10
+  * RPC shape of reference FunctionApp2/process_data/__init__.py:56-82. */
+class SentimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("G1: batched scorer never sees more than 10 docs per call") {
+    val docs = (1 to 47).map(i => Doc(i.toString, s"text $i")).toDS()
+    val maxSeen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val out = BatchedScorer.scoreBatched(docs, { batch =>
+      maxSeen.add(batch.size)
+      batch.map(d => Scored(d.record_id, "neutral", 0.5))
+    })
+    assert(out.count() === 47L)
+    import scala.jdk.CollectionConverters._
+    assert(maxSeen.value.asScala.forall(_ <= 10))
+  }
+
+  test("G1: order is preserved within a partition (reference results.extend)") {
+    val docs = (1 to 30).map(i => Doc(i.toString, s"t$i")).toDS().repartition(1)
+    val out = BatchedScorer.scoreBatched(docs, BatchedScorer.stubScoreBatch _)
+      .collect().map(_.record_id)
+    assert(out.toSeq === (1 to 30).map(_.toString))
+  }
+
+  test("M2: scorer output size mismatch aborts the batch (fail-whole-request)") {
+    val docs = (1 to 5).map(i => Doc(i.toString, "x")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      BatchedScorer.scoreBatched(docs, batch => batch.drop(1)
+        .map(d => Scored(d.record_id, "neutral", 0.5))).collect()
+    }
+    assert(ex.getMessage.contains("scorer") || ex.getCause != null)
+  }
+
+  test("lexicon scorer: labels and confidence are deterministic column math") {
+    val docs = Seq(
+      ("1", "fast good great work"),
+      ("2", "slow bad poor output"),
+      ("3", "plain text no markers")).toDF("record_id", "text")
+    val out = LexiconScorer.score(docs).select("record_id", "sentiment", "confidence")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out("1")._1 === "positive")
+    assert(out("2")._1 === "negative")
+    assert(out("3")._1 === "neutral")
+    assert(out("3")._2 === 0.5)
+  }
+
+  test("M1: ML pipeline is hermetic and reproducible across two fits") {
+    val docs = Seq(("a", "fast good solid"), ("b", "slow broken bad"), ("c", "plain usual okay"))
+      .toDF("record_id", "text")
+    val run1 = new MlSentimentScorer(spark).score(docs)
+      .select("record_id", "sentiment").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val run2 = new MlSentimentScorer(spark).score(docs)
+      .select("record_id", "sentiment").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(run1.sameElements(run2))
+    val byId = run1.toMap
+    assert(byId("a") === "positive")
+    assert(byId("b") === "negative")
+  }
+
+  test("M3: output schema is the SentimentResults shape") {
+    val docs = Seq(("1", "anything")).toDF("record_id", "text")
+    val out = new MlSentimentScorer(spark).score(docs)
+    assert(out.columns.toSet === Set("record_id", "text", "sentiment", "confidence"))
+    val conf = out.select("confidence").head().getDouble(0)
+    assert(conf > 0.0 && conf <= 1.0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search invariants (D3): exact cosine math, brute-force top-k
+  * correctness on known vectors, and LSH recall against the exact baseline. */
+class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
+  import spark.implicits._
+
+  test("cosine column math: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0), 1.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0)).toDF("a", "b", "expected")
+    val rows = df.withColumn("cos", Similarity.cosine(col("a"), col("b"))).collect()
+    rows.foreach(r => assert(r.getDouble(3) === r.getDouble(2) +- 1e-9))
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Seq(1.0f, 0.1f)),   // closest
+      (2L, Seq(1.0f, 1.0f)),   // mid
+      (3L, Seq(0.0f, 1.0f)),   // orthogonal
+      (4L, Seq(-1.0f, 0.0f)))  // opposite
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(q, c, 3).orderBy("rank")
+      .select("cand_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k achieves >=60% recall@5 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, emb, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall was $recall")
+  }
+
+  test("LSH signatures are deterministic (seeded hyperplanes)") {
+    val emb = Tables.embeddings(spark, sf).limit(20)
+    val r1 = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 3).collect()
+    val r2 = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 3).collect()
+    assert(r1.sameElements(r2))
+  }
+
+  test("label centroids: mean of each dimension within the label") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    val cents = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents((0, 0)) === 2.0 +- 1e-6)
+    assert(cents((0, 1)) === 4.0 +- 1e-6)
+    assert(cents((1, 0)) === 10.0 +- 1e-6)
+  }
+}
