@@ -80,15 +80,7 @@ class MlSentimentScorer(spark: SparkSession) extends SentimentScorer {
     }.toDF("text", "label")
   }
 
-  lazy val model: PipelineModel = {
-    val tokenizer = new RegexTokenizer()
-      .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
-    val tf = new HashingTF()
-      .setInputCol("tokens").setOutputCol("features").setNumFeatures(1 << 12)
-    val lr = new LogisticRegression()
-      .setFamily("multinomial").setMaxIter(50).setRegParam(0.01)
-    new MlPipeline().setStages(Array(tokenizer, tf, lr)).fit(corpus)
-  }
+  lazy val model: PipelineModel = MlSentimentScorer.cachedModel(this)
 
   /** M2/M3: schema-checked output, keeping only the winning label and its
     * probability (the reference keeps confidenceScores.positive only,
@@ -102,6 +94,25 @@ class MlSentimentScorer(spark: SparkSession) extends SentimentScorer {
       .withColumn("sentiment", labelOf(col("prediction")))
       .withColumn("confidence", maxProb(col("probability")))
       .drop("tokens", "features", "rawPrediction", "probability", "prediction")
+  }
+}
+
+object MlSentimentScorer {
+  /** The fit is deterministic (fixed corpus, fixed seed), so one trained
+    * model serves every scorer instance in the JVM — scoring calls don't
+    * each pay the training job. */
+  @volatile private var cached: PipelineModel = _
+  private[ml] def cachedModel(scorer: MlSentimentScorer): PipelineModel = synchronized {
+    if (cached == null) {
+      val tokenizer = new RegexTokenizer()
+        .setInputCol("text").setOutputCol("tokens").setPattern("\\W+")
+      val tf = new HashingTF()
+        .setInputCol("tokens").setOutputCol("features").setNumFeatures(1 << 12)
+      val lr = new LogisticRegression()
+        .setFamily("multinomial").setMaxIter(50).setRegParam(0.01)
+      cached = new MlPipeline().setStages(Array(tokenizer, tf, lr)).fit(scorer.corpus)
+    }
+    cached
   }
 }
 

@@ -44,21 +44,25 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Word-level shingles: (doc_id, shingle) pairs, distinct. `n`-word windows
-    * over the whitespace token stream. */
+  /** Word-level shingles as 64-bit hashes: (doc_id, shingle) pairs, distinct.
+    * `n`-word windows over the whitespace token stream, hashed to longs
+    * inside the same projection — the distinct/groupBy shuffles then carry
+    * 8-byte keys instead of full shingle strings (at corpus scale that is
+    * most of the exchange volume), and downstream minhash functions hash a
+    * long instead of re-hashing the string. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val tokens = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("tokens"))
     tokens
       .select(col("doc_id"), explode(
         // sliding n-gram via sequence + transform: no UDF, stays in codegen
-        expr(s"transform(sequence(0, size(tokens) - $n), i -> concat_ws(' ', slice(tokens, i + 1, $n)))")
+        expr(s"transform(sequence(0, size(tokens) - $n), i -> xxhash64(concat_ws(' ', slice(tokens, i + 1, $n))))")
           .as("sh")).as("shingle"))
       .distinct()
   }
 
-  /** MinHash signatures: `numHashes` seeded xxhash64 functions, elementwise
-    * min per doc. Partial aggregation makes the shuffle carry one signature
-    * row per doc, independent of shingle count. */
+  /** MinHash signatures: `numHashes` seeded xxhash64 functions over the
+    * shingle hash, elementwise min per doc. Partial aggregation makes the
+    * shuffle carry one signature row per doc, independent of shingle count. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy(col("doc_id"))
@@ -83,14 +87,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs against the shingle sets:
-    * |A∩B| via a shingle-key join restricted to candidates, |A∪B| from per-doc
-    * set sizes. Only candidates pay the verification cost. */
+  /** Exact Jaccard verification of candidate pairs against the shingle sets.
+    * The intersection is computed candidate-first: candidates ⋈ shingles(a)
+    * ⋈ shingles(b), so cost is |candidates| × avg-set-size. (Joining
+    * shingles⋈shingles on the shingle key first would be quadratic in
+    * shingle popularity — a common 3-gram shared by k docs costs k² rows
+    * before any candidate filter, which detonates on a shared-vocabulary
+    * corpus.) */
   def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -127,8 +135,12 @@ object Dedup {
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
     val staged = tf.transform(ngram.transform(tokenizer.transform(docs)))
       .select(col("doc_id"), col("features"))
+    // 4 tables: Spark's MinHashLSH bands are single-hash (r=1), so each
+    // extra table multiplies the candidate volume on low-similarity corpora;
+    // 4 keeps recall high at the dist<=0.8 threshold without OR-ing in
+    // every weakly-similar pair.
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(staged)
     model.approxSimilarityJoin(staged, staged, maxJaccardDist, "jaccard_dist")
       .select(
@@ -139,27 +151,16 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
-    * are signatures within a small Hamming distance. Bit-votes are computed
-    * with explode + groupBy (partial agg keeps the shuffle at one row per
-    * (doc, bit)); candidates bucket on 4 16-bit signature blocks, so a pair
-    * within Hamming distance 3 shares at least one block (pigeonhole). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bits = tokens.select(
+    * are signatures within a small Hamming distance. Computed in one compiled
+    * pass per row by the native [[graft.functions.SimHash64]] expression — a
+    * pure projection, no shuffle (the earlier explode-per-bit formulation
+    * shuffled docs × tokens × 64 rows). Candidates bucket on 4 16-bit
+    * signature blocks, so a pair within Hamming distance 3 shares at least
+    * one block (pigeonhole). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 63), b -> CASE WHEN ((th >> b) & 1) = 1 THEN 1 ELSE -1 END)"))
-        .as(Seq("bit", "vote")))
-    bits.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("tally"))
-      .groupBy(col("doc_id"))
-      .agg(sum(
-        when(col("tally") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-          .otherwise(lit(0L)))
-        .as("simhash"))
-  }
+      graft.functions.TextFunctions.simhash64(split(lower(col("text")), "\\s+")).as("simhash"))
 
   /** SimHash near-dup candidates: block-bucket join + exact Hamming check. */
   def simhashNearDups(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.VectorFunctions.{cosine, rpSignatures, vecDot, vecNorm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -9,28 +10,27 @@ import org.apache.spark.sql.expressions.Window
   * brute-force cosine top-k as the correctness baseline, an LSH-bucketed
   * variant as the 100 TB path, and per-label centroids.
   *
-  * Vector math is pure Catalyst (`zip_with` + `aggregate`) — no UDF, no
-  * per-row JVM boxing beyond the array itself.
+  * Vector math uses the custom codegen expressions in
+  * [[graft.functions.VectorFunctions]] — a tight primitive loop per pair
+  * instead of Spark's interpreted per-element higher-order-function lambdas,
+  * reading `array<float>` without up-casting.
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate (higher-order functions, codegen'd). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
   /** Brute-force exact top-k: queries × candidates, cosine, windowed top-k.
     * Correct at any scale but O(|Q|·|C|) — the oracle baseline the bucketed
-    * path is measured against. Queries are broadcast (small side). */
+    * path is measured against. Queries are broadcast (small side); norms are
+    * computed once per row, not once per pair. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      vecNorm(col("embedding")).as("q_norm"))
+    val c = candidates.select(
+      col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      vecNorm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")))
+      .withColumn("cos", vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -44,52 +44,29 @@ object Similarity {
     bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
   }
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane t,
-    * component i = a fixed hash folded to [-1, 1]. Seeded — every executor
-    * and every run derives the same planes with no shipped state. */
-  private def planeComponent(t: Int, i: Column): Column =
-    (pmod(xxhash64(lit(t), i), lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
-
-  /** Sign-random-projection signature: `nBits` sign bits per table. */
-  def rpSignature(emb: Column, table: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { bit =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x * planeComponent(table * 64 + bit, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** LSH-bucketed ANN (the scale path): L hash tables × b sign bits; a
-    * candidate meets a query only if they share a bucket in some table.
-    * Cost: L equi-joins on the bucket key instead of one all-pairs cross
-    * join — at 100 TB the bucket key is the shuffle key and each reducer
-    * sees one bucket, not the corpus. Recall vs exact is pinned in
-    * SimilaritySpec. Defaults favor recall on near-orthogonal embeddings
-    * (few bits, many tables); at real scale raise `bits` to shrink buckets
-    * and keep per-reducer fan-in bounded. */
+  /** LSH-bucketed ANN (the scale path): `tables` hash tables × `bits` sign
+    * bits, all signatures computed in one pass per row, then ONE equi-join on
+    * (table, signature) — at 100 TB the bucket key is the shuffle key and
+    * each reducer sees one bucket, not the corpus. Defaults favor recall on
+    * near-orthogonal embeddings (few bits, many tables); at real scale raise
+    * `bits` to shrink buckets and keep per-reducer fan-in bounded. Recall vs
+    * exact is pinned in SimilaritySpec. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               tables: Int = 12, bits: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
-    val qSig = (0 until tables).foldLeft(
-      queries.select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("q_emb"))) {
-      (df, t) => df.withColumn(s"sig$t", rpSignature(col("q_emb"), t, bits))
-    }
-    val cSig = (0 until tables).foldLeft(
-      candidates.select(col("vec_id").as("cand_id"), col("embedding").cast("array<double>").as("c_emb"))) {
-      (df, t) => df.withColumn(s"sig$t", rpSignature(col("c_emb"), t, bits))
-    }
-    val candPairs = (0 until tables).map { t =>
-      cSig.select(col("cand_id"), col("c_emb"), col(s"sig$t").as("sig"))
-        .join(broadcast(qSig.select(col("query_id"), col("q_emb"), col(s"sig$t").as("sig"))), Seq("sig"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
-    }.reduce(_ unionByName _).distinct()
+    def withSigs(df: DataFrame, idAs: String, embAs: String, normAs: String): DataFrame =
+      df.select(
+        col("vec_id").as(idAs), col("embedding").as(embAs),
+        vecNorm(col("embedding")).as(normAs),
+        posexplode(rpSignatures(col("embedding"), tables, bits)).as(Seq("t", "sig")))
+    val qSigs = withSigs(queries, "query_id", "q_emb", "q_norm")
+    val cSigs = withSigs(candidates, "cand_id", "c_emb", "c_norm")
+    val candPairs = cSigs
+      .join(broadcast(qSigs), Seq("t", "sig"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     candPairs
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos", vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
@@ -104,11 +81,12 @@ object Similarity {
       .agg(round(avg(col("v")), 5).as("centroid_v"))
       .filter(col("pos") < 8) // small stable slice for the oracle dump
 
-  /** Label coherence: avg cosine of each vector to its label centroid minus
-    * avg cosine to the global centroid — a quality metric for the embedding
-    * space; exercises a join of rows against a broadcast aggregate. */
+  /** Label coherence: avg cosine of each vector to its label centroid — a
+    * quality metric for the embedding space; joins rows against a broadcast
+    * per-label aggregate. */
   def labelCoherence(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
     val centroids = emb
       .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))

@@ -85,15 +85,12 @@ object TextAnalysis {
       substring(md5(col("text").cast("binary")), 1, 8).as("fp_bucket"))
 
   /** Rolling-hash (Rabin-Karp style) content fingerprint: polynomial hash of
-    * the char stream, base 257 mod 1e9+7, expressed as an `aggregate` over
-    * the exploded char array — no UDF; used for chunk-level dedup keys.
-    * The modulus keeps every intermediate < 2^39, so the math never
-    * overflows a long even under ANSI mode. */
+    * the char stream, base 257 mod 1e9+7, via the native
+    * [[graft.functions.PolyHash]] expression — one compiled pass per row
+    * (the higher-order `aggregate` over an exploded char array ran an
+    * interpreted lambda per character). */
   def rollingHash(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(1000000007L)))
+    graft.functions.TextFunctions.polyHash(text)
 
   def contentDefinedChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(

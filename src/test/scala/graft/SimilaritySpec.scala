@@ -13,7 +13,7 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
       (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
       (Seq(1.0, 2.0), Seq(1.0, 2.0), 1.0),
       (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0)).toDF("a", "b", "expected")
-    val rows = df.withColumn("cos", Similarity.cosine(col("a"), col("b"))).collect()
+    val rows = df.withColumn("cos", graft.functions.VectorFunctions.cosine(col("a"), col("b"))).collect()
     rows.foreach(r => assert(r.getDouble(3) === r.getDouble(2) +- 1e-9))
   }
 
