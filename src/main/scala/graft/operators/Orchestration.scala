@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.ml.SentimentScorer
+import graft.sources.ReviewIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline wiring (SURVEY.md §3.1-3.2): the whole reference
+  * dataflow — raw review JSON → bronze → silver SourceTable → sentiment
+  * enrichment → SentimentResults sink → mark-processed — as one Spark job
+  * graph instead of two Azure Functions + ADF + two SQL databases.
+  *
+  * Contracts upgraded on purpose (SURVEY.md §2.10): the enrich step is
+  * atomic over its run (results write + flag rewrite from one computed set),
+  * where the reference commits them separately and can double-process on a
+  * crash between the two (FunctionApp2/process_data/__init__.py:96-104).
+  */
+object Orchestration {
+
+  /** Layout of a pipeline run's tables on storage. */
+  final case class Layout(root: String) {
+    val bronze: String = s"$root/bronze"
+    val silver: String = s"$root/silver"
+    val results: String = s"$root/results"
+  }
+
+  /** P7: config completeness validation, pre-job (reference __init__.py:29-35
+    * returns 500 when any of its env vars is unset). */
+  def validateConfig(config: Map[String, String], required: Seq[String]): Unit = {
+    val missing = required.filterNot(k => config.get(k).exists(_.nonEmpty))
+    require(missing.isEmpty, s"missing required config: ${missing.mkString(", ")}")
+  }
+
+  /** Ingest stage (§3.1): raw JSON → normalized bronze parquet, partitioned
+    * by hotel_id (S4). */
+  def ingestToBronze(spark: SparkSession, rawPath: String, layout: Layout): Unit =
+    ReviewIngest.writeBronze(ReviewIngest.ingest(spark, rawPath), layout.bronze)
+
+  /** Silver build (S7): bronze → SourceTable(id, text_column, processed). */
+  def buildSilver(spark: SparkSession, layout: Layout): Unit =
+    ReviewIngest.toSilver(spark.read.parquet(layout.bronze))
+      .write.mode("overwrite").parquet(layout.silver)
+
+  /** Enrich stage (§3.2): the reference's main query path.
+    *
+    * - P2+P1: `filter(processed === 0).select(id, text_column)`
+    * - P6: `isEmpty` short-circuit (O(1 partition), not a count)
+    * - M1/M3: scorer produces (record_id, sentiment, confidence)
+    * - S6: batched append of results (vs row-at-a-time INSERT)
+    * - J1: mark-processed as a join-based flag rewrite + partition overwrite
+    *
+    * Returns the number of records enriched (T5/G2 status count — the only
+    * value the driver ever collects; row data never leaves the executors).
+    */
+  def enrich(spark: SparkSession, layout: Layout, scorer: SentimentScorer): Long = {
+    val silver = spark.read.parquet(layout.silver)
+    val pending = silver
+      .filter(col("processed") === 0)
+      .select(col("id"), col("text_column"))
+    if (pending.isEmpty) return 0L // P6: "No new data"
+
+    val scored = scorer.score(
+      pending.select(col("id").cast("string").as("record_id"), col("text_column").as("text")))
+      .select(col("record_id"), col("sentiment"), col("confidence"))
+    scored.write.mode("append").parquet(layout.results)
+
+    val done = spark.read.parquet(layout.results)
+      .select(col("record_id").cast("long").as("id")).distinct()
+    val updated = Pipeline.markProcessed(silver, done)
+    // overwrite via a staging dir: reading and overwriting the same parquet
+    // path in one job is undefined
+    val staging = s"${layout.silver}__staging"
+    updated.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(layout.silver)
+
+    spark.read.parquet(layout.results).count()
+  }
+
+  /** Full run. Returns total enriched-record count. */
+  def run(spark: SparkSession, rawPath: String, layout: Layout, scorer: SentimentScorer): Long = {
+    ingestToBronze(spark, rawPath, layout)
+    buildSilver(spark, layout)
+    enrich(spark, layout, scorer)
+  }
+
+  /** S8: dual-catalog access — the reference talks to two SQL databases over
+    * two connections (__init__.py:16-27). Spark-native: two namespaces in
+    * one session catalog, each backed by its own storage location. */
+  def registerCatalogs(spark: SparkSession, layout: Layout): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS adf")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ai")
+    // path-backed persistent views (a temp view can't back a persistent one)
+    spark.sql(s"CREATE OR REPLACE VIEW adf.source_table AS SELECT * FROM parquet.`${layout.silver}`")
+    spark.sql(s"CREATE OR REPLACE VIEW ai.sentiment_results AS SELECT * FROM parquet.`${layout.results}`")
+  }
+}
