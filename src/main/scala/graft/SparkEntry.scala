@@ -91,6 +91,12 @@ object SparkEntry {
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
+    // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
+    "q_asof_join" -> (AsOfJoin.purchasesWithLastView _),
+    "q_session_windows" -> (Relational.sessionWindows _),
+    "q_skew_agg" -> (Skew.saltedPricingAgg _),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -286,5 +292,38 @@ object SparkEntry {
         |SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
         |unnest(embedding) AS v FROM embeddings)
         |WHERE pos < 8 GROUP BY label, pos""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "q_session_windows" ->
+      """WITH e AS (SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08""".stripMargin,
+    "q_cosine_near_dup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        |AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35""".stripMargin,
   )
 }

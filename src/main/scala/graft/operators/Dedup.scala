@@ -150,6 +150,30 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** Exact n-gram (word bigram) Jaccard over a bounded doc subset — the
+    * all-pairs correctness baseline the LSH paths approximate. Bounded by
+    * `maxDocId` because all-pairs is O(n²) BY DESIGN here; the scale path is
+    * [[nearDupPairs]]. Oracle-checkable end to end. */
+  def ngramJaccardPairs(s: SparkSession, d: String,
+                        maxDocId: Long = 80, threshold: Double = 0.08): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .as("grams"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("raw_j", col("n_inter") / (size(col("ga")) + size(col("gb")) - col("n_inter")))
+      // filter on the raw value, round only for output — filtering on the
+      // rounded value would disagree with the oracle at the threshold edge
+      .filter(col("raw_j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 4).as("jaccard"))
+  }
+
   /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
     * are signatures within a small Hamming distance. Computed in one compiled
     * pass per row by the native [[graft.functions.SimHash64]] expression — a

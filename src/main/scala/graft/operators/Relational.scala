@@ -235,4 +235,13 @@ object Relational {
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Session windows per user (30-minute inactivity gap) — the sessionization
+    * shape; oracle is the classic gaps-and-islands SQL. One shuffle on
+    * user_id; session assembly is a sort within partition. */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
 }

@@ -72,6 +72,21 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs above a similarity threshold (all-pairs
+    * exact — correctness baseline; the scale path buckets via [[lshTopK]]'s
+    * signatures first). */
+  def cosineNearDups(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Per-label centroids via posexplode + partial-agg mean per (label, pos) —
     * the shuffle carries (label × dim) rows, never the vectors themselves. */
   def labelCentroids(s: SparkSession, d: String): DataFrame =
