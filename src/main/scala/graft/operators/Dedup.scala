@@ -125,11 +125,16 @@ object Dedup {
         count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
 
-  /** D2 via Spark ML MinHashLSH (the library path, cross-checked against the
-    * hand-rolled one in DedupSpec): tokenize → 3-gram → HashingTF → MinHash →
-    * approxSimilarityJoin (bucketed by the LSH hash keys internally). */
+  /** D2 via Spark ML MinHashLSH — a CROSS-CHECK of [[nearDupPairs]], not the
+    * scale path: `approxSimilarityJoin` bands with r=1 rows per table, so on
+    * a shared-vocabulary corpus it ORs in nearly every weakly-similar pair
+    * (candidate volume ≈ (1-(1-j)^L)·n², j≈0.05 ⇒ ~18% of ALL pairs) and
+    * degenerates toward all-pairs. The hand-rolled banding (r=4) keeps the
+    * candidate rate at j^4 per band. This validation query therefore runs on
+    * an EXPLICIT 20% sample (`doc_id % 5 = 0` — documented, not silent);
+    * DedupSpec cross-checks the two implementations on planted dups. */
   def mlNearDupPairs(s: SparkSession, d: String, maxJaccardDist: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
     val tokenizer = new RegexTokenizer().setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
     val ngram = new NGram().setN(3).setInputCol("tokens").setOutputCol("shingles")
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)
