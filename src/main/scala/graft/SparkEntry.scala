@@ -81,6 +81,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
     }),
+    "q_ann_ivf" -> (IvfIndex.annIvf _),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
     // -- text analysis (D5) -----------------------------------------------

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions.{vecDot, vecNorm}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) ANN index (SURVEY.md §2.11 D3 scale path, alternative
+  * to sign-LSH): a seeded k-means coarse quantizer assigns every vector to a
+  * cell; queries probe their `nProbe` nearest cells only. `nProbe` is the
+  * recall/cost dial — on strongly clustered corpora 2-3 cells suffice; the
+  * default 6 (of 16) holds recall on near-isotropic embeddings like the
+  * synthetic test vectors.
+  *
+  * Scale shape: the partition/join key is the cell id — candidate generation
+  * is one equi-join on `cell`, and each reducer scans one cell (≈ n/k
+  * vectors), never the corpus. Recall is tunable via `nProbe`; the exact
+  * [[Similarity.bruteForceTopK]] is the measuring stick (IvfSpec).
+  */
+object IvfIndex {
+
+  /** Train the coarse quantizer and assign cells. Returns (assigned, centroids)
+    * where `assigned` = input + `cell` int column, `centroids` = (cell,
+    * centroid array<double>). Deterministic: fixed seed, k-means∥ init. */
+  def buildIndex(emb: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
+    val featured = emb.withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(featured)
+    val assigned = model.transform(featured).drop("features")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    (assigned, centroids.toSeq.toDF("cell", "centroid"))
+  }
+
+  /** Probe: for each query, its `nProbe` nearest cells by centroid distance,
+    * then exact cosine within those cells only. */
+  def ivfTopK(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+              k: Int, nProbe: Int = 6): DataFrame = {
+    val qc = queries
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", -vecDot(col("q_emb"), col("centroid")) /
+        (vecNorm(col("q_emb")) * vecNorm(col("centroid"))))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)
+    val probed = qc.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val cands = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("cell"))
+    val scored = cands
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", vecDot(col("q_emb"), col("c_emb").cast("array<double>")) /
+        (vecNorm(col("q_emb")) * vecNorm(col("c_emb"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Registered query: IVF top-5 for the first 5 vectors (rows-only — the
+    * k-means cells are model state, not SQL; recall pinned in IvfSpec). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (assigned, centroids) = buildIndex(emb)
+    ivfTopK(emb.filter(col("vec_id") < 5), assigned, centroids, 5)
+  }
+}

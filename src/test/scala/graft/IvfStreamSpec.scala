@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.streaming.StatefulEnrich
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** IVF ANN recall + flatMapGroupsWithState custom state. */
+class IvfStreamSpec extends SparkSpec {
+
+  test("IVF probe achieves >=60% recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (assigned, centroids) = IvfIndex.buildIndex(emb)
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.ivfTopK(queries, assigned, centroids, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall was $recall")
+  }
+
+  test("IVF index partitions the corpus: every vector in exactly one cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val (assigned, centroids) = IvfIndex.buildIndex(emb, k = 8)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+    assert(centroids.count() === 8)
+  }
+
+  test("flatMapGroupsWithState: per-user profiles match a batch computation") {
+    val src = Files.createTempDirectory("graft-state-src").toString
+    Tables.events(spark, sf).repartitionByRange(6, col("ts"))
+      .write.mode("overwrite").parquet(src)
+    val out = Files.createTempDirectory("graft-state-out").toString
+    val ckpt = Files.createTempDirectory("graft-state-ckpt").toString
+    StatefulEnrich.runProfiles(spark, src, out, ckpt).awaitTermination(120000)
+
+    // Update-mode emits one row per user per touching micro-batch; the LAST
+    // profile per user must equal the batch aggregate over all events.
+    val finalProfiles = spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("purchase_value"), col("first_event_id"))).as("p"))
+      .select(col("user_id"), col("p.n_events").as("n_events"),
+        col("p.purchase_value").as("pv"), col("p.first_event_id").as("first_event_id"))
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("pv"),
+        min(col("event_id")).as("first_event_id"))
+    // join-compare with fp tolerance on the running double sum (state
+    // accumulates in event order, batch sums in shuffle order)
+    val joined = finalProfiles.alias("s").join(batch.alias("b"), Seq("user_id"), "full")
+    val bad = joined.filter(
+      col("s.n_events").isNull || col("b.n_events").isNull ||
+        col("s.n_events") =!= col("b.n_events") ||
+        col("s.first_event_id") =!= col("b.first_event_id") ||
+        abs(col("s.pv") - col("b.pv")) > 0.001)
+    assert(bad.isEmpty, s"stateful profiles diverge: ${bad.collect().take(3).mkString(", ")}")
+  }
+
+  test("stateful restart: a second AvailableNow run emits nothing new") {
+    val src = Files.createTempDirectory("graft-state2-src").toString
+    Tables.events(spark, sf).limit(500).write.mode("overwrite").parquet(src)
+    val out = Files.createTempDirectory("graft-state2-out").toString
+    val ckpt = Files.createTempDirectory("graft-state2-ckpt").toString
+    StatefulEnrich.runProfiles(spark, src, out, ckpt).awaitTermination(120000)
+    val n1 = spark.read.parquet(out).count()
+    StatefulEnrich.runProfiles(spark, src, out, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === n1)
+  }
+}
