@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftx {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function into a LIVE session's registry — the complement of
+    * `spark.sql.extensions` (which only applies at session construction). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[catalyst.expressions.Expression] => catalyst.expressions.Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      catalyst.FunctionIdentifier(name), info, builder)
 }
