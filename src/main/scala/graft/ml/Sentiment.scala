@@ -138,6 +138,43 @@ object BatchedScorer {
     }
   }
 
+  /** One scored-or-quarantined row per input doc. */
+  final case class ScoredOrFailed(record_id: String, sentiment: String,
+                                  confidence: Double, error: String)
+
+  /** Failure-mode surface for the batch scorer (SURVEY.md §7 risks):
+    *
+    * - `strict = true` reproduces the reference's abort-all contract — one
+    *   failing batch fails the task, Spark retries it, and if retries
+    *   exhaust, the job (FunctionApp2/process_data/__init__.py:71-75).
+    * - `strict = false` (engine default): a failing batch quarantines its
+    *   docs — every row still comes out, scored rows with `error = null`,
+    *   failed rows with the scorer's message in `error` — so one poison
+    *   document can't sink a 100 TB scoring run.
+    */
+  def scoreBatchedWithQuarantine(
+      docs: Dataset[Doc],
+      scoreBatch: Seq[Doc] => Seq[Scored],
+      batchSize: Int = 10,
+      strict: Boolean = false): Dataset[ScoredOrFailed] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        scala.util.Try {
+          val out = scoreBatch(batch)
+          require(out.size == batch.size, s"scorer returned ${out.size} for ${batch.size} docs")
+          out
+        } match {
+          case scala.util.Success(out) =>
+            out.map(s => ScoredOrFailed(s.record_id, s.sentiment, s.confidence, null))
+          case scala.util.Failure(e) if !strict =>
+            batch.map(d => ScoredOrFailed(d.record_id, null, Double.NaN, String.valueOf(e.getMessage)))
+          case scala.util.Failure(e) => throw e
+        }
+      }
+    }
+  }
+
   /** Deterministic stand-in for the remote service: text-length parity. */
   def stubScoreBatch(batch: Seq[Doc]): Seq[Scored] = {
     require(batch.size <= 10, s"batch of ${batch.size} exceeds the 10-doc API contract")

@@ -79,6 +79,12 @@ object ReviewIngest {
   def ingest(spark: SparkSession, path: String): DataFrame =
     normalize(explodeReviews(readEnvelope(spark, path)))
 
+  /** §2.7: merge review pages whose records have ragged key sets —
+    * `unionByName(allowMissingColumns = true)` fills absent columns with
+    * null instead of failing or positionally mis-binding like `union`. */
+  def mergePages(pages: Seq[DataFrame]): DataFrame =
+    pages.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
   /** S4: partitioned bronze landing — append-only parquet partitioned by
     * hotel_id so a 1000-executor scan of one hotel prunes everything else. */
   def writeBronze(reviews: DataFrame, outDir: String): Unit =
