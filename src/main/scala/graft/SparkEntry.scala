@@ -54,6 +54,7 @@ object SparkEntry {
     "q_join_cross" -> (Relational.joinCross _),
     // -- sorts / limits / windows / set ops (§2.6-2.8) --------------------
     "q_topk" -> (Relational.topKOrders _),
+    "q_pagination" -> ((s, d) => Relational.paginateOrders(s, d)),
     "q_window_top2" -> (Relational.windowTopPerGroup _),
     "q_window_lag" -> (Relational.windowLag _),
     "q_window_running" -> (Relational.windowRunningSum _),
@@ -191,6 +192,9 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 10""".stripMargin,
     "q_window_top2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,
@@ -251,6 +255,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
         |CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
         |round(length(replace(text, ' ', '')) /
         |len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
         |FROM documents""".stripMargin,

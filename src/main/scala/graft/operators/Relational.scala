@@ -146,6 +146,20 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** O2 general pagination: page k of a global ordering via row_number.
+    * The global (unpartitioned) window funnels through one task — correct
+    * but documented as the semantic cost of global pagination; prefer
+    * keyset pagination (`WHERE sortkey < last_seen ORDER BY ... LIMIT n`,
+    * i.e. topKOrders' shape) on large data. */
+  def paginateOrders(s: SparkSession, d: String, page: Int = 2, pageSize: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > (page - 1) * pageSize && col("rn") <= page * pageSize)
+      .drop("rn")
+  }
+
   /** Window: rank rows within group — each customer's 2 priciest orders. */
   def windowTopPerGroup(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -28,6 +28,7 @@ object TextAnalysis {
       length(col("text")).as("n_chars"),
       tokenCount(col("text")).as("n_tokens"),
       size(array_distinct(split(lower(col("text")), "\\s+"))).as("n_distinct_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
       round(length(replace(col("text"), lit(" "), lit(""))) / tokenCount(col("text")), 4)
         .as("avg_token_len"))
 
