@@ -41,6 +41,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
+    "q_percentiles" -> (Relational.percentiles _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
@@ -149,6 +150,11 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |round(avg(o_totalprice), 2) AS avg_price FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |round(max(o_totalprice), 2) AS p100
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_suppliers

@@ -226,6 +226,17 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_suppliers"))
 
+  /** Exact interpolated percentiles per group (sort-based aggregate). At
+    * scale prefer approx_percentile (t-digest) — exact percentile holds the
+    * group's values; kept here as the oracle-checkable baseline. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(max(col("o_totalprice")), 2).as("p100"))
+
   /** approx_count_distinct (HLL++): the scale path for distinct counts —
     * constant memory per group vs countDistinct's expand. No SQL oracle
     * (DuckDB's approx algorithm differs); correctness pinned by an

@@ -48,6 +48,21 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r1.sameElements(r2))
   }
 
+  test("VecDot participates in whole-stage codegen (not a fallback leaf)") {
+    val df = Tables.embeddings(spark, sf)
+      .select(graft.functions.VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan form;
+    // the vecdot projection must sit inside one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("vecdot")),
+      s"vecdot not inside a codegen span:\n$plan")
+    // interpreted eval agrees with the generated code path
+    val viaCodegen = df.head().getDouble(0)
+    val row = Tables.embeddings(spark, sf).select("embedding").head().getSeq[Float](0)
+    val expected = row.map(v => v.toDouble * v).sum
+    assert(math.abs(viaCodegen - expected) < 1e-6)
+  }
+
   test("label centroids: mean of each dimension within the label") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 20.0f)))
       .toDF("label", "embedding")
