@@ -31,6 +31,9 @@ object SparkEntry {
         .select(col("review_id"), col("hotel_id"), col("languagecode"),
           col("countrycode"), col("average_score"), col("review_ts"),
           col("hotelier_response_ts"), col("author.type").as("author_type"))),
+    "q_review_page" -> ((s, _) =>
+      graft.sources.ReviewIngest.pageQuery(
+        graft.sources.ReviewIngest.ingest(s, "/root/reference/sample.json"))),
     // -- projections / filters / scalar transforms (§2.2-2.3) ------------
     "q_filter_project" -> (Relational.filterProject _),
     "q_filter_in" -> (Relational.filterInList _),

@@ -90,6 +90,27 @@ object ReviewIngest {
   def writeBronze(reviews: DataFrame, outDir: String): Unit =
     reviews.write.mode("append").partitionBy("hotel_id").parquet(outDir)
 
+  /** The reference's full ingest-side query semantics in one expression
+    * (FunctionApp1/hotel_reviews/__init__.py:19-26): language IN-list (P3),
+    * customer-type IN-list on the nested author field (P4), hotel-id
+    * equality (P5), relevance sort (O1 — engine-defined as helpful votes
+    * desc, recency desc, id tiebreak), page-0 limit (O2). The reference
+    * ships these as REST query params evaluated by the API; here they're
+    * Catalyst predicates over the landed data. */
+  def pageQuery(reviews: DataFrame,
+                hotelId: Long = 1676161L,
+                languages: Seq[String] = Seq("en-gb", "de", "fr"),
+                customerTypes: Seq[String] = Seq("solo_traveller", "review_category_group_of_friends"),
+                pageSize: Int = 25): DataFrame =
+    reviews
+      .filter(col("hotel_id") === hotelId)
+      .filter(col("languagecode").isin(languages: _*))
+      .filter(col("author.type").isin(customerTypes: _*))
+      .orderBy(col("helpful_vote_count").desc, col("review_ts").desc, col("review_id").asc)
+      .limit(pageSize)
+      .select(col("review_id"), col("languagecode"), col("author.type").as("author_type"),
+        col("helpful_vote_count"), col("review_ts"))
+
   /** S7 (ADF-copy replacement): reviews → silver SourceTable
     * (reference schema evidence FunctionApp2/process_data/__init__.py:41).
     * `concat_ws` skips nulls, matching the "". "-join of available text. */
