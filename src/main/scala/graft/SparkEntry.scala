@@ -94,6 +94,7 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_lang_id" -> (TextAnalysis.langIdDocs _),
     "q_fingerprints" -> (TextAnalysis.fingerprints _),
+    "q_redact" -> (TextAnalysis.redact _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
@@ -289,6 +290,16 @@ object SparkEntry {
         |len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|pour|dans|ce|pas|vous)\b')) AS fr,
         |len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
         |FROM documents) GROUP BY 1, 2""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs,
+        |CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |'https?://[^\s]+', '<URL>', 'g'),
+        |'[0-9]{6,}', '<NUM>', 'g')) AS INT) AS redacted_len
+        |FROM documents""".stripMargin,
     "q_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp_raw,
         |md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS fp_normalized,

@@ -93,6 +93,24 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     graft.functions.TextFunctions.polyHash(text)
 
+  /** PII-shaped redaction pass (training-data hygiene): replace emails,
+    * URLs, and long digit runs with typed placeholders; emit match counts
+    * so a corpus-level audit is one aggregation away. Pure projection. */
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9]{6,}"
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(col("text"), lit(url)).as("n_urls"),
+      regexp_count(col("text"), lit(digits)).as("n_digit_runs"),
+      length(
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), url, "<URL>"), digits, "<NUM>"))
+        .as("redacted_len"))
+  }
+
   def contentDefinedChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
