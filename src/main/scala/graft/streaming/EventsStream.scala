@@ -47,13 +47,19 @@ object EventsStream {
   /** Exactly-once sink: foreachBatch writes each micro-batch after an
     * in-batch exact dedup on event_id (D1 in-stream); with the checkpoint
     * this makes replays idempotent — the reference's duplicate window
-    * (__init__.py:96-104) closed. */
-  def run(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery =
+    * (__init__.py:96-104) closed.
+    *
+    * `trigger` defaults to AvailableNow (drain-and-stop, the testable
+    * shape); the reference's production cadence is
+    * `Trigger.ProcessingTime("3 hours")` — its cron `0 0 */3 * * *`
+    * (FunctionApp1/hotel_reviews/function.json:8) as a long-lived query. */
+  def run(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readEvents(spark, srcDir)
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
       .writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
