@@ -51,7 +51,7 @@ object EventsStream {
     *
     * `trigger` defaults to AvailableNow (drain-and-stop, the testable
     * shape); the reference's production cadence is
-    * `Trigger.ProcessingTime("3 hours")` — its cron `0 0 */3 * * *`
+    * `Trigger.ProcessingTime("3 hours")` — its every-3-hours cron
     * (FunctionApp1/hotel_reviews/function.json:8) as a long-lived query. */
   def run(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
