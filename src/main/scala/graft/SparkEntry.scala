@@ -45,6 +45,9 @@ object SparkEntry {
     "q_cube" -> (Relational.cubeAgg _),
     "q_distinct_agg" -> (Relational.distinctAgg _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_grouping_sets" -> (Relational.groupingSets _),
+    "q_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "q_pivot" -> (Relational.pivotEvents _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
@@ -154,6 +157,21 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |round(avg(o_totalprice), 2) AS avg_price FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey,
+        |(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c WHERE c_custkey < 200""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |round(quantile_cont(o_totalprice, 0.9), 2) AS p90,

@@ -217,6 +217,38 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), round(avg(col("o_totalprice")), 2).as("avg_price"))
 
+  /** Explicit grouping sets (beyond rollup/cube): exactly the two
+    * single-dimension aggregations in one pass (SQL form — the DataFrame
+    * API spells only rollup/cube). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate join (RewriteCorrelatedScalarSubquery), the same plan
+    * a hand-written join would produce. */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_cs")
+    Tables.orders(s, d).createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT c_custkey,
+        |(SELECT count(*) FROM orders_cs o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_cs c WHERE c_custkey < 200""".stripMargin)
+  }
+
+  /** Pivot: one column per event_type, summed values per user. Explicit
+    * value list keeps the schema static (a dynamic pivot needs an extra
+    * distinct pass — avoid at scale). */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+
   /** Exact distinct counts per group (two distinct aggregates → Spark plans
     * an expand; still one pass over the scan). */
   def distinctAgg(s: SparkSession, d: String): DataFrame =
