@@ -308,6 +308,20 @@ object SparkEntry {
         |len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|pour|dans|ce|pas|vous)\b')) AS fr,
         |len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
         |FROM documents) GROUP BY 1, 2""".stripMargin,
+    "q_ingest_reviews" ->
+      """SELECT r.review_id, r.hotel_id, r.languagecode, r.countrycode,
+        |r.average_score, r."date" AS review_ts,
+        |epoch_ms(r.hotelier_response_date * 1000) AS hotelier_response_ts,
+        |r.author.type AS author_type
+        |FROM (SELECT unnest(result) AS r
+        |FROM read_json_auto('/root/reference/sample.json', maximum_object_size = 10000000))""".stripMargin,
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+        |list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''),
+        |c -> CAST(ord(c) AS BIGINT)), (acc, c) -> (acc * 257 + c) % 1000000007) AS content_hash,
+        |list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substring(text, 1, 64), ''),
+        |c -> CAST(ord(c) AS BIGINT)), (acc, c) -> (acc * 257 + c) % 1000000007) AS head_hash
+        |FROM documents""".stripMargin,
     "q_redact" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
