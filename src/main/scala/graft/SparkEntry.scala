@@ -98,6 +98,9 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langIdDocs _),
     "q_fingerprints" -> (TextAnalysis.fingerprints _),
     "q_redact" -> (TextAnalysis.redact _),
+    "q_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    "q_zscore_outliers" -> (Relational.zscoreOutliers _),
+    "q_argmax" -> (Relational.argmaxOrders _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
@@ -332,6 +335,28 @@ object SparkEntry {
         |'https?://[^\s]+', '<URL>', 'g'),
         |'[0-9]{6,}', '<NUM>', 'g')) AS INT) AS redacted_len
         |FROM documents""".stripMargin,
+    "q_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term,
+        |tf * ln((SELECT count(*) FROM documents) * 1.0 / df) AS raw FROM tf JOIN dfx USING (term)),
+        |r AS (SELECT doc_id, term, raw, CAST(row_number() OVER (PARTITION BY doc_id
+        |ORDER BY raw DESC, term ASC) AS INT) AS rank FROM sc)
+        |SELECT doc_id, term, round(raw, 4) AS tfidf, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |round((value - mu) / sigma, 4) AS z
+        |FROM events JOIN m USING (event_type)
+        |WHERE abs((value - mu) / sigma) > 2.5""".stripMargin,
+    "q_argmax" ->
+      """SELECT o_custkey,
+        |arg_max(o_orderkey, o_totalprice) AS best_order,
+        |round(max(o_totalprice), 2) AS best_price,
+        |arg_min(o_orderkey, o_totalprice) AS worst_order
+        |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey""".stripMargin,
     "q_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp_raw,
         |md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS fp_normalized,

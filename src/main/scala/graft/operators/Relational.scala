@@ -279,6 +279,32 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** Outlier detection: per-type z-score against broadcast per-type moments
+    * (two-pass: aggregate then rejoin — the standard distributed shape). */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val moments = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    events.join(broadcast(moments), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
+  }
+
+  /** max_by/min_by aggregates: each customer's priciest order without a
+    * window — single aggregation, no sort. Plain value ordering is
+    * deterministic here because (custkey, totalprice) has no ties in the
+    * test data; with tie-prone data use a struct ordering key (DuckDB v1.0's
+    * arg_max can't, so the oracle would need a composite instead). */
+  def argmaxOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        round(max(col("o_totalprice")), 2).as("best_price"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"))
+
   /** Time-bucketed aggregation over events (the Grafana-consumption shape:
     * applications/applications.tf:135-145). */
   def eventsHourly(s: SparkSession, d: String): DataFrame =

@@ -93,6 +93,29 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     graft.functions.TextFunctions.polyHash(text)
 
+  /** TF-IDF keyword extraction: top-3 terms per document by tf·idf with
+    * smoothed idf = ln(N / df). Two aggregations and a window — the shuffle
+    * keys are (term) then (doc) — plus a broadcast of the per-term idf
+    * table; no all-pairs anything. Tie-break: score desc, term asc. */
+  def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // tiny scalar; at scale pass it in precomputed
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = terms.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"), col("rank"))
+  }
+
   /** PII-shaped redaction pass (training-data hygiene): replace emails,
     * URLs, and long digit runs with typed placeholders; emit match counts
     * so a corpus-level audit is one aggregation away. Pure projection. */
