@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exactDedupDocs _),
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
     "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
+    "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
     "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
     "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
     // -- similarity search (D3) -------------------------------------------
@@ -107,6 +108,9 @@ object SparkEntry {
     // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
     "q_asof_join" -> (AsOfJoin.purchasesWithLastView _),
     "q_session_windows" -> (Relational.sessionWindows _),
+    "q_funnel" -> (Relational.funnelConversion _),
+    "q_ntile" -> (Relational.ntileQuartiles _),
+    "q_fuzzy_match" -> (Relational.fuzzyPartMatch _),
     "q_skew_agg" -> (Skew.saltedPricingAgg _),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
@@ -389,6 +393,41 @@ object SparkEntry {
         |ROWS UNBOUNDED PRECEDING) AS sid FROM e)
         |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_funnel" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
+        |WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (SELECT DISTINCT e.user_id FROM events e JOIN fv USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view)
+        |SELECT (SELECT count(*) FROM fv) AS n_viewers,
+        |(SELECT count(*) FROM conv) AS n_converted""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+        |count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal FROM (
+        |SELECT c_mktsegment, c_acctbal,
+        |ntile(4) OVER (PARTITION BY c_mktsegment
+        |ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile FROM customer)
+        |GROUP BY c_mktsegment, quartile""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT p_partkey, p_name, CAST(levenshtein(p_name, 'red widget') AS INT) AS dist
+        |FROM part WHERE levenshtein(p_name, 'red widget') <= 6""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.05),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+        |nodes AS (SELECT DISTINCT a FROM e),
+        |reach(src, node) AS (SELECT a, a FROM nodes
+        |UNION SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a)
+        |SELECT cluster, count(*) AS cluster_size, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+        |SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src)
+        |GROUP BY cluster""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin,

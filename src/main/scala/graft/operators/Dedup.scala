@@ -179,6 +179,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 
+  /** Near-dup clusters: connected components over the verified near-dup
+    * pair graph by iterative min-label propagation (each round: every doc
+    * adopts the smallest label among itself and its neighbors; fixpoint in
+    * O(log n) rounds for realistic dup-cluster diameters). All joins are
+    * keyed on doc id — no driver-side graph. Returns (doc_id, cluster) for
+    * every doc that appears in at least one pair; the canonical doc of a
+    * cluster is its min id. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("cluster")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.alias("n").join(labels.alias("l"), Seq("doc_id"))
+        .filter(col("n.cluster") =!= col("l.cluster")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Registered: cluster summary over the exact bounded n-gram pairs. */
+  def nearDupClusterSummary(s: SparkSession, d: String): DataFrame =
+    nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"), sum(col("doc_id")).as("id_sum"))
+
   /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
     * are signatures within a small Hamming distance. Computed in one compiled
     * pass per row by the native [[graft.functions.SimHash64]] expression — a

@@ -319,6 +319,38 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Funnel conversion: users who purchased at or after their first view.
+    * Two keyed aggregations and one broadcast join — no event-by-event
+    * pairing. */
+  def funnelConversion(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val converted = events.filter(col("event_type") === "purchase")
+      .join(broadcast(firstView), Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .select(col("user_id")).distinct()
+    firstView.select(count(lit(1)).as("n_viewers"))
+      .crossJoin(converted.select(count(lit(1)).as("n_converted")))
+  }
+
+  /** NTILE quartiles by account balance per segment. */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+  }
+
+  /** Edit-distance match: parts within levenshtein 6 of a probe name. */
+  def fuzzyPartMatch(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("dist", levenshtein(col("p_name"), lit("red widget")))
+      .filter(col("dist") <= 6)
+      .select(col("p_partkey"), col("p_name"), col("dist"))
+
   /** Session windows per user (30-minute inactivity gap) — the sessionization
     * shape; oracle is the classic gaps-and-islands SQL. One shuffle on
     * user_id; session assembly is a sort within partition. */

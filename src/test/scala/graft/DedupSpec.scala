@@ -74,6 +74,20 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("near-dup clusters: min-label propagation finds connected components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
+    assert(clusters(10L) === 10L && clusters(11L) === 10L)
+  }
+
+  test("near-dup clusters: chain longer than one hop converges") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(chain).collect().map(_.getLong(1)).distinct
+    assert(clusters.toSeq === Seq(1L), "chain should collapse to one cluster")
+  }
+
   test("SimHash: identical docs get identical signatures; near-dups are close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val docs = Seq((1L, base), (2L, base), (3L, base.replace("beta", "exla")))
