@@ -66,8 +66,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 /** Polynomial rolling hash (base 257, mod 1e9+7) over UTF-16 code units —
-  * modulus keeps intermediates < 2^39, no overflow. */
-case class PolyHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  * modulus keeps intermediates < 2^39, no overflow. Fully codegen'd: the
+  * char loop compiles into the enclosing whole-stage span. */
+case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -84,6 +85,21 @@ case class PolyHash(child: Expression) extends UnaryExpression with CodegenFallb
     }
     acc
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |String phS = $a.toString();
+         |long phAcc = 0L;
+         |for (int phI = 0; phI < phS.length(); phI++) {
+         |  phAcc = (phAcc * 257L + phS.charAt(phI)) % 1000000007L;
+         |}
+         |${ev.value} = phAcc;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
 }
