@@ -49,6 +49,8 @@ object SparkEntry {
     "q_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q_pivot" -> (Relational.pivotEvents _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_approx_percentile" -> (Relational.approxPercentiles _),
+    "q_props_map" -> (Relational.propsMapQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
@@ -57,6 +59,8 @@ object SparkEntry {
     "q_join_left" -> (Relational.joinLeftOuter _),
     "q_join_semi" -> (Relational.joinSemi _),
     "q_join_anti" -> (Relational.joinAnti _),
+    "q_join_right" -> (Relational.joinRightOuter _),
+    "q_join_full" -> (Relational.joinFullOuter _),
     "q_join_range" -> (Relational.joinRange _),
     "q_join_cross" -> (Relational.joinCross _),
     // -- sorts / limits / windows / set ops (§2.6-2.8) --------------------
@@ -65,7 +69,9 @@ object SparkEntry {
     "q_window_top2" -> (Relational.windowTopPerGroup _),
     "q_window_lag" -> (Relational.windowLag _),
     "q_window_running" -> (Relational.windowRunningSum _),
+    "q_window_ranks" -> (Relational.windowRanks _),
     "q_set_ops" -> (Relational.setOps _),
+    "q_set_ops_all" -> (Relational.setOpsAll _),
     // -- sentiment enrichment (§2.9) --------------------------------------
     "q_sentiment_lexicon" -> ((s, d) =>
       LexiconScorer.score(Tables.documents(s, d))
@@ -114,6 +120,7 @@ object SparkEntry {
     "q_skew_agg" -> (Skew.saltedPricingAgg _),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
+    "q_cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupsBucketed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -215,6 +222,19 @@ object SparkEntry {
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_join_right" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, count(c_custkey) AS n_matched
+        |FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+        |RIGHT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_join_full" ->
+      """SELECT side, count(*) AS n_rows FROM (
+        |SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |WHEN c_custkey IS NOT NULL THEN 'customer_only' ELSE 'order_only' END AS side
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9900) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |WHERE o_totalprice > 300000) o ON c_custkey = o_custkey)
+        |GROUP BY side""".stripMargin,
     "q_join_range" ->
       """SELECT o_orderstatus, count(*) AS n_fast_shipped
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -249,6 +269,32 @@ object SparkEntry {
         |ORDER BY o_orderdate ASC, o_orderkey ASC
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
         |FROM orders WHERE o_custkey < 50""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk,
+        |CAST(drnk AS INT) AS drnk, next_order FROM (
+        |SELECT o_custkey, o_orderkey,
+        |rank() OVER (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+        |dense_rank() OVER (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC) AS drnk,
+        |lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC) AS next_order
+        |FROM orders WHERE o_custkey < 50)""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |SELECT op, count(*) AS n_keys FROM (
+        |SELECT 'union_all' AS op, c_custkey FROM
+        |(SELECT c_custkey FROM building UNION ALL SELECT c_custkey FROM rich)
+        |UNION ALL SELECT 'intersect_all' AS op, c_custkey FROM
+        |(SELECT c_custkey FROM building INTERSECT ALL SELECT c_custkey FROM rich)
+        |UNION ALL SELECT 'except_all' AS op, c_custkey FROM
+        |(SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM rich)
+        |) GROUP BY op""".stripMargin,
+    "q_props_map" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |CAST(len(json_keys(props)) AS INT) AS n_keys
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) <= 10""".stripMargin,
     "q_set_ops" ->
       """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
@@ -288,20 +334,20 @@ object SparkEntry {
         |FROM documents) WHERE rn = 1 GROUP BY lang""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
-        |CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |CAST(nt AS INT) AS n_tokens,
         |CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
-        |round(length(replace(text, ' ', '')) /
-        |len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
-        |FROM documents""".stripMargin,
+        |round(length(replace(text, ' ', '')) / nullif(nt, 0), 4) AS avg_token_len
+        |FROM (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END AS nt FROM documents)""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id,
-        |round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) / nt, 4) AS stopword_ratio,
-        |round(len(regexp_extract_all(text, '[.,;:!?]')) / nt, 4) AS punct_ratio,
-        |round(len(list_distinct(string_split_regex(lower(text), '\s+'))) / nt, 4) AS distinct_ratio,
+        |round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) / nullif(nt, 0), 4) AS stopword_ratio,
+        |round(len(regexp_extract_all(text, '[.,;:!?]')) / nullif(nt, 0), 4) AS punct_ratio,
+        |round(len(list_distinct(string_split_regex(lower(text), '\s+'))) / nullif(nt, 0), 4) AS distinct_ratio,
         |CAST(CASE WHEN nt >= 20 AND nt <= 1000 THEN 1 ELSE 0 END AS INT) AS length_ok
-        |FROM (SELECT doc_id, text,
-        |len(string_split_regex(trim(text), '\s+')) AS nt FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END AS nt FROM documents)""".stripMargin,
     "q_lang_id" ->
       """SELECT lang, CASE WHEN cjk > 0 THEN 'zh'
         |WHEN greatest(en, de, es, fr) = 0 THEN 'und'
@@ -446,6 +492,29 @@ object SparkEntry {
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
         |FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        |AND a.vec_id < 500 AND b.vec_id < 500
         |AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35""".stripMargin,
+    "q_review_page" ->
+      """SELECT r.review_id, r.languagecode, r.author.type AS author_type,
+        |CAST(r.helpful_vote_count AS INT) AS helpful_vote_count,
+        |r."date" AS review_ts
+        |FROM (SELECT unnest(result) AS r
+        |FROM read_json_auto('/root/reference/sample.json', maximum_object_size = 10000000))
+        |WHERE r.hotel_id = 1676161
+        |AND r.languagecode IN ('en-gb', 'de', 'fr')
+        |AND r.author.type IN ('solo_traveller', 'review_category_group_of_friends')
+        |ORDER BY helpful_vote_count DESC, review_ts DESC, r.review_id ASC
+        |LIMIT 25""".stripMargin,
+    "q_label_coherence" ->
+      """WITH c AS (SELECT label, pos, avg(v) AS cv FROM (
+        |SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |unnest(embedding) AS v FROM embeddings) GROUP BY label, pos),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM c GROUP BY label)
+        |SELECT e.label,
+        |round(avg(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.centroid)), 4)
+        |AS avg_cos_to_centroid,
+        |count(*) AS n_vectors
+        |FROM embeddings e JOIN cent ON e.label = cent.label
+        |GROUP BY e.label""".stripMargin,
   )
 }

@@ -91,13 +91,19 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // fresh locals per instance: two PolyHash calls can land in ONE codegen
+      // function, where fixed names would collide and Janino would reject the
+      // whole span (silent fallback to interpreted execution)
+      val s = ctx.freshName("phS")
+      val acc = ctx.freshName("phAcc")
+      val i = ctx.freshName("phI")
       s"""
-         |String phS = $a.toString();
-         |long phAcc = 0L;
-         |for (int phI = 0; phI < phS.length(); phI++) {
-         |  phAcc = (phAcc * 257L + phS.charAt(phI)) % 1000000007L;
+         |String $s = $a.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 257L + $s.charAt($i)) % 1000000007L;
          |}
-         |${ev.value} = phAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -78,13 +78,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val get = if (VecTypeCheck.isFloat(left)) "getFloat" else "getDouble"
+      // fresh locals: two VecDots in one codegen function must not collide
+      val n = ctx.freshName("vdN")
+      val s = ctx.freshName("vdS")
+      val i = ctx.freshName("vdI")
       s"""
-         |int vdN = Math.min($a.numElements(), $b.numElements());
-         |double vdS = 0.0;
-         |for (int vdI = 0; vdI < vdN; vdI++) {
-         |  vdS += (double) $a.$get(vdI) * (double) $b.$get(vdI);
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$get($i) * (double) $b.$get($i);
          |}
-         |${ev.value} = vdS;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -112,14 +116,19 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val get = if (VecTypeCheck.isFloat(child)) "getFloat" else "getDouble"
+      // fresh locals: a query computing two norms in one span must not collide
+      val n = ctx.freshName("vnN")
+      val s = ctx.freshName("vnS")
+      val i = ctx.freshName("vnI")
+      val v = ctx.freshName("vnV")
       s"""
-         |int vnN = $a.numElements();
-         |double vnS = 0.0;
-         |for (int vnI = 0; vnI < vnN; vnI++) {
-         |  double vnV = (double) $a.$get(vnI);
-         |  vnS += vnV * vnV;
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.$get($i);
+         |  $s += $v * $v;
          |}
-         |${ev.value} = Math.sqrt(vnS);
+         |${ev.value} = Math.sqrt($s);
        """.stripMargin
     })
 
@@ -138,19 +147,18 @@ case class RpSignatures(child: Expression, tables: Int, bits: Int, seed: Long)
   override def checkInputDataTypes(): TypeCheckResult =
     VecTypeCheck.check("rp_signatures", Seq(child.dataType))
 
-  @transient private var planeCache: Array[Array[Double]] = _
-  @transient private var planeDim: Int = -1
+  // dim-keyed and concurrent: one expression instance can be shared by many
+  // tasks, and with mixed input dims an unsynchronized single-slot cache
+  // could hand a racing thread planes built for the wrong dimension
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
 
-  private def planes(dim: Int): Array[Array[Double]] = {
-    if (planeCache == null || planeDim != dim) {
-      planeCache = Array.tabulate(tables * bits) { k =>
+  private def planes(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d =>
+      Array.tabulate(tables * bits) { k =>
         val rnd = new java.util.Random(seed * 1000003L + k)
-        Array.fill(dim)(rnd.nextGaussian())
-      }
-      planeDim = dim
-    }
-    planeCache
-  }
+        Array.fill(d)(rnd.nextGaussian())
+      })
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]

@@ -84,15 +84,18 @@ class MlSentimentScorer(spark: SparkSession) extends SentimentScorer {
 
   /** M2/M3: schema-checked output, keeping only the winning label and its
     * probability (the reference keeps confidenceScores.positive only,
-    * __init__.py:93). */
+    * __init__.py:93). Label lookup and max-probability are built-ins
+    * (`element_at` over a literal array, `array_max` over
+    * `vector_to_array`) — codegen'd column math in the hot path, per the
+    * §2.12 built-ins-first policy, instead of two per-row Scala UDFs. */
   override def score(docs: DataFrame): DataFrame = {
     require(docs.columns.contains("text"), "scorer input needs a `text` column")
-    val labelVocab = labels // local copy: the udf closure must not capture `this`
-    val maxProb = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray.max)
-    val labelOf = udf((p: Double) => labelVocab(p.toInt))
+    val labelVocab = array(labels.map(lit): _*)
     model.transform(docs)
-      .withColumn("sentiment", labelOf(col("prediction")))
-      .withColumn("confidence", maxProb(col("probability")))
+      .withColumn("sentiment",
+        element_at(labelVocab, col("prediction").cast("int") + 1))
+      .withColumn("confidence",
+        array_max(org.apache.spark.ml.functions.vector_to_array(col("probability"))))
       .drop("tokens", "features", "rawPrediction", "probability", "prediction")
   }
 }

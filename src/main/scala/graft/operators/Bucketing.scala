@@ -27,18 +27,18 @@ object Bucketing {
     * rewrites to `targetFiles` right-sized files so downstream scans don't
     * pay per-file open/footer costs. Atomic via staging + swap. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
-    val staging = s"${dir}__compacting"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val staging = new org.apache.hadoop.fs.Path(s"${dir}__compacting")
+    val bak = new org.apache.hadoop.fs.Path(s"${dir}__old")
+    // Hadoop FileSystem API, not java.io.File: the landing dir lives on
+    // cluster storage (HDFS/object store) in production, where local-FS
+    // renames don't exist
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.read.parquet(dir).repartition(targetFiles)
-      .write.mode("overwrite").parquet(staging)
-    val fs = new java.io.File(dir)
-    val bak = new java.io.File(s"${dir}__old")
-    require(fs.renameTo(bak), s"could not stage out $dir")
-    require(new java.io.File(staging).renameTo(fs), s"could not swap in $staging")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(bak)
+      .write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(dirPath, bak), s"could not stage out $dir")
+    require(fs.rename(staging, dirPath), s"could not swap in $staging")
+    fs.delete(bak, true)
     spark.catalog.refreshByPath(dir)
   }
 }

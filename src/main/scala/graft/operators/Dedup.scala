@@ -53,6 +53,9 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val tokens = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("tokens"))
     tokens
+      // docs shorter than n tokens have no n-shingles; without the guard
+      // sequence(0, negative) is DESCENDING ([0,-1,...]) and slice throws
+      .filter(size(col("tokens")) >= n)
       .select(col("doc_id"), explode(
         // sliding n-gram via sequence + transform: no UDF, stays in codegen
         expr(s"transform(sequence(0, size(tokens) - $n), i -> xxhash64(concat_ws(' ', slice(tokens, i + 1, $n))))")
@@ -164,6 +167,10 @@ object Dedup {
     val grams = Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      // single-token docs have no bigrams (sequence(0, -1) would descend and
+      // element_at(toks, 0) throw); dropping them matches the oracle, where
+      // their empty gram set can never reach the jaccard threshold
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), array_distinct(
         expr("transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
         .as("grams"))

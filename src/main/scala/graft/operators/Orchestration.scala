@@ -58,6 +58,9 @@ object Orchestration {
       .filter(col("processed") === 0)
       .select(col("id"), col("text_column"))
     if (pending.isEmpty) return 0L // P6: "No new data"
+    // G2 status count = THIS run's records (the reference's len(results),
+    // __init__.py:106), not the cumulative results table
+    val enrichedNow = pending.count()
 
     val scored = scorer.score(
       pending.select(col("id").cast("string").as("record_id"), col("text_column").as("text")))
@@ -72,8 +75,10 @@ object Orchestration {
     val staging = s"${layout.silver}__staging"
     updated.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(layout.silver)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stagingPath, true)
 
-    spark.read.parquet(layout.results).count()
+    enrichedNow
   }
 
   /** Full run. Returns total enriched-record count. */

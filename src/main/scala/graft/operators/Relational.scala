@@ -117,6 +117,33 @@ object Relational {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Right outer join (SURVEY §2.5): all orders kept, customer attrs null
+    * when the (deliberately filtered) build side has no match. Same physical
+    * shape as the left join — Spark flips build/stream sides as needed. */
+  def joinRightOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 500)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "right")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), count(col("c_custkey")).as("n_matched"))
+
+  /** Full outer join (SURVEY §2.5): high-balance customers ⋈ big orders,
+    * classified by which side survived — exercises null production on BOTH
+    * sides in one query. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9900).select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("order_only").as("side"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Non-equi (range) predicate riding on an equi join: lineitems shipped
     * within 60 days of their order date. The equi key carries the shuffle;
     * the range term stays a cheap post-join filter. */
@@ -193,6 +220,20 @@ object Relational {
       .filter(col("o_custkey") < 50)
   }
 
+  /** Window: rank / dense_rank / lead in one pass (SURVEY §2.8 — the three
+    * ranking functions not covered by top2/lag/running/ntile). One shuffle on
+    * the partition key, all four expressions share the same window sort. */
+  def windowRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("drnk"), col("next_order"))
+  }
+
   /** Set ops: union / intersect / except over compatible key sets, tagged so
     * one query exercises all three. */
   def setOps(s: SparkSession, d: String): DataFrame = {
@@ -202,6 +243,21 @@ object Relational {
     building.union(rich).distinct().withColumn("op", lit("union"))
       .unionByName(building.intersect(rich).withColumn("op", lit("intersect")))
       .unionByName(building.except(rich).withColumn("op", lit("except")))
+      .groupBy(col("op")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Set-op multiset (`All`) variants (SURVEY §2.7): unionAll keeps
+    * duplicates, intersectAll/exceptAll use multiset semantics — a key that
+    * appears twice in `building` and once in `rich` survives exceptAll once.
+    * No distinct pass, so unlike the distinct forms these add NO shuffle
+    * beyond the final count. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    building.unionAll(rich).withColumn("op", lit("union_all"))
+      .unionByName(building.intersectAll(rich).withColumn("op", lit("intersect_all")))
+      .unionByName(building.exceptAll(rich).withColumn("op", lit("except_all")))
       .groupBy(col("op")).agg(count(lit(1)).as("n_keys"))
   }
 
@@ -278,6 +334,33 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** approx_percentile (Greenwald-Khanna sketch): the scale path for
+    * percentiles — bounded memory per group vs exact percentile holding every
+    * value. No SQL oracle (sketch internals differ from DuckDB); the exact
+    * percentile rides along and ApproxSpec pins the error bound. */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("ap50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 2).as("ap90"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+
+  /** MapType path for semi-structured props (SURVEY §1.2): `from_json` into
+    * MapType(String, String) — schema-less key access without a fixed struct;
+    * the JSON parse and map lookup stay inside whole-stage codegen. */
+  def propsMapQuery(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("pm", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        element_at(col("pm"), "k").cast("int").as("k"),
+        size(col("pm")).as("n_keys"))
+      .filter(col("k") <= 10)
 
   /** Outlier detection: per-type z-score against broadcast per-type moments
     * (two-pass: aggregate then rejoin — the standard distributed shape). */

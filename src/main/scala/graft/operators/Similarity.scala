@@ -72,16 +72,53 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup pairs above a similarity threshold (all-pairs
-    * exact — correctness baseline; the scale path buckets via [[lshTopK]]'s
-    * signatures first). */
-  def cosineNearDups(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
+  /** Embedding-cosine near-dup pairs above a similarity threshold — the
+    * all-pairs EXACT correctness baseline, and therefore BOUNDED by
+    * `maxVecId` by design (mirroring [[Dedup.ngramJaccardPairs]]'s bound):
+    * all-pairs is O(n²) and must never run unbounded in production. The
+    * unbounded scale path is [[cosineNearDupsBucketed]]. */
+  def cosineNearDups(s: SparkSession, d: String, threshold: Double = 0.35,
+                     maxVecId: Long = 500): DataFrame = {
     val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < maxVecId)
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Near-dup pairs at scale: candidates from the sign-RP signature bucket
+    * join (ONE equi-join on (table, signature) — the shuffle key is the
+    * bucket, each reducer sees one bucket, never the corpus), then exact
+    * cosine verification of candidates only. Defaults favor recall at test
+    * scale (many tables, few bits); at 100 TB raise `bits` to shrink buckets
+    * and keep per-reducer fan-in bounded. Recall vs the exact baseline is
+    * pinned in SimilaritySpec. */
+  def cosineNearDupsBucketed(s: SparkSession, d: String, threshold: Double = 0.35,
+                             tables: Int = 24, bits: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // Candidate generation carries ONLY ids through the bucket join — the
+    // shuffle is O(candidate pairs × 16 bytes). Vectors rejoin per side at
+    // verification, keyed on vec_id (at corpus scale that is a keyed join
+    // against the embeddings table, not a broadcast — left to the
+    // optimizer). Carrying the vectors through the candidate shuffle
+    // instead multiplies exchange volume by the embedding width (measured
+    // 16.6 s vs 2 s at sf0.1).
+    val sigs = emb.select(
+      col("vec_id"),
+      posexplode(rpSignatures(col("embedding"), tables, bits)).as(Seq("t", "sig")))
+    val cand = sigs.select(col("t"), col("sig"), col("vec_id").as("vec_a"))
+      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("vec_b")), Seq("t", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val e = emb.select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cos", vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))

@@ -26,6 +26,9 @@ object StatefulEnrich {
   def updateProfile(
       userId: Long, events: Iterator[Event],
       state: GroupState[UserProfile]): Iterator[UserProfile] = {
+    // state TTL: a user idle past the timeout is evicted, so the store
+    // scales with ACTIVE users, not every user ever seen on the stream
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, Long.MaxValue))
     var n = prev.n_events
     var pv = prev.purchase_value
@@ -37,6 +40,7 @@ object StatefulEnrich {
     }
     val next = UserProfile(userId, n, pv, first)
     state.update(next)
+    state.setTimeoutDuration("30 days")
     Iterator(next)
   }
 
@@ -50,7 +54,7 @@ object StatefulEnrich {
       .as[Event]
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateProfile)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(updateProfile)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .outputMode("update")

@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(!verified.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("D2: docs shorter than the shingle width flow through without crashing") {
+    // sequence(0, size - n) is DESCENDING for size < n — unguarded, slice
+    // throws on these legal short documents (ADVICE r02)
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, n = 3)
+    assert(sh.select("doc_id").distinct().as[Long].collect().toSet === Set(3L),
+      "only the doc with >= n tokens has shingles")
+    val cand = Dedup.bandedCandidates(Dedup.minhashSignatures(sh))
+    assert(cand.count() === 0L)
+  }
+
   test("D2: exact Jaccard verification computes the right value") {
     // two docs sharing exactly half their shingle sets
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y")).toDF("doc_id", "text")

@@ -56,6 +56,58 @@ class RelationalSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile lands within 1% of exact per group") {
+    Relational.approxPercentiles(spark, sf).collect().foreach { r =>
+      val (ap50, ap90, p50, p90) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(ap50 - p50) / p50 <= 0.01, s"p50: approx=$ap50 exact=$p50")
+      assert(math.abs(ap90 - p90) / p90 <= 0.01, s"p90: approx=$ap90 exact=$p90")
+    }
+  }
+
+  test("set-op All variants obey multiset arithmetic") {
+    val m = Relational.setOpsAll(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = Tables.customer(spark, sf)
+    val nBuilding = c.filter(col("c_mktsegment") === "BUILDING").count()
+    val nRich = c.filter(col("c_acctbal") > 9000).count()
+    assert(m("union_all") === nBuilding + nRich)
+    // |A \ B| + |A ∩ B| = |A| under multiset semantics
+    assert(m("except_all") + m("intersect_all") === nBuilding)
+  }
+
+  test("MapType props path agrees with get_json_object extraction") {
+    val viaMap = Relational.propsMapQuery(spark, sf).select("event_id", "k")
+    val viaJsonPath = Tables.events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") <= 10).select("event_id", "k")
+    assert(viaMap.except(viaJsonPath).isEmpty && viaJsonPath.except(viaMap).isEmpty)
+  }
+
+  test("right and full outer joins keep unmatched sides") {
+    val right = Relational.joinRightOuter(spark, sf).collect()
+    // every order row is kept; matches are a strict subset (custkey<500 filter)
+    assert(right.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    // at sf0.001 every custkey is < 500, so matched == total; larger SFs
+    // exercise the null-producing side (strictly fewer matches)
+    assert(right.map(_.getLong(2)).sum <= right.map(_.getLong(1)).sum)
+    val full = Relational.joinFullOuter(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.getOrElse("order_only", 0L) > 0L, s"full join sides: $full")
+    // pin three-way side classification on a synthetic frame (the tiny sf
+    // happens to have no high-balance customer without a big order)
+    import spark.implicits._
+    val c = Seq(1L, 2L).toDF("c_custkey")
+    val o = Seq(2L, 3L).toDF("o_custkey")
+    val sides = c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("order_only").as("side"))
+      .groupBy("side").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides === Map("both" -> 1L, "customer_only" -> 1L, "order_only" -> 1L))
+  }
+
   test("set ops: except + intersect partition the union consistently") {
     val m = Relational.setOps(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

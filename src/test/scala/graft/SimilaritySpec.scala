@@ -63,6 +63,47 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(math.abs(viaCodegen - expected) < 1e-6)
   }
 
+  test("bucketed cosine near-dup: exact-verified subset of the baseline, recall >= 60%") {
+    val exact = Similarity.cosineNearDups(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosineNearDupsBucketed(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // candidates are verified with EXACT cosine, so no false positives ever
+    assert(bucketed.subsetOf(exact), s"false positives: ${bucketed -- exact}")
+    assert(exact.nonEmpty, "baseline found no pairs — threshold too high for testdata")
+    val recall = (exact & bucketed).size.toDouble / exact.size
+    assert(recall >= 0.6, s"bucketed recall was $recall")
+  }
+
+  test("duplicate native-expression instances compile in one codegen function (fresh locals)") {
+    // two VecDot/VecNorm/PolyHash instances land in the SAME generated
+    // function; with fixed local names Janino rejects the span and Spark
+    // silently falls back to interpreted eval. fallback=false makes that
+    // failure loud.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), "ab", "cd")).toDF("a", "b", "s1", "s2")
+        .select(
+          graft.functions.VectorFunctions.vecDot(col("a"), col("a")).as("daa"),
+          graft.functions.VectorFunctions.vecDot(col("b"), col("b")).as("dbb"),
+          graft.functions.VectorFunctions.vecNorm(col("a")).as("na"),
+          graft.functions.VectorFunctions.vecNorm(col("b")).as("nb"),
+          graft.functions.TextFunctions.polyHash(col("s1")).as("h1"),
+          graft.functions.TextFunctions.polyHash(col("s2")).as("h2"))
+      val r = df.head()
+      assert(r.getDouble(0) === 5.0 +- 1e-9)
+      assert(r.getDouble(1) === 25.0 +- 1e-9)
+      assert(r.getDouble(2) === math.sqrt(5.0) +- 1e-9)
+      assert(r.getDouble(3) === math.sqrt(25.0) +- 1e-9)
+      def ph(s: String) = s.foldLeft(0L)((acc, c) => (acc * 257L + c) % 1000000007L)
+      assert(r.getLong(4) === ph("ab") && r.getLong(5) === ph("cd"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("label centroids: mean of each dimension within the label") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 20.0f)))
       .toDF("label", "embedding")
