@@ -194,13 +194,19 @@ object Dedup {
     * every doc that appears in at least one pair; the canonical doc of a
     * cluster is its min id. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // Iterative plans need their lineage cut each round or the DAG doubles.
+    // With a configured checkpoint dir the cut is durable (survives executor
+    // loss — the cluster-scale mode); otherwise localCheckpoint keeps the
+    // local/test path dependency-free at the cost of restart-on-loss.
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc_id"))
+    var labels = cut(edges.select(col("doc_a").as("doc_id"))
       .union(edges.select(col("doc_b").as("doc_id")))
       .distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(true)
+      .withColumn("cluster", col("doc_id")))
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
@@ -208,10 +214,9 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("cluster")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = cut(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster")))
       changed = next.alias("n").join(labels.alias("l"), Seq("doc_id"))
         .filter(col("n.cluster") =!= col("l.cluster")).limit(1).count() > 0
       labels = next

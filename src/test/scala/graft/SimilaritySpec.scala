@@ -75,6 +75,13 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(recall >= 0.6, s"bucketed recall was $recall")
   }
 
+  test("bucketed near-dup plans with NO cartesian product (equi-join on buckets only)") {
+    val plan = Similarity.cosineNearDupsBucketed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed path must never plan an all-pairs join:\n$plan")
+  }
+
   test("duplicate native-expression instances compile in one codegen function (fresh locals)") {
     // two VecDot/VecNorm/PolyHash instances land in the SAME generated
     // function; with fixed local names Janino rejects the span and Spark
