@@ -48,7 +48,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.groupingSets _),
     "q_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q_pivot" -> (Relational.pivotEvents _),
-    "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_approx_distinct" -> (Relational.approxDistinctOnly _),
     "q_approx_percentile" -> (Relational.approxPercentiles _),
     "q_props_map" -> (Relational.propsMapQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
@@ -121,6 +121,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_cosine_near_dup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
     "q_cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupsBucketed(s, d)),
+    // -- corpus construction (north star: decontamination, data mixing) ----
+    "q_contamination" -> (Corpus.contaminationQuery _),
+    "q_stratified_sample" -> (Corpus.sampleQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -505,6 +508,23 @@ object SparkEntry {
         |AND r.author.type IN ('solo_traveller', 'review_category_group_of_friends')
         |ORDER BY helpful_vote_count DESC, review_ts DESC, r.review_id ASC
         |LIMIT 25""".stripMargin,
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |dd AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS n_overlap FROM dd JOIN p USING (gram)
+        |GROUP BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, source, bucket FROM (
+        |SELECT doc_id, source,
+        |CAST(FLOOR(((doc_id * 1103515245 + 12345) % 2147483648) * 100
+        |/ 2147483648.0) AS INT) AS bucket FROM documents)
+        |WHERE bucket < CASE WHEN source = 'src0' THEN 80
+        |WHEN source = 'src1' THEN 50 ELSE 20 END""".stripMargin,
     "q_label_coherence" ->
       """WITH c AS (SELECT label, pos, avg(v) AS cv FROM (
         |SELECT label, generate_subscripts(embedding, 1) AS pos,

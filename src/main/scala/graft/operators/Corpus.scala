@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for LLM training-data pipelines (SURVEY.md
+  * §2.11 north star, beyond the reference surface): benchmark
+  * decontamination and deterministic data-mix sampling. Both are keyed or
+  * scan-local — no all-pairs joins, no partition-dependent RNG.
+  */
+object Corpus {
+
+  /** Benchmark-contamination check (training-data hygiene): flag documents
+    * sharing any word n-gram with a probe/benchmark set. Both sides reduce
+    * to 8-byte shingle hashes ([[Dedup.shingles]]), so the join shuffles
+    * hashes, never text; the deduped probe side is usually small enough
+    * that the optimizer broadcasts it (a benchmark is KBs against a corpus
+    * of TBs). Returns (doc_id, n_overlap) for contaminated docs only —
+    * anti-join against this set to decontaminate. */
+  def contaminationCheck(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
+    val docSh = Dedup.shingles(docs, n)
+    val probeSh = Dedup.shingles(probes, n).select(col("shingle")).distinct()
+    docSh.join(probeSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Registered: every 97th doc plays the held-out benchmark; the rest of
+    * the corpus is checked against it. */
+  def contaminationQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contaminationCheck(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+  }
+
+  /** Deterministic [0,100) bucket from a long key: one LCG step with the
+    * bucket taken from the HIGH bits (the low bits of a·x+c mod 2³¹ are
+    * poorly equidistributed). Engine-portable — the same rows sample on
+    * Spark, in DuckDB, or at any cluster size/partitioning, unlike
+    * `df.sample`'s partition-seeded RNG. */
+  def hashBucket(key: Column): Column =
+    floor(pmod(key * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      * lit(100L) / lit(2147483648.0)).cast("int")
+
+  /** Training-mix construction: per-source sampling rates (percent) applied
+    * deterministically. A pure projection + filter — the sampling decision
+    * rides the scan (no shuffle), and re-running over a grown corpus keeps
+    * every previously-sampled row (stable mixes across pipeline runs). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultRate: Int): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (src, pct)) =>
+      when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .filter(col("bucket") < rateCol)
+  }
+
+  /** Registered: oversample src0 (80%), midweight src1 (50%), 20% baseline. */
+  def sampleQuery(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d), Map("src0" -> 80, "src1" -> 50), 20)
+      .select(col("doc_id"), col("source"), col("bucket"))
+}

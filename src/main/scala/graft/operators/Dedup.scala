@@ -209,6 +209,7 @@ object Dedup {
       .withColumn("cluster", col("doc_id")))
     var changed = true
     var iter = 0
+    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
     while (changed && iter < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
@@ -217,8 +218,13 @@ object Dedup {
       val next = cut(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster")))
-      changed = next.alias("n").join(labels.alias("l"), Seq("doc_id"))
-        .filter(col("n.cluster") =!= col("l.cluster")).limit(1).count() > 0
+      // min-label propagation is monotone (labels only decrease), so the
+      // label sum strictly decreases every non-converged round — one cheap
+      // aggregate on the already-checkpointed frame replaces the join-based
+      // change probe (one less shuffle per iteration)
+      val labelSum = next.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+      changed = labelSum != prevSum
+      prevSum = labelSum
       labels = next
       iter += 1
     }

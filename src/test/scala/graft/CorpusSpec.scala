@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction invariants: contamination detection on planted
+  * overlaps, and determinism/uniformity of the LCG sampler. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination: docs sharing an n-gram with the probe set are flagged") {
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "something about the quick brown fox appearing here"), // contaminated
+      (2L, "entirely different content with no benchmark overlap at all"),
+      (3L, "short doc")) // fewer tokens than the shingle width
+      .toDF("doc_id", "text")
+    val hits = Corpus.contaminationCheck(docs, probe).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L), s"planted contamination missed: $hits")
+    assert(hits(1L) >= 2L) // "the quick brown", "quick brown fox"
+    assert(!hits.contains(2L) && !hits.contains(3L))
+  }
+
+  test("contamination check is self-consistent: probe vs itself flags every probe doc") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val flagged = Corpus.contaminationCheck(docs, docs).select("doc_id")
+    val withGrams = operators.Dedup.shingles(docs).select("doc_id").distinct()
+    assert(flagged.except(withGrams).isEmpty && withGrams.except(flagged).isEmpty)
+  }
+
+  test("stratified sample: deterministic, within-rate, and a stable subset") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Corpus.stratifiedSample(docs, Map("src0" -> 80), 20)
+    val s2 = Corpus.stratifiedSample(docs, Map("src0" -> 80), 20)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty, "sampler not deterministic")
+    // sampled rows honor their source's bucket bound
+    assert(s1.filter(col("source") === "src0" && col("bucket") >= 80).isEmpty)
+    assert(s1.filter(col("source") =!= "src0" && col("bucket") >= 20).isEmpty)
+    // lowering a rate yields a subset (stable mixes across runs)
+    val smaller = Corpus.stratifiedSample(docs, Map("src0" -> 40), 10)
+    assert(smaller.select("doc_id").except(s1.select("doc_id")).isEmpty)
+  }
+
+  test("hash bucket is roughly uniform over sequential keys") {
+    val buckets = spark.range(0, 10000).toDF("doc_id")
+      .select(Corpus.hashBucket(col("doc_id")).as("b"))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets.keys.min >= 0 && buckets.keys.max <= 99)
+    assert(buckets.size === 100, s"only ${buckets.size} buckets hit")
+    // each bucket expects 100 ± generous slack
+    assert(buckets.values.forall(c => c > 30 && c < 300), s"skewed buckets: $buckets")
+  }
+}
