@@ -124,6 +124,7 @@ object SparkEntry {
     // -- corpus construction (north star: decontamination, data mixing) ----
     "q_contamination" -> (Corpus.contaminationQuery _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
+    "q_pack_sequences" -> (Corpus.packQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-construction operators for LLM training-data pipelines (SURVEY.md
@@ -62,4 +62,46 @@ object Corpus {
   def sampleQuery(s: SparkSession, d: String): DataFrame =
     stratifiedSample(Tables.documents(s, d), Map("src0" -> 80, "src1" -> 50), 20)
       .select(col("doc_id"), col("source"), col("bucket"))
+
+  final case class PackedDoc(bin_id: Long, doc_id: Long, n_tokens: Int)
+
+  /** Sequence packing (training-batch construction): greedy next-fit of
+    * documents into fixed token-budget bins. Packing is strictly
+    * per-partition — bin ids are (partitionId << 32 | local counter), so
+    * there is NO cross-partition coordination or global sequential pass;
+    * 1000 executors pack 1000 partitions independently (the per-partition
+    * greedy loop is one of the few genuinely imperative per-row operations,
+    * hence `mapPartitions` — SURVEY.md §2.12's last-resort tier, used for
+    * the one operator whose semantics are inherently sequential-per-bin).
+    * Partitioning is deterministic: hash-repartition on the doc key, sorted
+    * within partition, so reruns produce identical bins. Docs longer than
+    * the budget get a bin of their own (the downstream truncation decision
+    * stays downstream). */
+  def packSequences(docs: DataFrame, budget: Int, partitions: Int = 8): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"))
+      .repartition(partitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = pid << 32
+        var fill = 0
+        it.map { case (docId, n) =>
+          if (fill > 0 && fill + n > budget) { bin += 1; fill = 0 }
+          fill += n
+          PackedDoc(bin, docId, n)
+        }
+      }
+  }
+
+  /** Registered (rows-only — bin layout is partition-deterministic but not
+    * SQL-expressible; invariants pinned in CorpusSpec): per-bin occupancy. */
+  def packQuery(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), budget = 512).toDF()
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
 }

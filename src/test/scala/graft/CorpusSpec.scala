@@ -43,6 +43,40 @@ class CorpusSpec extends SparkSpec {
     assert(smaller.select("doc_id").except(s1.select("doc_id")).isEmpty)
   }
 
+  test("sequence packing: every doc once, bins within budget, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 512
+    val packed = Corpus.packSequences(docs, budget).collect()
+    // every doc assigned exactly once
+    assert(packed.map(_.doc_id).distinct.length === packed.length)
+    assert(packed.length === docs.count())
+    // no multi-doc bin exceeds the budget; oversize docs sit alone
+    packed.groupBy(_.bin_id).foreach { case (bin, ds) =>
+      val total = ds.map(_.n_tokens).sum
+      assert(total <= budget || ds.length === 1, s"bin $bin overflows: $total tokens, ${ds.length} docs")
+    }
+    // deterministic across runs
+    val again = Corpus.packSequences(docs, budget).collect()
+    assert(packed.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("sequence packing: greedy next-fit leaves no avoidable splits") {
+    // within a partition, a doc opens a new bin ONLY when it doesn't fit
+    val packed = Corpus.packSequences(Tables.documents(spark, sf), 512).collect()
+      .groupBy(_.bin_id >> 32) // partition id
+    packed.foreach { case (_, ds) =>
+      val byBin = ds.groupBy(_.bin_id).toSeq.sortBy(_._1)
+      byBin.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevFill = prev.map(_.n_tokens).sum
+          val firstNext = next.minBy(_.doc_id).n_tokens
+          assert(prevFill + firstNext > 512,
+            s"doc with $firstNext tokens should have joined a bin at $prevFill/512")
+        case _ =>
+      }
+    }
+  }
+
   test("hash bucket is roughly uniform over sequential keys") {
     val buckets = spark.range(0, 10000).toDF("doc_id")
       .select(Corpus.hashBucket(col("doc_id")).as("b"))
