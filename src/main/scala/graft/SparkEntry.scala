@@ -98,6 +98,7 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> (IvfIndex.annIvf _),
     "q_centroids" -> (Similarity.labelCentroids _),
+    "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
@@ -429,6 +430,17 @@ object SparkEntry {
         |SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
         |unnest(embedding) AS v FROM embeddings)
         |WHERE pos < 8 GROUP BY label, pos""".stripMargin,
+    "q_quantize_emb" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |greatest(list_max(list_transform(emb, x -> abs(x))) / 127.0, 1e-30) AS scale FROM e),
+        |q AS (SELECT vec_id, emb, scale,
+        |list_transform(emb, x -> CAST(round(x / scale) AS INT)) AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |round(list_max(list_transform(range(1, len(emb) + 1),
+        |i -> abs(emb[i] - qv[i] * scale))), 6) AS max_err
+        |FROM q""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

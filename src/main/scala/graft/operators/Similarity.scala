@@ -124,6 +124,24 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Symmetric int8 quantization of embeddings: per-vector scale =
+    * max|x|/127, q = round(x/scale) — a 4× storage/shuffle-volume cut for
+    * the ANN candidate stages (verify still reads the float vectors).
+    * Registered as reconstruction-error stats per vector so the DuckDB
+    * oracle pins the whole arithmetic chain; the scale floor guards the
+    * all-zero vector (identically on both engines). */
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("scale",
+        greatest(expr("array_max(transform(emb, x -> abs(x)))") / lit(127.0), lit(1e-30)))
+      .withColumn("qv", expr("transform(emb, x -> CAST(round(x / scale) AS INT))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(qv, 0L, (acc, x) -> acc + x)").as("q_sum"),
+        round(expr("array_max(zip_with(emb, qv, (x, q) -> abs(x - q * scale)))"), 6).as("max_err"))
+
   /** Per-label centroids via posexplode + partial-agg mean per (label, pos) —
     * the shuffle carries (label × dim) rows, never the vectors themselves. */
   def labelCentroids(s: SparkSession, d: String): DataFrame =

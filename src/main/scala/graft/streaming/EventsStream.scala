@@ -69,6 +69,39 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * views in the preceding hour. Both sides carry watermarks and the join
+    * condition is time-BOUNDED — that bound is what lets Spark evict view
+    * state older than (watermark − 1 h), so join state scales with the
+    * window, not the stream's lifetime. The batch as-of/interval analogs
+    * are AsOfJoin and Relational.joinRange; this is their streaming shape. */
+  def purchasesWithRecentViews(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
+  /** Streaming interval join to a sink, AvailableNow. */
+  def runIntervalJoin(spark: SparkSession, srcDir: String, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    purchasesWithRecentViews(readEvents(spark, srcDir))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Streaming windowed aggregation to a sink, AvailableNow (drains whatever
     * is in the source dir, then stops — the batch-cadence trigger). */
   def runWindowed(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery =

@@ -111,6 +111,20 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     }
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2, range in [-127,127]") {
+    val rows = Similarity.quantizeEmbeddings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val maxErr = r.getDouble(3)
+      // round-to-nearest puts every element within half a quantization step;
+      // both outputs are rounded to 6dp, so allow that granularity as slack
+      assert(maxErr <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: err $maxErr > ${scale / 2}")
+    }
+    // q_sum of a 64-dim int8 vector is bounded by 64 × 127
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 64L * 127L))
+  }
+
   test("label centroids: mean of each dimension within the label") {
     val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 20.0f)))
       .toDF("label", "embedding")

@@ -40,6 +40,29 @@ class StreamingSpec extends SparkSpec {
     assert(afterFirst === afterSecond, "restart re-emitted rows — not exactly-once")
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    val out = Files.createTempDirectory("graft-stream-ssj").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ssjck").toString
+    EventsStream.runIntervalJoin(spark, srcDir, out, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("purchase_id", "view_id")
+    val e = Tables.events(spark, sf)
+    val batch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .join(
+        e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts")),
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "view_id")
+    // inner stream-stream join emits matches as they arrive; a full drain
+    // must equal the batch answer on both sides
+    assert(streamed.except(batch).isEmpty, "stream emitted a pair batch didn't")
+    assert(batch.except(streamed).isEmpty, "stream missed a pair batch found")
+    assert(streamed.count() > 0, "no pairs joined — nothing verified")
+  }
+
   test("streaming windowed counts match the batch computation") {
     val out = Files.createTempDirectory("graft-stream-win").toString
     val ckpt = Files.createTempDirectory("graft-stream-winck").toString
