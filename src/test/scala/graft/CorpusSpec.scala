@@ -77,6 +77,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("contamination plan: probe side broadcasts at runtime (AQE)") {
+    val df = operators.Corpus.contaminationQuery(spark, sf)
+    df.collect() // let AQE finalize the adaptive plan with runtime stats
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small probe side should broadcast against the corpus:\n$plan")
+  }
+
+  test("stratified sample plan: scan-local, no exchange") {
+    val plan = operators.Corpus.sampleQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("hash bucket is roughly uniform over sequential keys") {
     val buckets = spark.range(0, 10000).toDF("doc_id")
       .select(Corpus.hashBucket(col("doc_id")).as("b"))
