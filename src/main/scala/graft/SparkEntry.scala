@@ -110,6 +110,7 @@ object SparkEntry {
     "q_zscore_outliers" -> (Relational.zscoreOutliers _),
     "q_argmax" -> (Relational.argmaxOrders _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
+    "q_repetition" -> (TextAnalysis.repetitionStats _),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
     // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
@@ -521,6 +522,11 @@ object SparkEntry {
         |AND r.author.type IN ('solo_traveller', 'review_category_group_of_friends')
         |ORDER BY helpful_vote_count DESC, review_ts DESC, r.review_id ASC
         |LIMIT 25""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id, CAST(len(s) AS INT) AS n_sents,
+        |CAST(len(list_distinct(s)) AS INT) AS n_distinct_sents,
+        |round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 4) AS rep_ratio
+        |FROM (SELECT doc_id, string_split_regex(text, '\. ') AS s FROM documents)""".stripMargin,
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |FROM documents),

@@ -27,12 +27,16 @@ object Corpus {
   }
 
   /** Registered: every 97th doc plays the held-out benchmark; the rest of
-    * the corpus is checked against it. */
+    * the corpus is checked against it. Probe and corpus come from ONE
+    * shingle pass (tokenize+hash is the dominant cost; splitting the hash
+    * frame afterwards halves the work vs shingling each side). */
   def contaminationQuery(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    contaminationCheck(
-      docs.filter(col("doc_id") % 97 =!= 0),
-      docs.filter(col("doc_id") % 97 === 0))
+    val sh = Dedup.shingles(Tables.documents(s, d))
+    val probeSh = sh.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(probeSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
   }
 
   /** Deterministic [0,100) bucket from a long key: one LCG step with the

@@ -134,6 +134,20 @@ object TextAnalysis {
         .as("redacted_len"))
   }
 
+  /** Intra-document repetition stats (pretraining cleaner: boilerplate and
+    * template spam surface as repeated sentences). Sentence split on
+    * period-space — deliberately regex-engine-portable (no lookbehind, so
+    * the DuckDB/RE2 oracle computes the identical split). Pure projection. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sents", split(col("text"), "\\. "))
+      .select(
+        col("doc_id"),
+        size(col("sents")).as("n_sents"),
+        size(array_distinct(col("sents"))).as("n_distinct_sents"),
+        round(lit(1.0) - size(array_distinct(col("sents"))) / size(col("sents")), 4)
+          .as("rep_ratio"))
+
   def contentDefinedChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
