@@ -2,7 +2,7 @@ package graft
 
 import graft.ml.BatchedScorer
 import graft.ml.BatchedScorer.Doc
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Corpus, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -45,6 +45,34 @@ class PropertySpec extends SparkSpec {
     counted.foreach { case (text, n) =>
       val expected = if (text.trim.isEmpty) 0 else text.trim.split("\\s+").length
       assert(n === expected, s"text='$text'")
+    }
+  }
+
+  test("sequence packing covers every doc within budget for random corpora") {
+    val docsGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 10000L), Gen.choose(1, 700)))
+    samples(docsGen, 5).foreach { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      val df = distinctRows
+        .map { case (id, nTok) => (id, Seq.fill(nTok)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val packed = Corpus.packSequences(df, budget = 512).collect()
+      assert(packed.map(_.doc_id).sorted.toSeq === distinctRows.map(_._1).sorted)
+      packed.groupBy(_.bin_id).foreach { case (_, ds) =>
+        assert(ds.map(_.n_tokens).sum <= 512 || ds.length === 1)
+      }
+    }
+  }
+
+  test("hash bucket is stable under corpus growth (sampling decision per key)") {
+    val keysGen = Gen.listOfN(50, Gen.choose(0L, 1000000L))
+    samples(keysGen, 5).foreach { keys =>
+      val small = keys.take(25).toDF("doc_id")
+        .select(col("doc_id"), Corpus.hashBucket(col("doc_id")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val large = keys.toDF("doc_id")
+        .select(col("doc_id"), Corpus.hashBucket(col("doc_id")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      small.foreach { case (k, b) => assert(large(k) === b, s"key $k bucket moved") }
     }
   }
 
