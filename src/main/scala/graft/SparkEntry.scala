@@ -540,7 +540,7 @@ object SparkEntry {
     "q_stratified_sample" ->
       """SELECT doc_id, source, bucket FROM (
         |SELECT doc_id, source,
-        |CAST(FLOOR(((doc_id * 1103515245 + 12345) % 2147483648) * 100
+        |CAST(FLOOR((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) * 100
         |/ 2147483648.0) AS INT) AS bucket FROM documents)
         |WHERE bucket < CASE WHEN source = 'src0' THEN 80
         |WHEN source = 'src1' THEN 50 ELSE 20 END""".stripMargin,

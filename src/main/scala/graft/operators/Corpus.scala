@@ -27,25 +27,29 @@ object Corpus {
   }
 
   /** Registered: every 97th doc plays the held-out benchmark; the rest of
-    * the corpus is checked against it. Probe and corpus come from ONE
-    * shingle pass (tokenize+hash is the dominant cost; splitting the hash
-    * frame afterwards halves the work vs shingling each side). */
+    * the corpus is checked against it. (Splitting one lazy shingle frame by
+    * doc_id does NOT share the tokenize+hash pass — Catalyst pushes each
+    * branch's filter below the distinct into its own scan, so the plan is
+    * two pipelines either way. At pipeline scale the shingle table is a
+    * materialized intermediate reused by dedup AND decontamination — that
+    * staging, not plan-level sharing, is where the pass is actually saved.) */
   def contaminationQuery(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, d))
-    val probeSh = sh.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
-    sh.filter(col("doc_id") % 97 =!= 0)
-      .join(probeSh, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
+    val docs = Tables.documents(s, d)
+    contaminationCheck(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
   }
 
   /** Deterministic [0,100) bucket from a long key: one LCG step with the
     * bucket taken from the HIGH bits (the low bits of a·x+c mod 2³¹ are
     * poorly equidistributed). Engine-portable — the same rows sample on
     * Spark, in DuckDB, or at any cluster size/partitioning, unlike
-    * `df.sample`'s partition-seeded RNG. */
+    * `df.sample`'s partition-seeded RNG. The key is reduced mod 2³¹ BEFORE
+    * the multiply so the product stays under 2⁶² — without that, a key
+    * past ~8.4e9 silently wraps on Spark but raises out-of-range in
+    * engines with checked arithmetic, breaking the portability contract. */
   def hashBucket(key: Column): Column =
-    floor(pmod(key * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    floor(pmod(pmod(key, lit(2147483648L)) * lit(1103515245L) + lit(12345L), lit(2147483648L))
       * lit(100L) / lit(2147483648.0)).cast("int")
 
   /** Training-mix construction: per-source sampling rates (percent) applied

@@ -66,17 +66,34 @@ object IvfIndex {
   /** Index build is a SEPARATE stage from probing — the at-scale shape: the
     * quantizer is trained and vectors assigned ONCE (a batch index build),
     * then every query is probe-only. Here the built index is memoized per
-    * source dir and the assignment/centroid frames are cached, so repeated
-    * queries (and the bench) pay k-means exactly once per corpus — the same
-    * contract as a persisted index table on cluster storage. */
+    * (session, dir) — keying on the session too, or a restarted
+    * SparkSession would be served cached frames bound to a dead context —
+    * and the assignment/centroid frames are cached, so repeated queries
+    * (and the bench) pay k-means exactly once per corpus: the contract of a
+    * persisted index table on cluster storage. If the underlying embeddings
+    * change, call [[invalidateIndex]] (a persisted index needs an explicit
+    * rebuild too). */
   @transient private lazy val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
 
   def index(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexCache.computeIfAbsent(d, dir => {
-      val (assigned, centroids) = buildIndex(Tables.embeddings(s, dir))
+    indexCache.computeIfAbsent((System.identityHashCode(s), d), key => {
+      val (assigned, centroids) = buildIndex(Tables.embeddings(s, key._2))
       (assigned.cache(), centroids.cache())
     })
+
+  /** Drop the memoized index for a corpus dir (all sessions), unpersisting
+    * its cached frames. */
+  def invalidateIndex(d: String): Unit = {
+    val it = indexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 == d) {
+        scala.util.Try { e.getValue._1.unpersist(); e.getValue._2.unpersist() }
+        it.remove()
+      }
+    }
+  }
 
   /** Registered query: IVF top-5 for the first 5 vectors (rows-only — the
     * k-means cells are model state, not SQL; recall pinned in IvfSpec).

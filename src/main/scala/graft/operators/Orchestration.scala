@@ -57,10 +57,12 @@ object Orchestration {
     val pending = silver
       .filter(col("processed") === 0)
       .select(col("id"), col("text_column"))
-    if (pending.isEmpty) return 0L // P6: "No new data"
-    // G2 status count = THIS run's records (the reference's len(results),
-    // __init__.py:106), not the cumulative results table
+    // one action answers both P6 (empty short-circuit) and G2 (this run's
+    // status count — the reference's len(results), __init__.py:106): the
+    // count is needed for every non-empty run anyway, so a separate isEmpty
+    // probe would only add a job
     val enrichedNow = pending.count()
+    if (enrichedNow == 0L) return 0L // P6: "No new data"
 
     val scored = scorer.score(
       pending.select(col("id").cast("string").as("record_id"), col("text_column").as("text")))

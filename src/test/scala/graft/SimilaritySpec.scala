@@ -66,7 +66,11 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
   test("bucketed cosine near-dup: exact-verified subset of the baseline, recall >= 60%") {
     val exact = Similarity.cosineNearDups(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // apply the exact baseline's vec_id bound to the (unbounded) bucketed
+    // side too, so the subset/recall comparison stays valid if the test
+    // corpus ever grows past maxVecId vectors
     val bucketed = Similarity.cosineNearDupsBucketed(spark, sf)
+      .filter(col("vec_a") < 500 && col("vec_b") < 500)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     // candidates are verified with EXACT cosine, so no false positives ever
     assert(bucketed.subsetOf(exact), s"false positives: ${bucketed -- exact}")
