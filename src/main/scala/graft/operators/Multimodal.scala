@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.11 D4) — reference hook: the
@@ -54,6 +54,43 @@ object Multimodal {
     df.withColumn("frames", expr(
       s"""transform(sequence(0, ${nFrames - 1}),
          |  f -> substring(payload, f * $frameBytes + 1, $frameBytes))""".stripMargin))
+
+  final case class DecodedAsset(asset_id: Long, features: Seq[Float])
+
+  /** Deterministic fake kernel for the batched decode path (same honesty
+    * contract as [[fakeDecodeFeatures]]): 8 floats derived from strided
+    * byte rolling-hashes — a stand-in for a codec producing a fixed-width
+    * feature vector per asset. */
+  def fakeBatchKernel(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+    payloads.map { p =>
+      Array.tabulate(8) { i =>
+        var s = 0L
+        var j = i
+        while (j < p.length) { s = (s * 31 + (p(j) & 0xff)) % 997; j += 8 }
+        s / 997.0f
+      }
+    }
+
+  /** Batch-shaped decode plumbing: payloads reach the kernel in batches of
+    * ≤ `batchSize`, one kernel call per batch per partition, order
+    * preserved — the Scala analog of an Arrow-batched decode UDF (a real
+    * codec amortizes per-call setup across the batch exactly like the
+    * reference's batch-of-10 RPC, G1). Per-partition, so decoding is a
+    * narrow map — no shuffle at any corpus size. */
+  def decodeBatched(assets: Dataset[(Long, Array[Byte])],
+                    kernel: Seq[Array[Byte]] => Seq[Array[Float]],
+                    batchSize: Int = 16): Dataset[DecodedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = kernel(batch.map(_._2))
+        require(feats.size == batch.size,
+          s"decode kernel returned ${feats.size} features for ${batch.size} payloads")
+        batch.zip(feats).map { case ((id, _), f) => DecodedAsset(id, f.toSeq) }
+      }
+    }
+  }
 
   /** Registered query: asset metadata + feature stats (rows-only check —
     * binary columns are not part of the DuckDB oracle surface). */

@@ -26,6 +26,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.head.getSeq[Double](1).forall(v => v >= 0.0 && v < 1.0))
   }
 
+  test("batched decode: kernel sees <=batchSize payloads, every asset decoded once, deterministic") {
+    import spark.implicits._
+    val assets = Multimodal.assets(spark, sf)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    // the kernel itself enforces the batch contract — a violation fails the task
+    val checkedKernel: Seq[Array[Byte]] => Seq[Array[Float]] = { batch =>
+      require(batch.nonEmpty && batch.size <= 16, s"batch of ${batch.size} breaks the <=16 contract")
+      Multimodal.fakeBatchKernel(batch)
+    }
+    val d1 = Multimodal.decodeBatched(assets, checkedKernel).collect().sortBy(_.asset_id)
+    val d2 = Multimodal.decodeBatched(assets, checkedKernel).collect().sortBy(_.asset_id)
+    assert(d1.length === assets.count())
+    assert(d1.map(_.asset_id).distinct.length === d1.length, "an asset decoded twice")
+    assert(d1.forall(_.features.size === 8), "feature width drifted")
+    assert(d1.toSeq === d2.toSeq, "batched decode not deterministic")
+  }
+
   test("frame sampling slices the payload into n fixed-size frames") {
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf), frameBytes = 16, nFrames = 3)
       .select("frames").head().getSeq[Array[Byte]](0)
