@@ -127,6 +127,17 @@ object SparkEntry {
     "q_contamination" -> (Corpus.contaminationQuery _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
     "q_pack_sequences" -> (Corpus.packQuery _),
+    "q_corpus_build" -> (Corpus.corpusBuild _),
+    "q_decode_batched" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.decodeBatched(
+        Multimodal.assets(s, d).select(col("asset_id"), col("payload"))
+          .as[(Long, Array[Byte])],
+        Multimodal.fakeBatchKernel).toDF()
+        .select(col("asset_id"),
+          round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4)
+            .as("feature_sum"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -522,6 +533,21 @@ object SparkEntry {
         |AND r.author.type IN ('solo_traveller', 'review_category_group_of_friends')
         |ORDER BY helpful_vote_count DESC, review_ts DESC, r.review_id ASC
         |LIMIT 25""".stripMargin,
+    "q_corpus_build" ->
+      """WITH q AS (SELECT doc_id, source, text,
+        |CASE WHEN trim(text) = '' THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END AS nt FROM documents),
+        |f AS (SELECT *, md5(array_to_string(list_sort(
+        |string_split_regex(lower(text), '\s+')), ' ')) AS fp
+        |FROM q WHERE nt >= 20 AND nt <= 1000),
+        |dd AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp
+        |ORDER BY doc_id ASC) AS rn FROM f) WHERE rn = 1),
+        |sm AS (SELECT * FROM (SELECT *, CAST(FLOOR((((doc_id % 2147483648)
+        |* 1103515245 + 12345) % 2147483648) * 100 / 2147483648.0) AS INT) AS bucket FROM dd)
+        |WHERE bucket < CASE WHEN source = 'src0' THEN 80
+        |WHEN source = 'src1' THEN 50 ELSE 20 END)
+        |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM sm GROUP BY source""".stripMargin,
     "q_repetition" ->
       """SELECT doc_id, CAST(len(s) AS INT) AS n_sents,
         |CAST(len(list_distinct(s)) AS INT) AS n_distinct_sents,

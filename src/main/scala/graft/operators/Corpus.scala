@@ -71,6 +71,30 @@ object Corpus {
     stratifiedSample(Tables.documents(s, d), Map("src0" -> 80, "src1" -> 50), 20)
       .select(col("doc_id"), col("source"), col("bucket"))
 
+  /** The composed corpus-construction pipeline in one query — the shape a
+    * real pretraining data build runs nightly: quality gate (token-length
+    * band) → exact dedup on the normalized fingerprint (order-insensitive
+    * token multiset, keep lowest doc_id) → deterministic per-source
+    * sampling → per-source accounting. One window shuffle (fingerprint) +
+    * one final aggregation; the quality gate and sampler ride the scan.
+    * Fully SQL-expressible, so the whole composition is oracle-checked
+    * end to end. */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val quality = Tables.documents(s, d)
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+      .filter(col("nt") >= 20 && col("nt") <= 1000)
+    val deduped = quality
+      .withColumn("fp",
+        md5(concat_ws(" ", sort_array(split(lower(col("text")), "\\s+"))).cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    stratifiedSample(deduped, Map("src0" -> 80, "src1" -> 50), 20)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+  }
+
   final case class PackedDoc(bin_id: Long, doc_id: Long, n_tokens: Int)
 
   /** Sequence packing (training-batch construction): greedy next-fit of
