@@ -115,6 +115,7 @@ object SparkEntry {
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
     // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
     "q_asof_join" -> (AsOfJoin.purchasesWithLastView _),
+    "q_asof_tolerance" -> (AsOfJoin.purchasesWithFreshView _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_funnel" -> (Relational.funnelConversion _),
     "q_ntile" -> (Relational.ntileQuartiles _),
@@ -455,6 +456,12 @@ object SparkEntry {
         |FROM q""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |CASE WHEN v.ts >= p.ts - INTERVAL 2 HOUR THEN v.event_id END AS view_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,

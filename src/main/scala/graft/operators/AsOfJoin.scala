@@ -53,6 +53,35 @@ object AsOfJoin {
       .drop("__ts", "__side", "__payload", "__tb")
   }
 
+  /** As-of with bounded staleness: a match older than `tolerance` before
+    * the left timestamp counts as NO match (nulled) — the feature-store /
+    * market-data semantics of "last known value, unless stale". Same
+    * linear union+window plan; staleness is a post-window projection, so
+    * the tolerance costs nothing extra at any scale. */
+  def asOfWithTolerance(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightTiebreak: String, tolerance: String): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, rightTiebreak)
+      .withColumn("matched",
+        when(col(s"matched.$rightTs") >= col(leftTs) - expr(s"INTERVAL $tolerance"),
+          col("matched")))
+
+  /** Registered: purchases matched to the user's most recent view, but only
+    * if that view happened within the last 2 hours. */
+  def purchasesWithFreshView(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asOfWithTolerance(purchases, views, Seq("user_id"), "ts", "ts",
+      rightTiebreak = "event_id", tolerance = "2 HOURS")
+      .select(
+        col("event_id"), col("user_id"),
+        col("matched.event_id").as("view_id"))
+  }
+
   /** Registered query: each purchase as-of joined to the user's most recent
     * view (both streams drawn from `events`). */
   def purchasesWithLastView(s: SparkSession, d: String): DataFrame = {
