@@ -356,16 +356,14 @@ object SparkEntry {
         |CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
         |round(length(replace(text, ' ', '')) / nullif(nt, 0), 4) AS avg_token_len
-        |FROM (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN 0
-        |ELSE len(string_split_regex(trim(text), '\s+')) END AS nt FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, text, len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt FROM documents)""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id,
         |round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) / nullif(nt, 0), 4) AS stopword_ratio,
         |round(len(regexp_extract_all(text, '[.,;:!?]')) / nullif(nt, 0), 4) AS punct_ratio,
         |round(len(list_distinct(string_split_regex(lower(text), '\s+'))) / nullif(nt, 0), 4) AS distinct_ratio,
         |CAST(CASE WHEN nt >= 20 AND nt <= 1000 THEN 1 ELSE 0 END AS INT) AS length_ok
-        |FROM (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN 0
-        |ELSE len(string_split_regex(trim(text), '\s+')) END AS nt FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, text, len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt FROM documents)""".stripMargin,
     "q_lang_id" ->
       """SELECT lang, CASE WHEN cjk > 0 THEN 'zh'
         |WHEN greatest(en, de, es, fr) = 0 THEN 'und'
@@ -542,8 +540,7 @@ object SparkEntry {
         |LIMIT 25""".stripMargin,
     "q_corpus_build" ->
       """WITH q AS (SELECT doc_id, source, text,
-        |CASE WHEN trim(text) = '' THEN 0
-        |ELSE len(string_split_regex(trim(text), '\s+')) END AS nt FROM documents),
+        |len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt FROM documents),
         |f AS (SELECT *, md5(array_to_string(list_sort(
         |string_split_regex(lower(text), '\s+')), ' ')) AS fp
         |FROM q WHERE nt >= 20 AND nt <= 1000),

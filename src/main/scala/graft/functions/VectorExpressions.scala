@@ -27,8 +27,13 @@ object VectorFunctions {
   def vecNorm(a: Column): Column =
     toColumn(VecNorm(toExpression(a)))
 
+  /** Cosine similarity, null for zero/empty vectors: under ANSI mode (the
+    * Spark 4 default) a plain division would throw DIVIDE_BY_ZERO on the
+    * first all-zero embedding and kill the task — a degenerate vector must
+    * yield a null similarity (dropped by any `cos >= t` filter), never sink
+    * a corpus-wide pass. */
   def cosine(a: Column, b: Column): Column =
-    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+    org.apache.spark.sql.functions.try_divide(vecDot(a, b), vecNorm(a) * vecNorm(b))
 
   /** Sign-random-projection LSH signatures: `tables` longs of `bits` sign
     * bits each. Hyperplanes are Gaussian, derived deterministically from

@@ -134,10 +134,12 @@ object Dedup {
     * (candidate volume ≈ (1-(1-j)^L)·n², j≈0.05 ⇒ ~18% of ALL pairs) and
     * degenerates toward all-pairs. The hand-rolled banding (r=4) keeps the
     * candidate rate at j^4 per band. This validation query therefore runs on
-    * an EXPLICIT 20% sample (`doc_id % 5 = 0` — documented, not silent);
+    * an EXPLICIT 10% sample (`doc_id % 10 = 0` — documented, not silent;
+    * candidate volume is quadratic in the sample, so the cross-check costs
+    * ~1% of the full corpus's pair volume);
     * DedupSpec cross-checks the two implementations on planted dups. */
   def mlNearDupPairs(s: SparkSession, d: String, maxJaccardDist: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
     val tokenizer = new RegexTokenizer().setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
     val ngram = new NGram().setN(3).setInputCol("tokens").setOutputCol("shingles")
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)

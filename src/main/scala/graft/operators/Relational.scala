@@ -380,7 +380,10 @@ object Relational {
     val moments = events.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
     events.join(broadcast(moments), Seq("event_type"))
-      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      // try_divide: a constant-valued group has sigma 0 (and a 1-row group
+      // null) — its rows get a null z and drop at the filter, instead of an
+      // ANSI DIVIDE_BY_ZERO killing the task
+      .withColumn("z", try_divide(col("value") - col("mu"), col("sigma")))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
   }

@@ -30,7 +30,7 @@ object Similarity {
       vecNorm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cos", try_divide(vecDot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -66,7 +66,7 @@ object Similarity {
       .dropDuplicates("query_id", "cand_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     candPairs
-      .withColumn("cos", vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cos", try_divide(vecDot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
@@ -86,7 +86,7 @@ object Similarity {
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", try_divide(vecDot(col("ea"), col("eb")), col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
@@ -119,7 +119,7 @@ object Similarity {
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
-      .withColumn("cos", vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", try_divide(vecDot(col("ea"), col("eb")), col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }

@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Null text counts as empty (0 tokens): a real
+    * corpus contains null/empty documents, and every downstream consumer
+    * (quality gates, packing, corpus accounting) wants "no tokens", not a
+    * null that poisons arithmetic or a non-nullable-encoder crash.
+    * Counted as the non-empty elements of the whitespace split — `trim`
+    * strips only spaces (not tabs/newlines), so a trim-then-split count
+    * miscounts tab-padded text; the filter form is exact for any padding
+    * and has the same one-liner shape in DuckDB (`list_filter`). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+    when(text.isNull, 0)
+      .otherwise(size(filter(split(text, "\\s+"), t => t =!= lit(""))))
 
   /** BPE-ish subword proxy: word-chunks + digits + punctuation as separate
     * tokens (the usual pre-tokenizer split), counted without materializing
@@ -29,7 +37,10 @@ object TextAnalysis {
       tokenCount(col("text")).as("n_tokens"),
       size(array_distinct(split(lower(col("text")), "\\s+"))).as("n_distinct_tokens"),
       bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
-      round(length(replace(col("text"), lit(" "), lit(""))) / tokenCount(col("text")), 4)
+      // try_divide: empty/null docs have 0 tokens, and ANSI mode (Spark 4
+      // default) makes a plain `/ 0` a task-killing exception — a poison row
+      // must yield a null stat, not sink the corpus pass
+      round(try_divide(length(replace(col("text"), lit(" "), lit(""))), tokenCount(col("text"))), 4)
         .as("avg_token_len"))
 
   /** Quality score: length band + punctuation density + stopword ratio +
@@ -42,9 +53,11 @@ object TextAnalysis {
       .withColumn("punct_hits", regexp_count(col("text"), lit("[.,;:!?]")))
       .select(
         col("doc_id"),
-        round(col("stop_hits") / col("n_tokens"), 4).as("stopword_ratio"),
-        round(col("punct_hits") / col("n_tokens"), 4).as("punct_ratio"),
-        round(size(array_distinct(split(lower(col("text")), "\\s+"))) / col("n_tokens"), 4)
+        // try_divide: 0-token docs are legal corpus rows; under ANSI a plain
+        // division would abort the task instead of yielding a null ratio
+        round(try_divide(col("stop_hits"), col("n_tokens")), 4).as("stopword_ratio"),
+        round(try_divide(col("punct_hits"), col("n_tokens")), 4).as("punct_ratio"),
+        round(try_divide(size(array_distinct(split(lower(col("text")), "\\s+"))), col("n_tokens")), 4)
           .as("distinct_ratio"),
         when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1).otherwise(0)
           .cast("int").as("length_ok"))
