@@ -43,8 +43,10 @@ object IvfIndex {
     val qc = queries
       .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("q_emb"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", -vecDot(col("q_emb"), col("centroid")) /
-        (vecNorm(col("q_emb")) * vecNorm(col("centroid"))))
+      // try_divide: a zero-vector query (or a degenerate centroid) must rank
+      // as a null distance, not throw ANSI DIVIDE_BY_ZERO and kill the probe
+      .withColumn("cdist", -try_divide(vecDot(col("q_emb"), col("centroid")),
+        vecNorm(col("q_emb")) * vecNorm(col("centroid"))))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)
     val probed = qc.withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
@@ -54,8 +56,8 @@ object IvfIndex {
     val scored = cands
       .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", vecDot(col("q_emb"), col("c_emb").cast("array<double>")) /
-        (vecNorm(col("q_emb")) * vecNorm(col("c_emb"))))
+      .withColumn("cos", try_divide(vecDot(col("q_emb"), col("c_emb").cast("array<double>")),
+        vecNorm(col("q_emb")) * vecNorm(col("c_emb"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
