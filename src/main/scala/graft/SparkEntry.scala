@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
     "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
     "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
+    "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
     "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
     "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
     // -- similarity search (D3) -------------------------------------------
@@ -127,6 +128,7 @@ object SparkEntry {
     // -- corpus construction (north star: decontamination, data mixing) ----
     "q_contamination" -> (Corpus.contaminationQuery _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
+    "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
     "q_pack_sequences" -> (Corpus.packQuery _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
     "q_decode_batched" -> ((s, d) => {
@@ -507,6 +509,29 @@ object SparkEntry {
         |SELECT cluster, count(*) AS cluster_size, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
         |SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src)
         |GROUP BY cluster""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.05),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+        |nodes AS (SELECT DISTINCT a FROM e),
+        |reach(src, node) AS (SELECT a, a FROM nodes
+        |UNION SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a),
+        |lab AS (SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src),
+        |j AS (SELECT lab.cluster, lab.doc_id, CAST(length(d.text) AS INT) AS len
+        |FROM lab JOIN documents d USING (doc_id)),
+        |r AS (SELECT cluster, doc_id, len,
+        |row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id ASC) AS rn,
+        |count(*) OVER (PARTITION BY cluster) AS cluster_size FROM j)
+        |SELECT cluster, doc_id AS canonical_id, len AS kept_len,
+        |CAST(cluster_size AS BIGINT) AS cluster_size FROM r WHERE rn = 1""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin,
@@ -574,6 +599,13 @@ object SparkEntry {
         |/ 2147483648.0) AS INT) AS bucket FROM documents)
         |WHERE bucket < CASE WHEN source = 'src0' THEN 80
         |WHEN source = 'src1' THEN 50 ELSE 20 END""".stripMargin,
+    "q_quality_gate" ->
+      """SELECT doc_id, lang, CAST(nt AS INT) AS n_tokens, pct_rank FROM (
+        |SELECT doc_id, lang, nt,
+        |percent_rank() OVER (PARTITION BY lang ORDER BY nt DESC, doc_id ASC) AS pct_rank
+        |FROM (SELECT doc_id, lang,
+        |len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt
+        |FROM documents)) WHERE pct_rank <= 0.2""".stripMargin,
     "q_label_coherence" ->
       """WITH c AS (SELECT label, pos, avg(v) AS cv FROM (
         |SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -95,6 +95,27 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
   }
 
+  /** Quantile quality gate: keep each language's top `keep` fraction of
+    * documents by token count — the relative-threshold filter a multi-lingual
+    * corpus needs (an absolute token cutoff over-prunes terse languages).
+    * percent_rank over (lang) with a full deterministic ordering, so the
+    * kept set is stable and oracle-checkable.
+    *
+    * Scale note: the window sorts each language partition. At 100 TB the
+    * same gate is two passes with no global sort: `approx_percentile(nt,
+    * 1-keep)` per lang (one partial-agg shuffle), broadcast the thresholds,
+    * filter on the scan. The window form is the exact-semantics baseline
+    * the approx pass is validated against. */
+  def qualityQuantileGate(s: SparkSession, d: String, keep: Double = 0.2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nt").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") <= keep)
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"), col("pct_rank"))
+  }
+
   final case class PackedDoc(bin_id: Long, doc_id: Long, n_tokens: Int)
 
   /** Sequence packing (training-batch construction): greedy next-fit of

@@ -239,6 +239,27 @@ object Dedup {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"), sum(col("doc_id")).as("id_sum"))
 
+  /** The decision a dedup pass actually ships: WHICH duplicate to keep.
+    * Canonical doc per near-dup cluster by keep-policy "longest text wins,
+    * ties to the lowest doc_id" (longest-kept is the common pretraining
+    * choice — the fullest variant of a boilerplate family survives). Labels
+    * join back to the corpus keyed on doc_id; the two windows partition by
+    * cluster — every stage is keyed on ids, and the frame entering the
+    * windows holds only docs that appear in some dup pair, a vanishing
+    * fraction of the corpus. */
+  def canonicalPerCluster(s: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05))
+    val docs = Tables.documents(s, d).select(col("doc_id"), length(col("text")).as("len"))
+    val byKeep = Window.partitionBy(col("cluster")).orderBy(col("len").desc, col("doc_id").asc)
+    val byCluster = Window.partitionBy(col("cluster"))
+    labels.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byKeep))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_id"),
+        col("len").as("kept_len"), col("cluster_size"))
+  }
+
   /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
     * are signatures within a small Hamming distance. Computed in one compiled
     * pass per row by the native [[graft.functions.SimHash64]] expression — a

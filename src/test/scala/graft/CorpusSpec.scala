@@ -91,6 +91,23 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("quality quantile gate keeps the per-language top fraction") {
+    val gated = Corpus.qualityQuantileGate(spark, sf, keep = 0.2)
+      .select("lang", "doc_id").collect()
+    val perLangKept = gated.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val perLangTotal = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLangKept.foreach { case (lang, kept) =>
+      val total = perLangTotal(lang)
+      // percent_rank <= 0.2 keeps floor(0.2*(n-1))+1 rows
+      val expected = math.floor(0.2 * (total - 1)).toLong + 1
+      assert(kept === expected, s"$lang kept $kept of $total (expected $expected)")
+    }
+    // relative gate: every language is represented, unlike an absolute cutoff
+    assert(perLangKept.keySet === perLangTotal.keySet)
+  }
+
   test("hash bucket is roughly uniform over sequential keys") {
     val buckets = spark.range(0, 10000).toDF("doc_id")
       .select(Corpus.hashBucket(col("doc_id")).as("b"))

@@ -100,6 +100,27 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(clusters.toSeq === Seq(1L), "chain should collapse to one cluster")
   }
 
+  test("canonical selection: longest doc wins its cluster, ties to lowest id") {
+    // planted cluster {1,2,3}: doc 2 is longest; singleton pair {10,11} tie
+    // on length so 10 (lowest id) wins
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb cc dd ee"), (3L, "aa"),
+      (10L, "xx yy"), (11L, "zz ww"))
+      .toDF("doc_id", "text")
+    val byKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("len").desc, col("doc_id").asc)
+    val won = labels.join(docs.select(col("doc_id"), length(col("text")).as("len")), Seq("doc_id"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byKeep))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(won === Map(1L -> 2L, 10L -> 10L))
+    // and the end-to-end registered query returns one canonical per cluster
+    val e2e = Dedup.canonicalPerCluster(spark, sf)
+    assert(e2e.select("cluster").distinct().count() === e2e.count())
+  }
+
   test("SimHash: identical docs get identical signatures; near-dups are close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val docs = Seq((1L, base), (2L, base), (3L, base.replace("beta", "exla")))
