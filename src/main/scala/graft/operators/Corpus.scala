@@ -116,6 +116,21 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"), col("pct_rank"))
   }
 
+  /** The 100 TB form of [[qualityQuantileGate]]: per-language thresholds via
+    * `approx_percentile` (one partial-agg shuffle, no per-language sort),
+    * broadcast back onto the scan as a filter. Keeps ~the same fraction with
+    * approx-sketch error instead of exactly floor(keep·(n-1))+1 rows —
+    * CorpusSpec pins ≥95% agreement with the exact window form. */
+  def qualityGateByThreshold(s: SparkSession, d: String, keep: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+    val thresholds = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("nt"), lit(1.0 - keep), lit(10000)).as("nt_min"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("nt") >= col("nt_min"))
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"))
+  }
+
   final case class PackedDoc(bin_id: Long, doc_id: Long, n_tokens: Int)
 
   /** Sequence packing (training-batch construction): greedy next-fit of

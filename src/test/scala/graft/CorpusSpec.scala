@@ -108,6 +108,22 @@ class CorpusSpec extends SparkSpec {
     assert(perLangKept.keySet === perLangTotal.keySet)
   }
 
+  test("threshold gate (scale path) agrees with the exact window gate") {
+    val exact = Corpus.qualityQuantileGate(spark, sf, keep = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Corpus.qualityGateByThreshold(spark, sf, keep = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // the sketch can flip docs sitting exactly at the cut; bulk must agree.
+    // (Sizes can differ legitimately: percent_rank cuts at an exact count,
+    // the threshold form keeps every doc tied with the cut value.)
+    val overlap = (exact & approx).size.toDouble / exact.size
+    assert(overlap >= 0.95, s"only ${(overlap * 100).round}% agreement (${exact.size} exact, ${approx.size} approx)")
+    // no shuffle on the probe side beyond the threshold agg: the gate itself
+    // is a broadcast join + filter riding the scan
+    val plan = Corpus.qualityGateByThreshold(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds should broadcast:\n$plan")
+  }
+
   test("hash bucket is roughly uniform over sequential keys") {
     val buckets = spark.range(0, 10000).toDF("doc_id")
       .select(Corpus.hashBucket(col("doc_id")).as("b"))

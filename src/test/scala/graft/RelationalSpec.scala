@@ -31,6 +31,16 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("top-k-per-group plans a map-side (Partial) WindowGroupLimit") {
+    // Spark's InferWindowGroupLimit rewrites rn <= k into a per-group limit
+    // BEFORE the shuffle — at scale each mapper forwards k rows per group
+    // instead of its whole partition. Pinned so a refactor of the filter
+    // pattern (e.g. filtering on a derived column) can't silently lose it.
+    val plan = executedPlan(Relational.windowTopPerGroup(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"), s"expected a map-side Partial pass:\n$plan")
+  }
+
   test("semi/anti joins produce disjoint, complementary customer sets") {
     val semi = Relational.joinSemi(spark, sf).select("c_custkey")
     val anti = Relational.joinAnti(spark, sf).select("c_custkey")
