@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.Schemas
+import graft.ml.SentimentScorer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's enrichment loop (SURVEY.md §3.2;
+  * FunctionApp2/process_data/__init__.py:40-104) as a Structured Stream:
+  * pending silver rows arriving as files → sentiment scoring → exactly-once
+  * results sink.
+  *
+  * The translation collapses the reference's moving parts:
+  *  - the 3-hour timer cron becomes the trigger (AvailableNow for the
+  *    drain-and-stop batch cadence, ProcessingTime("3 hours") for the
+  *    long-lived form);
+  *  - the `processed` flag + UPDATE bookkeeping becomes the stream
+  *    checkpoint — a file that has entered the stream never re-enters, so
+  *    there is nothing to mark and no crash window between "results written"
+  *    and "flags updated" (the reference's double-processing bug);
+  *  - the batch-of-10 RPC loop becomes the scorer projection — with
+  *    [[graft.ml.LexiconScorer]] scoring is stateless column math, so the
+  *    whole stream is a narrow map: no shuffle, no state store, scales with
+  *    file arrival rate at any corpus size.
+  */
+object EnrichStream {
+
+  def run(spark: SparkSession, silverDir: String, outDir: String,
+          checkpointDir: String, scorer: SentimentScorer,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val pending = spark.readStream
+      .schema(Schemas.sourceTableSchema)
+      .parquet(silverDir)
+      .filter(col("processed") === 0)
+      .select(col("id").cast("string").as("record_id"), col("text_column").as("text"))
+    scorer.score(pending)
+      .select(col("record_id"), col("sentiment"), col("confidence"))
+      .writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

@@ -83,4 +83,29 @@ class StreamingSpec extends SparkSpec {
     assert(joined.isEmpty)
     assert(streamed.count() > 0, "watermark closed no windows — nothing verified")
   }
+
+  test("streaming enrichment scores exactly the pending set, idempotent on restart") {
+    val silver = Files.createTempDirectory("graft-stream-silver").toString
+    val out = Files.createTempDirectory("graft-stream-enr").toString
+    val ckpt = Files.createTempDirectory("graft-stream-enrck").toString
+    operators.Pipeline.silverBuild(spark, sf)
+      .repartition(4).write.mode("overwrite").parquet(silver)
+    streaming.EnrichStream.run(spark, silver, out, ckpt, ml.LexiconScorer)
+      .awaitTermination(120000)
+    val results = spark.read.parquet(out)
+    val pendingCount = operators.Pipeline.pendingTexts(spark, sf).count()
+    assert(results.count() === pendingCount, "scored set != pending set")
+    assert(results.columns.sorted === Array("confidence", "record_id", "sentiment"))
+    // streamed scores must equal the batch scorer's answer row for row
+    val batchScored = ml.LexiconScorer.score(
+      operators.Pipeline.pendingTexts(spark, sf)
+        .select(col("id").cast("string").as("record_id"), col("text_column").as("text")))
+      .select("record_id", "sentiment", "confidence")
+    assert(results.except(batchScored).isEmpty, "stream scored differently than batch")
+    // restart with the same checkpoint: the files are already committed —
+    // the reference's crash-window double-processing cannot happen here
+    streaming.EnrichStream.run(spark, silver, out, ckpt, ml.LexiconScorer)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === pendingCount, "restart re-scored rows")
+  }
 }
