@@ -98,6 +98,7 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
     }),
     "q_ann_ivf" -> (IvfIndex.annIvf _),
+    "q_ann_ivf_q8" -> (IvfIndex.annIvfQuantized _),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),

@@ -65,6 +65,60 @@ object IvfIndex {
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Two-stage probe over an int8-quantized index: retrieve-then-rerank.
+    *
+    * Stage 1 ranks candidates inside the probed cells by cosine over the
+    * QUANTIZED vectors — the per-vector scale cancels out of the cosine
+    * (v ≈ qv·s ⇒ dot(q,v)/|q||v| ≈ dot(q,qv)/|q||qv|), so the candidate
+    * stage needs only the tinyint arrays: at corpus scale that is the 4×
+    * exchange/storage cut [[Similarity.quantizeEmbeddings]] promises, made
+    * real. Stage 2 rejoins only the `rerank`·k survivors to the float
+    * vectors (keyed on id) for exact scoring. Recall vs the float probe is
+    * pinned in IvfStreamSpec. */
+  def ivfTopKQuantized(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+                       k: Int, nProbe: Int = 6, rerank: Int = 3): DataFrame = {
+    val quantized = assigned.select(
+      col("vec_id").as("cand_id"), col("cell"),
+      expr("""transform(embedding, x -> CAST(round(x / greatest(
+             |  array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0D,
+             |  1e-30D)) AS TINYINT))""".stripMargin).as("qv"))
+    val qc = queries
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", -try_divide(vecDot(col("q_emb"), col("centroid")),
+        vecNorm(col("q_emb")) * vecNorm(col("centroid"))))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cell").asc)
+    val probed = qc.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val approxW = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("cand_id").asc)
+    val survivors = quantized
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("qvd", col("qv").cast("array<double>"))
+      .withColumn("acos", try_divide(vecDot(col("q_emb"), col("qvd")),
+        vecNorm(col("q_emb")) * vecNorm(col("qvd"))))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col("q_emb"), col("cand_id"))
+    val exact = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("c_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    survivors.join(exact, Seq("cand_id"))
+      .withColumn("cos", try_divide(vecDot(col("q_emb"), col("c_emb")),
+        vecNorm(col("q_emb")) * vecNorm(col("c_emb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Registered query: quantized two-stage IVF top-5 for the first 5 vectors
+    * (rows-only — model + sketch state; recall pinned in IvfStreamSpec). */
+  def annIvfQuantized(s: SparkSession, d: String): DataFrame = {
+    val (assigned, centroids) = index(s, d)
+    ivfTopKQuantized(Tables.embeddings(s, d).filter(col("vec_id") < 5), assigned, centroids, 5)
+  }
+
   /** Index build is a SEPARATE stage from probing — the at-scale shape: the
     * quantizer is trained and vectors assigned ONCE (a batch index build),
     * then every query is probe-only. Here the built index is memoized per
