@@ -233,9 +233,22 @@ object Dedup {
     labels
   }
 
+  /** Cluster labels memoized per (session, corpus dir) — the contract of a
+    * persisted cluster table: label propagation runs once per corpus, and
+    * every downstream decision (summary, canonical selection, anti-join
+    * decontamination) reads the same materialized labels instead of
+    * re-running the iterative loop. Keyed on the session identity too, so a
+    * restarted SparkSession is never served frames bound to a dead context. */
+  @transient private lazy val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.computeIfAbsent((System.identityHashCode(s), d), key =>
+      nearDupClusters(ngramJaccardPairs(s, key._2, threshold = 0.05)).cache())
+
   /** Registered: cluster summary over the exact bounded n-gram pairs. */
   def nearDupClusterSummary(s: SparkSession, d: String): DataFrame =
-    nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05))
+    clusterLabels(s, d)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"), sum(col("doc_id")).as("id_sum"))
 
@@ -248,7 +261,7 @@ object Dedup {
     * windows holds only docs that appear in some dup pair, a vanishing
     * fraction of the corpus. */
   def canonicalPerCluster(s: SparkSession, d: String): DataFrame = {
-    val labels = nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05))
+    val labels = clusterLabels(s, d)
     val docs = Tables.documents(s, d).select(col("doc_id"), length(col("text")).as("len"))
     val byKeep = Window.partitionBy(col("cluster")).orderBy(col("len").desc, col("doc_id").asc)
     val byCluster = Window.partitionBy(col("cluster"))
