@@ -115,6 +115,7 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetitionStats _),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
+    "q_frame_sample" -> (Multimodal.frameSampleQuery _),
     // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
     "q_asof_join" -> (AsOfJoin.purchasesWithLastView _),
     "q_asof_tolerance" -> (AsOfJoin.purchasesWithFreshView _),
@@ -455,6 +456,11 @@ object SparkEntry {
         |round(list_max(list_transform(range(1, len(emb) + 1),
         |i -> abs(emb[i] - qv[i] * scale))), 6) AS max_err
         |FROM q""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id AS asset_id, frame_id,
+        |CAST(greatest(0, least(32, nb - frame_id * 32)) AS INT) AS frame_bytes
+        |FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS frame_id,
+        |octet_length(encode(text)) AS nb FROM documents)""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

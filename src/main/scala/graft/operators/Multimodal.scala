@@ -55,6 +55,18 @@ object Multimodal {
       s"""transform(sequence(0, ${nFrames - 1}),
          |  f -> substring(payload, f * $frameBytes + 1, $frameBytes))""".stripMargin))
 
+  /** Registered frame-sampling query, oracle-checked on the one thing SQL
+    * can see through the opaque payload: per-frame BYTE LENGTHS. The DuckDB
+    * oracle derives them arithmetically from octet_length, so the
+    * byte-exact slicing contract (stride, truncated tail, empty
+    * past-the-end frames) is pinned end to end even though the frame bytes
+    * themselves never enter the compare. */
+  def frameSampleQuery(s: SparkSession, d: String): DataFrame =
+    sampleFrames(assets(s, d), frameBytes = 32, nFrames = 4)
+      .select(col("asset_id"), posexplode(col("frames")).as(Seq("frame_id", "frame")))
+      .select(col("asset_id"), col("frame_id"),
+        length(col("frame")).cast("int").as("frame_bytes"))
+
   final case class DecodedAsset(asset_id: Long, features: Seq[Float])
 
   /** Deterministic fake kernel for the batched decode path (same honesty
