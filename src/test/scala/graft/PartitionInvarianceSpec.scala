@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Skew}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partitioning invariance: the property that actually carries an operator
+  * from local[32] to 1000 executors — results must be IDENTICAL however the
+  * input happens to be partitioned. Each test runs the same operator over
+  * the same rows partitioned 1-way, 7-way-by-key, and 13-way-round-robin,
+  * and requires set-identical output. Operators whose scaladoc claims
+  * determinism ("no partition-seeded RNG", "deterministic salts", "partial
+  * aggregation", "full deterministic ordering") get that claim pinned here.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def variants(df: DataFrame, keyCol: String): Seq[DataFrame] =
+    Seq(df.coalesce(1), df.repartition(7, col(keyCol)), df.repartition(13))
+
+  private def assertInvariant(frames: Seq[DataFrame], what: String): Unit = {
+    val canon = frames.map(f =>
+      f.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+    canon.tail.zipWithIndex.foreach { case (c, i) =>
+      assert(c === canon.head, s"$what changed under partitioning variant ${i + 1}")
+    }
+  }
+
+  test("minhash signatures are partitioning-invariant (partial agg claim)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d => Dedup.minhashSignatures(Dedup.shingles(d))),
+      "minhash signatures")
+  }
+
+  test("LSH candidate pairs are partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id")
+        .map(d => Dedup.bandedCandidates(Dedup.minhashSignatures(Dedup.shingles(d)))),
+      "banded candidate pairs")
+  }
+
+  test("stratified sample keeps the same rows under any partitioning (no partition RNG)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id")
+        .map(d => Corpus.stratifiedSample(d, Map("src0" -> 80, "src1" -> 50), 20)
+          .select(col("doc_id"))),
+      "sampled doc set")
+  }
+
+  test("sequence packing bins are invariant to INPUT partitioning (internal repartition)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d => Corpus.packSequences(d, budget = 512).toDF()),
+      "packed bins")
+  }
+
+  test("salted aggregation equals plain groupBy under any partitioning (deterministic salts)") {
+    val li = Tables.lineitem(spark, sf)
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("s"), count(lit(1)).as("n"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    variants(li, "l_orderkey").foreach { d =>
+      val salted = Skew.saltedSumCount(d, Seq("l_returnflag"), "l_quantity", "l_orderkey")
+        .select(col("l_returnflag"), round(col("sum_l_quantity"), 2), col("n_rows"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(salted === plain, "salted aggregate diverged from plain groupBy")
+    }
+  }
+
+  test("exact dedup keeps the same canonical rows under any partitioning") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d => Dedup.exactDedup(d, Seq("lang", "source"), "doc_id")),
+      "canonical rows")
+  }
+}
