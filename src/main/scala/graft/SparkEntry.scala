@@ -113,6 +113,8 @@ object SparkEntry {
     "q_argmax" -> (Relational.argmaxOrders _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
     "q_repetition" -> (TextAnalysis.repetitionStats _),
+    "q_token_histogram" -> (TextAnalysis.tokenHistogram _),
+    "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.assetFeatures _),
     "q_frame_sample" -> (Multimodal.frameSampleQuery _),
@@ -589,6 +591,17 @@ object SparkEntry {
         |CAST(len(list_distinct(s)) AS INT) AS n_distinct_sents,
         |round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 4) AS rep_ratio
         |FROM (SELECT doc_id, string_split_regex(text, '\. ') AS s FROM documents)""".stripMargin,
+    "q_token_histogram" ->
+      """SELECT CAST(floor(nt / 64) AS BIGINT) AS bucket, count(*) AS n_docs,
+        |CAST(min(nt) AS INT) AS min_tokens, CAST(max(nt) AS INT) AS max_tokens
+        |FROM (SELECT len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt
+        |FROM documents) GROUP BY 1""".stripMargin,
+    "q_top_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram FROM t WHERE len(toks) >= 2)
+        |SELECT bigram, count(*) AS n_occurrences FROM g GROUP BY bigram
+        |ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |FROM documents),

@@ -161,6 +161,35 @@ object TextAnalysis {
         round(lit(1.0) - size(array_distinct(col("sents"))) / size(col("sents")), 4)
           .as("rep_ratio"))
 
+  /** Corpus length-distribution histogram: 64-token linear buckets with
+    * per-bucket count and bounds — the first diagnostic run on any new
+    * corpus (truncation/padding budgeting). One partial-agg shuffle of
+    * (bucket) keys; integer bucket math is engine-exact, so the whole
+    * histogram is oracle-checked. */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("nt", tokenCount(col("text")))
+      .groupBy(floor(col("nt") / 64).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"))
+
+  /** Corpus-wide top bigrams — the boilerplate detector (template spam and
+    * licence headers surface as implausibly frequent word pairs). Explode →
+    * one partial-agg shuffle on the bigram → top-k with deterministic
+    * tiebreak (count desc, bigram asc); plans as TakeOrderedAndProject, so
+    * no global sort materializes at any corpus size. */
+  def topBigrams(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(k)
+
   def contentDefinedChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
