@@ -48,8 +48,8 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.groupingSets _),
     "q_correlated_subquery" -> (Relational.correlatedSubquery _),
     "q_pivot" -> (Relational.pivotEvents _),
-    "q_approx_distinct" -> (Relational.approxDistinctOnly _),
-    "q_approx_percentile" -> (Relational.approxPercentiles _),
+    "q_approx_distinct" -> (Relational.approxDistinctBounded _),
+    "q_approx_percentile" -> (Relational.approxPercentilesBounded _),
     "q_props_map" -> (Relational.propsMapQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
@@ -66,6 +66,7 @@ object SparkEntry {
     // -- sorts / limits / windows / set ops (§2.6-2.8) --------------------
     "q_topk" -> (Relational.topKOrders _),
     "q_pagination" -> ((s, d) => Relational.paginateOrders(s, d)),
+    "q_pagination_keyset" -> ((s, d) => Relational.paginateOrdersKeyset(s, d)),
     "q_window_top2" -> (Relational.windowTopPerGroup _),
     "q_window_lag" -> (Relational.windowLag _),
     "q_window_running" -> (Relational.windowRunningSum _),
@@ -88,6 +89,8 @@ object SparkEntry {
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
     "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
     "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
+    "q_dedup_clusters_lsh" -> (Dedup.nearDupClusterSummaryLsh _),
+    "q_dedup_canonical_lsh" -> (Dedup.canonicalPerClusterLsh _),
     "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
     "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
     "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
@@ -274,6 +277,22 @@ object SparkEntry {
     "q_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 10""".stripMargin,
+    "q_pagination_keyset" ->
+      """WITH last AS (SELECT o_totalprice AS lp, o_orderkey AS lk FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1 OFFSET 9)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders, last
+        |WHERE o_totalprice < lp OR (o_totalprice = lp AND o_orderkey > lk)
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_suppliers,
+        |CAST(1 AS INT) AS parts_in_bound, CAST(1 AS INT) AS suppliers_in_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |CAST(1 AS INT) AS ap50_in_bound, CAST(1 AS INT) AS ap90_in_bound
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_window_top2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,

@@ -60,8 +60,6 @@ object LexiconScorer extends SentimentScorer {
 class MlSentimentScorer(spark: SparkSession) extends SentimentScorer {
   import spark.implicits._
 
-  private val labels = Seq("negative", "neutral", "positive")
-
   /** Tiny synthetic labeled corpus: class-correlated marker words mixed with
     * shared filler, cycled deterministically. */
   private def corpus: DataFrame = {
@@ -90,17 +88,39 @@ class MlSentimentScorer(spark: SparkSession) extends SentimentScorer {
     * §2.12 built-ins-first policy, instead of two per-row Scala UDFs. */
   override def score(docs: DataFrame): DataFrame = {
     require(docs.columns.contains("text"), "scorer input needs a `text` column")
+    MlSentimentScorer.decorate(model.transform(docs))
+  }
+}
+
+object MlSentimentScorer {
+  private val labels = Seq("negative", "neutral", "positive")
+
+  /** M2/M3 post-processing shared by the in-JVM and the loaded-from-disk
+    * scorer: winning label + its probability from the raw ML columns. */
+  private[ml] def decorate(scored: DataFrame): DataFrame = {
     val labelVocab = array(labels.map(lit): _*)
-    model.transform(docs)
+    scored
       .withColumn("sentiment",
         element_at(labelVocab, col("prediction").cast("int") + 1))
       .withColumn("confidence",
         array_max(org.apache.spark.ml.functions.vector_to_array(col("probability"))))
       .drop("tokens", "features", "rawPrediction", "probability", "prediction")
   }
-}
 
-object MlSentimentScorer {
+  /** Ship the trained model to disk (MLWriter) — the cross-JVM
+    * shipped-model contract: train once, score anywhere, no refit. */
+  def save(spark: SparkSession, path: String): Unit =
+    new MlSentimentScorer(spark).model.write.overwrite().save(path)
+
+  /** Load a shipped model (MLReader) and wrap it as a scorer. No fit runs:
+    * `PipelineModel.load` deserializes the trained stages as-is. */
+  def loadScorer(path: String): SentimentScorer = new SentimentScorer {
+    private val loaded = PipelineModel.load(path)
+    override def score(docs: DataFrame): DataFrame = {
+      require(docs.columns.contains("text"), "scorer input needs a `text` column")
+      decorate(loaded.transform(docs))
+    }
+  }
   /** The fit is deterministic (fixed corpus, fixed seed), so one trained
     * model serves every scorer instance in the JVM — scoring calls don't
     * each pay the training job. */

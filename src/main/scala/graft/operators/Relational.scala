@@ -187,6 +187,33 @@ object Relational {
       .drop("rn")
   }
 
+  /** O2 keyset pagination — the scale-safe sibling of [[paginateOrders]]:
+    * instead of funneling a global row_number window through one task, seek
+    * past the last row of the previous page with a composite-key predicate
+    * and take the next page as a top-k. Both the last-seen probe and the
+    * page fetch plan as TakeOrderedAndProject (per-partition top-k + k-row
+    * driver merge) — no global sort materializes at any scale. The last-seen
+    * key is derived from page 1 here for self-containment; a real API caller
+    * passes it in from the previous response (then the query is ONE top-k
+    * over a pushed-down range filter). */
+  def paginateOrdersKeyset(s: SparkSession, d: String, pageSize: Int = 10): DataFrame = {
+    val ordered = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // last row of page 1 under (price desc, key asc) = the row maximizing
+    // (-price, key) lexicographically; struct comparison gives exactly that
+    val last = ordered
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(pageSize)
+      .agg(max(struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("k"))).as("m"))
+      .select((-col("m.np")).as("last_price"), col("m.k").as("last_key"))
+    ordered.crossJoin(broadcast(last))
+      .filter(col("o_totalprice") < col("last_price") ||
+        (col("o_totalprice") === col("last_price") && col("o_orderkey") > col("last_key")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(pageSize)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   /** Window: rank rows within group — each customer's 2 priciest orders. */
   def windowTopPerGroup(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -326,18 +353,35 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("p100"))
 
   /** approx_count_distinct (HLL++): the scale path for distinct counts —
-    * constant memory per group vs countDistinct's expand. No SQL oracle
-    * (DuckDB's approx algorithm differs); correctness pinned by an
-    * error-bound ScalaTest over [[approxDistinct]]. The registered query is
-    * approx-ONLY — the exact countDistinct is the spec's measuring stick
-    * (and oracle-exercised by `q_distinct_agg`), not something the HLL path
-    * should pay for in the bench. */
-  def approxDistinctOnly(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+    * constant memory per group vs countDistinct's expand. The sketch value
+    * itself has no SQL oracle (DuckDB's approx algorithm differs), so the
+    * registered query emits the EXACT counts (oracle-computable) plus
+    * within-bound check columns: the oracle asserts the bound holds (its
+    * side is literal 1), turning the sketch's documented ±3·rsd error into a
+    * hash-checkable contract instead of a rows-only entry. */
+  def approxDistinctBounded(s: SparkSession, d: String): DataFrame = {
+    // exact and sketch in SEPARATE aggregations joined on the 3-row key:
+    // mixing countDistinct with other aggregates triggers the
+    // RewriteDistinctAggregates expand (input ×3) and measured 2× slower
+    // than two optimal single-mode passes over the pruned scan
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+    val exact = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_suppliers"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("asu"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n_parts"), col("n_suppliers"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05)
+          .cast("int").as("parts_in_bound"),
+        (abs(col("asu") - col("n_suppliers")) <= col("n_suppliers") * 0.05)
+          .cast("int").as("suppliers_in_bound"))
+  }
 
   /** Approx vs exact side by side — the error-bound spec's input. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -346,10 +390,33 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** approx_percentile bounded form (registered): the sketch value has no
+    * DuckDB oracle, so emit the exact percentiles (oracle-computable) plus
+    * within-bound checks — accuracy 10000 bounds the rank error at n/10⁴,
+    * far inside the ±2-percentile value window [p-0.02, p+0.02] asserted
+    * here; the oracle's side of each check column is literal 1. */
+  def approxPercentilesBounded(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        // array forms: ONE sketch / ONE sorted buffer per group serves every
+        // requested quantile, instead of 2 + 6 independent aggregate buffers
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.48, 0.5, 0.52, 0.88, 0.9, 0.92))").as("pe"))
+      .select(
+        col("o_orderstatus"),
+        round(element_at(col("pe"), 2), 2).as("p50"),
+        round(element_at(col("pe"), 5), 2).as("p90"),
+        (element_at(col("ap"), 1) >= element_at(col("pe"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("pe"), 3))
+          .cast("int").as("ap50_in_bound"),
+        (element_at(col("ap"), 2) >= element_at(col("pe"), 4) &&
+          element_at(col("ap"), 2) <= element_at(col("pe"), 6))
+          .cast("int").as("ap90_in_bound"))
+
   /** approx_percentile (Greenwald-Khanna sketch): the scale path for
     * percentiles — bounded memory per group vs exact percentile holding every
-    * value. No SQL oracle (sketch internals differ from DuckDB); the exact
-    * percentile rides along and ApproxSpec pins the error bound. */
+    * value. Side-by-side approx/exact; RelationalSpec pins the error bound. */
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))

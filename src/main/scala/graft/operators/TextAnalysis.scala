@@ -112,7 +112,9 @@ object TextAnalysis {
     * table; no all-pairs anything. Tie-break: score desc, term asc. */
   def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count() // tiny scalar; at scale pass it in precomputed
+    // N computed IN the plan (1-row agg, broadcast cross-join — same shape as
+    // funnelConversion): no driver-side count() job per query construction
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
     val terms = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -120,7 +122,8 @@ object TextAnalysis {
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val scored = terms.join(broadcast(df), Seq("term"))
-      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs_total") / col("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     scored

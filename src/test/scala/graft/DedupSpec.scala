@@ -121,6 +121,32 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(e2e.select("cluster").distinct().count() === e2e.count())
   }
 
+  test("shingle/signature artifacts are memoized per (session, corpus)") {
+    val (sh1, sig1) = Dedup.shingleArtifacts(spark, sf)
+    val (sh2, sig2) = Dedup.shingleArtifacts(spark, sf)
+    assert((sh1 eq sh2) && (sig1 eq sig2),
+      "second call must return the same persisted frames, not a rebuild")
+  }
+
+  test("full-corpus LSH clusters refine the exact bounded clusters on the overlap") {
+    // the scale path's pairs (3-shingle minhash, j >= 0.2), restricted to the
+    // oracle slice, must never link docs the exact bigram clustering
+    // (threshold 0.05, strictly looser) puts in different clusters
+    val exact = Dedup.clusterLabels(spark, sf)
+    val lshPairs = Dedup.nearDupPairs(spark, sf, 0.2)
+      .filter(col("doc_a") < 80 && col("doc_b") < 80)
+    val disagree = lshPairs
+      .join(exact.select(col("doc_id").as("doc_a"), col("cluster").as("ca")), Seq("doc_a"))
+      .join(exact.select(col("doc_id").as("doc_b"), col("cluster").as("cb")), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+    assert(disagree.isEmpty, "an LSH near-dup pair links across exact clusters")
+    // the registered summary runs end-to-end over the WHOLE corpus and is
+    // structurally sane: every cluster has >= 2 members (labels only exist
+    // for docs appearing in some pair) and the label is its own min member
+    val sum = Dedup.nearDupClusterSummaryLsh(spark, sf)
+    assert(sum.filter(col("cluster_size") < 2).isEmpty)
+  }
+
   test("SimHash: identical docs get identical signatures; near-dups are close") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val docs = Seq((1L, base), (2L, base), (3L, base.replace("beta", "exla")))

@@ -31,6 +31,17 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("keyset pagination plans as two top-k stages — no global window, and page 2 matches") {
+    val keyset = Relational.paginateOrdersKeyset(spark, sf)
+    val plan = executedPlan(keyset)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains(" Window "),
+      s"keyset form must not fall back to a global window:\n$plan")
+    // semantic cross-check: keyset page 2 == offset-window page 2
+    val offset = Relational.paginateOrders(spark, sf, page = 2, pageSize = 10)
+    assert(keyset.except(offset).isEmpty && offset.except(keyset).isEmpty)
+  }
+
   test("top-k-per-group plans a map-side (Partial) WindowGroupLimit") {
     // Spark's InferWindowGroupLimit rewrites rn <= k into a per-group limit
     // BEFORE the shuffle — at scale each mapper forwards k rows per group

@@ -50,6 +50,21 @@ class SentimentSpec extends SparkSpec {
     assert(out("3")._2 === 0.5)
   }
 
+  test("M1: shipped model round-trips through MLWriter/MLReader with no refit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString + "/sentiment"
+    MlSentimentScorer.save(spark, dir)
+    val docs = Seq(("a", "fast good solid"), ("b", "slow broken bad"), ("c", "plain usual okay"))
+      .toDF("record_id", "text")
+    // PipelineModel.load deserializes trained stages — no fit runs here
+    val loaded = MlSentimentScorer.loadScorer(dir).score(docs)
+      .select("record_id", "sentiment", "confidence").collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e6))).sorted
+    val direct = new MlSentimentScorer(spark).score(docs)
+      .select("record_id", "sentiment", "confidence").collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e6))).sorted
+    assert(loaded.sameElements(direct), "loaded model must score identically to the in-JVM model")
+  }
+
   test("M1: ML pipeline is hermetic and reproducible across two fits") {
     val docs = Seq(("a", "fast good solid"), ("b", "slow broken bad"), ("c", "plain usual okay"))
       .toDF("record_id", "text")
