@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Custom DSv2 streaming source contract (S1): deterministic replay,
+  * page-size admission control, and exactly-once resume from the
+  * checkpointed offset — the semantics the reference's timer loop
+  * approximates with a refetch-overlap window. */
+class ReviewReplaySpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("S1: replay source drains to maxRows with deterministic content") {
+    val out = tmp("replay-out")
+    val ckpt = tmp("replay-ckpt")
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("review-replay")
+      .option("rowsPerBatch", 10).option("maxRows", 57).option("numPartitions", 3)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        df.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 57L)
+    assert(got.select("review_id").distinct().count() === 57L, "no duplicate rows")
+    // page-size contract: no micro-batch exceeds rowsPerBatch
+    assert(batchSizes.forall(_ <= 10L), s"batch sizes were $batchSizes")
+    // deterministic generator: spot-check a row against the pure function
+    val r7 = got.filter(col("review_id") === 1000007L).head()
+    val expected = graft.streaming.ReviewReplaySource.row(7L)
+    assert(r7.getAs[String]("languagecode") === expected._3)
+    assert(r7.getAs[String]("text") === expected._5)
+  }
+
+  test("S1: restart from checkpoint resumes exactly-once (no refetch overlap)") {
+    val out = tmp("replay-out2")
+    val ckpt = tmp("replay-ckpt2")
+    def run(): Unit = {
+      val q = spark.readStream.format("review-replay")
+        .option("rowsPerBatch", 7).option("maxRows", 30)
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run() // drains all 30 rows
+    run() // restart against the same checkpoint: nothing new to admit
+    val got = spark.read.parquet(out)
+    assert(got.count() === 30L, "restart must not re-emit checkpointed rows")
+    assert(got.select("review_id").distinct().count() === 30L)
+  }
+}
