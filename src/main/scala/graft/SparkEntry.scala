@@ -134,6 +134,9 @@ object SparkEntry {
     "q_cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupsBucketed(s, d)),
     // -- corpus construction (north star: decontamination, data mixing) ----
     "q_contamination" -> (Corpus.contaminationQuery _),
+    "q_decontaminate" -> (Corpus.decontaminatedDocs _),
+    "q_corpus_mix" -> (Corpus.corpusMixReport _),
+    "q_boilerplate_lines" -> (TextAnalysis.boilerplateLines _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
     "q_pack_sequences" -> (Corpus.packQuery _),
@@ -631,6 +634,34 @@ object SparkEntry {
         |dd AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
         |SELECT doc_id, count(*) AS n_overlap FROM dd JOIN p USING (gram)
         |GROUP BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT dd.doc_id FROM
+        |(SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0) dd
+        |JOIN p USING (gram))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "q_corpus_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |round(CAST(sum(nt) AS BIGINT) / (sum(CAST(sum(nt) AS BIGINT)) OVER ()), 4)
+        |AS token_share
+        |FROM (SELECT source,
+        |len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt
+        |FROM documents) GROUP BY source""".stripMargin,
+    "q_boilerplate_lines" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS sent
+        |FROM documents),
+        |f AS (SELECT sent, count(DISTINCT doc_id) AS n_docs_with FROM l GROUP BY sent)
+        |SELECT doc_id, count(*) AS n_lines,
+        |CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        |round(avg(CASE WHEN n_docs_with > 1 THEN 1.0 ELSE 0.0 END), 4) AS boiler_ratio
+        |FROM l JOIN f USING (sent) GROUP BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, bucket FROM (
         |SELECT doc_id, source,

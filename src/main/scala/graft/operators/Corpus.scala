@@ -40,6 +40,34 @@ object Corpus {
       docs.filter(col("doc_id") % 97 === 0))
   }
 
+  /** Decontamination — the KEEP side of [[contaminationCheck]]: the training
+    * corpus minus every document sharing an n-gram with the benchmark probes
+    * (and minus the probes themselves). A left anti-join keyed on doc_id
+    * against the contaminated set; at scale the contaminated id set is tiny
+    * (contamination is rare by construction), so AQE broadcasts it and the
+    * corpus never shuffles. */
+  def decontaminatedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = contaminationCheck(train, docs.filter(col("doc_id") % 97 === 0))
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Data-mix accounting: per-source doc/token counts and each source's
+    * token share — the report a mix-weight decision reads. Aggregate first
+    * (rows = #sources), then a global window over the TINY aggregate for
+    * the share: the unpartitioned window is free because it sees one row
+    * per source, never the corpus. */
+  def corpusMixReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens") / sum(col("n_tokens"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+
   /** Deterministic [0,100) bucket from a long key: one LCG step with the
     * bucket taken from the HIGH bits (the low bits of a·x+c mod 2³¹ are
     * poorly equidistributed). Engine-portable — the same rows sample on

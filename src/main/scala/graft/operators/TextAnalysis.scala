@@ -193,6 +193,30 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("bigram").asc)
       .limit(k)
 
+  /** Corpus-level line dedup stats (the CCNet-style boilerplate cleaner:
+    * navigation chrome, licence headers, and template text surface as
+    * sentences shared ACROSS documents). Per doc: total sentences and the
+    * fraction appearing in more than one document corpus-wide. Sentences
+    * reduce to 8-byte xxhash64 keys before any shuffle — the frequency agg
+    * and the rejoin both exchange hashes, never sentence text (at 100 TB
+    * that is almost the whole exchange volume). Same period-space sentence
+    * split convention as [[repetitionStats]], so the DuckDB oracle (joining
+    * on the raw sentence) computes the identical partition. */
+  def boilerplateLines(s: SparkSession, d: String): DataFrame = {
+    val sents = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
+      .select(col("doc_id"), xxhash64(col("sent")).as("h"))
+    // docs-containing count: a doc repeating a line internally counts once
+    val freq = sents.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
+    sents.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_boiler_lines"),
+        round(avg(when(col("n_docs_with") > 1, 1.0).otherwise(0.0)), 4).as("boiler_ratio"))
+  }
+
   def contentDefinedChunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),

@@ -26,6 +26,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EnrichStream {
 
+  /** The full reference pipeline as ONE streaming query: the custom
+    * review-replay source ([[ReviewReplaySource]], the timer-REST ingest)
+    * feeding the scorer, landing in an exactly-once sink. The reference's
+    * two function apps plus their shared SQL state collapse into a single
+    * dataflow with one checkpoint — no mark-processed bookkeeping, no
+    * at-least-once duplicate window between the apps. */
+  def runFromReplay(spark: SparkSession, outDir: String, checkpointDir: String,
+                    scorer: SentimentScorer, rowsPerBatch: Int = 10,
+                    maxRows: Int = 100): StreamingQuery = {
+    val reviews = spark.readStream.format("review-replay")
+      .option("rowsPerBatch", rowsPerBatch).option("maxRows", maxRows)
+      .load()
+      .select(col("review_id").cast("string").as("record_id"), col("text"))
+    scorer.score(reviews)
+      .select(col("record_id"), col("sentiment"), col("confidence"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   def run(spark: SparkSession, silverDir: String, outDir: String,
           checkpointDir: String, scorer: SentimentScorer,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

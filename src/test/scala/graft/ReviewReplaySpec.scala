@@ -39,6 +39,23 @@ class ReviewReplaySpec extends SparkSpec {
     assert(r7.getAs[String]("text") === expected._5)
   }
 
+  test("S1→M1: replay source composes with the enrichment stream end-to-end") {
+    val out = tmp("replay-enriched")
+    val ckpt = tmp("replay-enriched-ckpt")
+    val q = graft.streaming.EnrichStream.runFromReplay(
+      spark, out, ckpt, graft.ml.LexiconScorer, rowsPerBatch = 10, maxRows = 40)
+    q.processAllAvailable()
+    q.stop()
+    val scored = spark.read.parquet(out)
+    assert(scored.count() === 40L)
+    assert(scored.columns.toSet === Set("record_id", "sentiment", "confidence"))
+    // deterministic feed → deterministic labels: phrase 0 ("good") scores
+    // positive, phrase 3 ("poor ... bad") negative
+    val byId = scored.collect().map(r => r.getString(0).toLong -> r.getString(1)).toMap
+    assert(byId(1000000L) === "positive")
+    assert(byId(1000003L) === "negative")
+  }
+
   test("S1: restart from checkpoint resumes exactly-once (no refetch overlap)") {
     val out = tmp("replay-out2")
     val ckpt = tmp("replay-ckpt2")
