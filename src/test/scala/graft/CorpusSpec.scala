@@ -85,6 +85,17 @@ class CorpusSpec extends SparkSpec {
       s"small probe side should broadcast against the corpus:\n$plan")
   }
 
+  test("decontamination: anti-join broadcasts the contaminated set; kept ∩ flagged = ∅") {
+    val kept = operators.Corpus.decontaminatedDocs(spark, sf)
+    kept.collect() // let AQE finalize with runtime stats
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny contaminated id set should broadcast for the anti-join:\n$plan")
+    // complement contract vs the check query: no kept doc is flagged
+    val flagged = operators.Corpus.contaminationQuery(spark, sf).select("doc_id")
+    assert(kept.select("doc_id").intersect(flagged).isEmpty)
+  }
+
   test("stratified sample plan: scan-local, no exchange") {
     val plan = operators.Corpus.sampleQuery(spark, sf)
       .queryExecution.executedPlan.toString
