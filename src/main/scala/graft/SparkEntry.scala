@@ -137,6 +137,7 @@ object SparkEntry {
     "q_decontaminate" -> (Corpus.decontaminatedDocs _),
     "q_corpus_mix" -> (Corpus.corpusMixReport _),
     "q_boilerplate_lines" -> (TextAnalysis.boilerplateLines _),
+    "q_gopher_rules" -> (TextAnalysis.gopherRules _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
     "q_pack_sequences" -> (Corpus.packQuery _),
@@ -662,6 +663,28 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
         |round(avg(CASE WHEN n_docs_with > 1 THEN 1.0 ELSE 0.0 END), 4) AS boiler_ratio
         |FROM l JOIN f USING (sent) GROUP BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+        |FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS nt,
+        |length(replace(text, ' ', '')) / nullif(len(toks), 0) AS mean_wl,
+        |(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))
+        |/ nullif(len(toks), 0) AS symbol_ratio,
+        |len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |/ nullif(len(toks), 0) AS alpha_frac,
+        |len(list_intersect(list_distinct(toks),
+        |['the','be','to','of','and','that','have','with'])) AS n_stops
+        |FROM t)
+        |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+        |CAST(nt >= 50 AND nt <= 100000 AS INT) AS flag_word_count,
+        |CAST(mean_wl >= 3.0 AND mean_wl <= 10.0 AS INT) AS flag_mean_word_len,
+        |CAST(symbol_ratio <= 0.1 AS INT) AS flag_symbol_ratio,
+        |CAST(alpha_frac >= 0.8 AS INT) AS flag_alpha_words,
+        |CAST(n_stops >= 2 AS INT) AS flag_stopwords,
+        |CAST(nt >= 50 AND nt <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stops >= 2 AS INT) AS pass
+        |FROM c""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, bucket FROM (
         |SELECT doc_id, source,

@@ -322,6 +322,20 @@ object Dedup {
         col("len").as("kept_len"), col("cluster_size"))
   }
 
+  /** Lifecycle hook for long-lived sessions: drop every memoized corpus
+    * artifact for (session, dir) — shingles, signatures, and both label
+    * tables — after a corpus is replaced. The next query rebuilds against
+    * the new data (the cluster-scale analog is dropping/rewriting the
+    * persisted artifact tables). */
+  def dropCorpusArtifacts(s: SparkSession, d: String): Unit = {
+    val key = (System.identityHashCode(s), d)
+    Option(shingleCache.remove(key)).foreach { case (sh, sig) =>
+      sh.unpersist(); sig.unpersist()
+    }
+    Option(labelCache.remove(key)).foreach(_.unpersist())
+    Option(lshLabelCache.remove(key)).foreach(_.unpersist())
+  }
+
   /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
     * are signatures within a small Hamming distance. Computed in one compiled
     * pass per row by the native [[graft.functions.SimHash64]] expression — a

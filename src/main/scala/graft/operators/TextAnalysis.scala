@@ -193,6 +193,38 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("bigram").asc)
       .limit(k)
 
+  /** Gopher-style quality rule bundle (the published pretraining filter
+    * set: word-count band, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word fraction, stopword presence). Each rule is an int
+    * flag plus the composite pass bit — pure column math over one
+    * tokenization, no shuffle; thresholds compare IEEE-identical doubles on
+    * both engines so every flag is oracle-exact. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Tables.documents(s, d)
+      .withColumn("toks", filter(split(lower(col("text")), "\\s+"), t => t =!= lit("")))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("mean_wl",
+        try_divide(length(replace(col("text"), lit(" "), lit(""))), col("nt")))
+      .withColumn("symbol_ratio",
+        try_divide(regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\.")), col("nt")))
+      .withColumn("alpha_frac",
+        try_divide(size(filter(col("toks"), t => t.rlike("[A-Za-z]"))), col("nt")))
+      .select(
+        col("doc_id"), col("nt").as("n_tokens"),
+        (col("nt") >= 50 && col("nt") <= 100000).cast("int").as("flag_word_count"),
+        (col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0).cast("int").as("flag_mean_word_len"),
+        (col("symbol_ratio") <= 0.1).cast("int").as("flag_symbol_ratio"),
+        (col("alpha_frac") >= 0.8).cast("int").as("flag_alpha_words"),
+        (size(array_intersect(array_distinct(col("toks")),
+          array(stops.map(lit): _*))) >= 2).cast("int").as("flag_stopwords"))
+      .withColumn("pass",
+        (col("flag_word_count") === 1 && col("flag_mean_word_len") === 1 &&
+          col("flag_symbol_ratio") === 1 && col("flag_alpha_words") === 1 &&
+          col("flag_stopwords") === 1).cast("int"))
+  }
+
   /** Corpus-level line dedup stats (the CCNet-style boilerplate cleaner:
     * navigation chrome, licence headers, and template text surface as
     * sentences shared ACROSS documents). Per doc: total sentences and the

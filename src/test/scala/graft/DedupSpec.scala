@@ -126,6 +126,10 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     val (sh2, sig2) = Dedup.shingleArtifacts(spark, sf)
     assert((sh1 eq sh2) && (sig1 eq sig2),
       "second call must return the same persisted frames, not a rebuild")
+    // lifecycle: dropping the artifacts forces a rebuild on next access
+    Dedup.dropCorpusArtifacts(spark, sf)
+    val (sh3, _) = Dedup.shingleArtifacts(spark, sf)
+    assert(!(sh3 eq sh1), "drop must evict the memoized frames")
   }
 
   test("full-corpus LSH clusters refine the exact bounded clusters on the overlap") {
