@@ -234,8 +234,11 @@ object TextAnalysis {
     * that is almost the whole exchange volume). Same period-space sentence
     * split convention as [[repetitionStats]], so the DuckDB oracle (joining
     * on the raw sentence) computes the identical partition. */
-  def boilerplateLines(s: SparkSession, d: String): DataFrame = {
-    val sents = Tables.documents(s, d)
+  def boilerplateLines(s: SparkSession, d: String): DataFrame =
+    boilerplateLineStats(Tables.documents(s, d))
+
+  def boilerplateLineStats(docs: DataFrame): DataFrame = {
+    val sents = docs
       .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("sent"))
       .select(col("doc_id"), xxhash64(col("sent")).as("h"))
     // docs-containing count: a doc repeating a line internally counts once

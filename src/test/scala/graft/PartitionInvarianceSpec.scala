@@ -75,4 +75,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       variants(docs, "doc_id").map(d => Dedup.exactDedup(d, Seq("lang", "source"), "doc_id")),
       "canonical rows")
   }
+
+  test("boilerplate line stats are partitioning-invariant (hash-agg + rejoin claim)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(operators.TextAnalysis.boilerplateLineStats),
+      "boilerplate line stats")
+  }
 }
