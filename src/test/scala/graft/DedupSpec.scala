@@ -132,6 +132,30 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(!(sh3 eq sh1), "drop must evict the memoized frames")
   }
 
+  test("minhash banding recall: every exact pair at j >= 0.5 survives the banded path") {
+    // exact 3-shingle Jaccard over a bounded slice (all-pairs BY DESIGN — the
+    // correctness baseline), vs the banded pipeline at the same threshold.
+    // b=8/r=4 banding admits a j-pair with prob 1-(1-j⁴)⁸ (≈ 40% at j=0.5,
+    // 98.5% at j=0.8) PER HASH DRAW — but the draw is deterministic here, so
+    // recall on THIS corpus is a fixed, pinnable fact, not a probability.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val sh = Dedup.shingles(docs)
+    val ids = sh.select(col("doc_id")).distinct()
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    val exact = Dedup.verifyJaccard(sh, allPairs)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.verifyJaccard(sh, Dedup.bandedCandidates(Dedup.minhashSignatures(sh)))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exact), "banded pairs must verify against the same exact measure")
+    val missed = exact -- banded
+    assert(missed.isEmpty,
+      s"exact j>=0.5 pairs missed by b=8/r=4 banding on this corpus: $missed")
+  }
+
   test("full-corpus LSH clusters refine the exact bounded clusters on the overlap") {
     // the scale path's pairs (3-shingle minhash, j >= 0.2), restricted to the
     // oracle slice, must never link docs the exact bigram clustering
