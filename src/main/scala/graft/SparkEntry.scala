@@ -141,6 +141,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Corpus.sampleQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
     "q_pack_sequences" -> (Corpus.packQuery _),
+    "q_chunk_docs" -> (Corpus.chunkQuery _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
     "q_decode_batched" -> ((s, d) => {
       import s.implicits._
@@ -663,6 +664,16 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
         |round(avg(CASE WHEN n_docs_with > 1 THEN 1.0 ELSE 0.0 END), 4) AS boiler_ratio
         |FROM l JOIN f USING (sent) GROUP BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+        |len(string_split_regex(text, '\s+')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |unnest(range(0, greatest(CAST(ceil((n - 32) / 224.0) AS INT) - 1, 0) * 224 + 1, 224)) AS start
+        |FROM t WHERE n >= 1)
+        |SELECT doc_id, CAST(start / 224 AS INT) AS chunk_id,
+        |CAST(least(256, n - start) AS INT) AS chunk_tokens,
+        |md5(array_to_string(list_slice(toks, start + 1, start + 256), ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text,
         |list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks

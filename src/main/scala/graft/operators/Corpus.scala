@@ -159,6 +159,39 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"))
   }
 
+  /** Context-window chunking (training example construction): split each
+    * document into fixed-size token chunks with overlap (stride =
+    * chunkTokens − overlap, the sliding-window convention). A pure
+    * projection + explode — chunk boundaries depend only on the row, so the
+    * operator is scan-local, shuffle-free, and trivially partition-invariant.
+    * Long docs become ⌈(n−overlap)/stride⌉ chunks; docs at or under one
+    * window stay whole. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 256, overlap: Int = 32): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(
+          // last chunk start: largest multiple of stride still < n (and >= 0)
+          s"sequence(0, greatest(CAST(ceil((n - $overlap) / $stride.0) AS INT) - 1, 0) * $stride, $stride)"))
+          .as(Seq("chunk_id", "start")))
+      .filter(col("start") < col("n"))
+      .select(
+        col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        least(lit(chunkTokens), col("n") - col("start")).cast("int").as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
+  /** Registered: chunk accounting (id, size, text hash — hashing the text
+    * keeps the oracle exact without shipping chunk bodies to the dump). */
+  def chunkQuery(s: SparkSession, d: String): DataFrame =
+    chunkDocs(Tables.documents(s, d))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+
   final case class PackedDoc(bin_id: Long, doc_id: Long, n_tokens: Int)
 
   /** Sequence packing (training-batch construction): greedy next-fit of

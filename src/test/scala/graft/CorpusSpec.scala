@@ -135,6 +135,22 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"thresholds should broadcast:\n$plan")
   }
 
+  test("chunking: stride positions, overlap agreement, and tail sizing") {
+    import spark.implicits._
+    val text = (1 to 600).map(i => s"t$i").mkString(" ")
+    val chunks = Corpus.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"),
+      chunkTokens = 256, overlap = 32).orderBy("chunk_id").collect()
+    // n=600, stride 224: starts 0/224/448 → sizes 256/256/152
+    assert(chunks.map(_.getInt(2)).toSeq === Seq(256, 256, 152))
+    val t0 = chunks(0).getString(3).split(" ")
+    val t1 = chunks(1).getString(3).split(" ")
+    assert(t1.head === "t225", "chunk 1 must start at stride position")
+    assert(t0.takeRight(32).toSeq === t1.take(32).toSeq, "32-token overlap must agree")
+    // a doc at or under one window stays whole
+    val one = Corpus.chunkDocs(Seq((2L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(one.length === 1 && one.head.getInt(2) === 3)
+  }
+
   test("hash bucket is roughly uniform over sequential keys") {
     val buckets = spark.range(0, 10000).toDF("doc_id")
       .select(Corpus.hashBucket(col("doc_id")).as("b"))
