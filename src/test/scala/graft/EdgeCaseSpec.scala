@@ -144,6 +144,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(quality.count() >= 3) // the normal-ish docs survive
   }
 
+  test("chunking: poison corpus flows through; null text drops, empty text is one chunk") {
+    val chunks = Corpus.chunkDocs(poison, chunkTokens = 8, overlap = 2).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(!byDoc.contains(1L), "null text has no tokens to chunk")
+    assert(byDoc(2L).length === 1, "empty text is a single (degenerate) chunk")
+    assert(byDoc(4L).length === 1 && byDoc(4L).head.getInt(2) === 1)
+    // the 10k-token doc chunks with stride 6 and every chunk is within budget
+    assert(byDoc(8L).length > 1)
+    chunks.foreach(r => assert(r.getInt(2) >= 1 && r.getInt(2) <= 8))
+  }
+
+  test("gopher rules: poison corpus yields flags or nulls, never an exception") {
+    val rules = operators.TextAnalysis.gopherRules(spark, sf)
+    assert(rules.count() > 0) // registered form over real data
+    // and the same column logic over poison: collect must not throw
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val out = poison
+      .withColumn("toks", filter(split(lower(col("text")), "\\s+"), t => t =!= lit("")))
+      .withColumn("nt", size(col("toks")))
+      .select(col("doc_id"),
+        (try_divide(length(replace(col("text"), lit(" "), lit(""))), col("nt")) >= 3.0)
+          .cast("int").as("f"))
+      .collect()
+    assert(out.length === poison.count())
+  }
+
+  test("boilerplate line stats: poison corpus aggregates without a crash") {
+    val out = operators.TextAnalysis.boilerplateLineStats(poison).collect()
+    // null text produces no sentences; everything else aggregates
+    assert(out.map(_.getLong(0)).toSet === Set(2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1, "every non-null doc has at least one sentence")
+      assert(r.getLong(2) <= r.getLong(1), "boiler lines bounded by total lines")
+    }
+  }
+
   test("polyHash: null → null; empty string hashes deterministically") {
     val out = poison.select(col("doc_id"), TextFunctions.polyHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
