@@ -138,6 +138,21 @@ object IvfIndex {
       (assigned.cache(), centroids.cache())
     })
 
+  /** Persist the built index to storage — the literal form of the
+    * persisted-index contract the memoization simulates: two parquet tables
+    * (cell assignments, centroids) written once per corpus build. A probe
+    * job on another JVM/cluster calls [[load]] and never touches k-means. */
+  def save(s: SparkSession, d: String, indexDir: String): Unit = {
+    val (assigned, centroids) = index(s, d)
+    assigned.write.mode("overwrite").parquet(s"$indexDir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Load a persisted index: probe-ready (assigned, centroids) frames backed
+    * by the parquet tables — no fit, no session cache dependency. */
+  def load(s: SparkSession, indexDir: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$indexDir/assigned"), s.read.parquet(s"$indexDir/centroids"))
+
   /** Drop the memoized index for a corpus dir (all sessions), unpersisting
     * its cached frames. */
   def invalidateIndex(d: String): Unit = {

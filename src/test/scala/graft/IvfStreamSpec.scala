@@ -36,6 +36,17 @@ class IvfStreamSpec extends SparkSpec {
     assert(agreement >= 0.9, s"quantized probe agreement was $agreement")
   }
 
+  test("IVF index round-trips through parquet: loaded index probes identically, no refit") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(spark, sf, dir)
+    val (la, lc) = IvfIndex.load(spark, dir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+    val fromLoaded = IvfIndex.ivfTopK(queries, la, lc, 5).collect().map(_.toSeq).sortBy(_.toString)
+    val fromSession = IvfIndex.annIvf(spark, sf).collect().map(_.toSeq).sortBy(_.toString)
+    assert(fromLoaded.sameElements(fromSession),
+      "probing the persisted index must reproduce the in-session results exactly")
+  }
+
   test("IVF index partitions the corpus: every vector in exactly one cell") {
     val emb = Tables.embeddings(spark, sf)
     val (assigned, centroids) = IvfIndex.buildIndex(emb, k = 8)
