@@ -25,6 +25,11 @@ object TextFunctions {
   /** Rabin-Karp polynomial hash of the string's UTF-16 code units,
     * base 257 mod 1e9+7 — cheap content-defined chunking / dedup key. */
   def polyHash(text: Column): Column = toColumn(PolyHash(toExpression(text)))
+
+  /** One-pass language-marker counter: `array<int>` of
+    * [en, de, es, fr, cjk] hit counts — replaces five `regexp_count` scans
+    * per row with a single char-stream pass. */
+  def markerCounts(text: Column): Column = toColumn(MarkerCounts(toExpression(text)))
 }
 
 /** One-pass SimHash: per-token xxhash64 (seed 42, matching SQL `xxhash64`),
@@ -108,4 +113,90 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+}
+
+/** One-pass language-marker hit counter for the lang-ID heuristic
+  * (SURVEY.md §2.11 D5). Returns `array<int>` [en, de, es, fr, cjk].
+  *
+  * Semantics match the regex formulation the DuckDB oracle runs —
+  * `regexp_count(lower(text), '\b(w1|w2|…)\b')` per language plus
+  * `regexp_count(text, '[\x{4e00}-\x{9fff}]')` — exactly: a "hit" is a
+  * maximal ASCII word-char run ([A-Za-z0-9_], RE2 `\b` semantics) that
+  * case-insensitively equals a marker word, and the CJK count is the
+  * number of chars in the unified-ideograph block. Note the engines
+  * disagree at the margin: Java's `\b` is Unicode-aware (a CJK char is a
+  * word char, so `\bthe\b` does NOT match in "中the文") while RE2's is
+  * ASCII; this expression follows RE2 — i.e. the oracle — and the
+  * divergence is pinned in EdgeCaseSpec. One compiled pass per row
+  * replaces five full regex scans (measured 3.3 s → sub-second for
+  * `q_lang_id` at sf0.1); at corpus scale this is the difference between
+  * a scan-bound projection and a regex-bound one. */
+case class MarkerCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"marker_counts expects string, got ${t.simpleString}")
+  }
+
+  def compute(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val counts = new Array[Int](5)
+    val sb = new java.lang.StringBuilder(8)
+    val n = s.length
+    var i = 0
+    // sentinel pass one past the end closes a trailing word run
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' '
+      val isWord =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+      if (isWord) {
+        // markers are ≤5 chars; longer runs can't match, so stop buffering
+        if (sb.length <= 5) sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else {
+        if (sb.length > 0 && sb.length <= 5) {
+          val w = sb.toString
+          var l = 0
+          while (l < 4) {
+            if (MarkerCounts.sets(l).contains(w)) counts(l) += 1
+            l += 1
+          }
+        }
+        sb.setLength(0)
+        if (c >= 0x4e00 && c <= 0x9fff) counts(4) += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // one virtual call per row into the scan pass above; stays inside the
+    // whole-stage span (no CodegenFallback row-boxing)
+    val ref = ctx.addReferenceObj("markerCounts", this, classOf[MarkerCounts].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MarkerCounts = copy(c)
+}
+
+object MarkerCounts {
+  /** Marker sets in output order en/de/es/fr — the same word lists the
+    * oracle regexes encode; "la" is deliberately in both es and fr. */
+  private[functions] val sets: Array[java.util.HashSet[String]] = {
+    val langs = Array(
+      Array("the", "and", "of", "to", "is", "you", "that", "it", "for", "with"),
+      Array("der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"),
+      Array("el", "la", "los", "las", "es", "una", "para", "por", "como", "pero"),
+      Array("le", "la", "les", "est", "une", "pour", "dans", "ce", "pas", "vous"))
+    langs.map { ws =>
+      val s = new java.util.HashSet[String](32)
+      ws.foreach(s.add)
+      s
+    }
+  }
 }

@@ -63,17 +63,18 @@ object TextAnalysis {
           .cast("int").as("length_ok"))
   }
 
-  /** Language-ID: n-gram/stopword-hit heuristic, pure column math. Scores one
-    * regex of high-frequency function words per language plus a CJK-character
-    * test for zh; the argmax wins, ties broken by fixed language order. */
+  /** Language-ID: high-frequency function-word hits per language plus a
+    * CJK-character test for zh; the argmax wins, ties broken by fixed
+    * language order. All five counts come from ONE compiled pass over the
+    * char stream ([[graft.functions.MarkerCounts]]) — the regex
+    * formulation this replaces (five full `regexp_count` scans per row,
+    * still what the DuckDB oracle runs) measured 3.3 s at sf0.1 vs
+    * sub-second here, and regex cost scales with corpus bytes. */
   def languageId(text: Column): Column = {
-    val markers = Seq(
-      "en" -> "\\b(the|and|of|to|is|you|that|it|for|with)\\b",
-      "de" -> "\\b(der|die|das|und|ist|nicht|ich|ein|zu|mit)\\b",
-      "es" -> "\\b(el|la|los|las|es|una|para|por|como|pero)\\b",
-      "fr" -> "\\b(le|la|les|est|une|pour|dans|ce|pas|vous)\\b")
-    val scores = markers.map { case (lang, re) => lang -> regexp_count(lower(text), lit(re)) }
-    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val mc = graft.functions.TextFunctions.markerCounts(text)
+    val langs = Seq("en", "de", "es", "fr")
+    val scores = langs.zipWithIndex.map { case (lang, i) => lang -> element_at(mc, i + 1) }
+    val cjk = element_at(mc, 5)
     val best = scores.foldLeft(lit("und").as("l") -> lit(0).as("s")) { case ((bl, bs), (lang, sc)) =>
       (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
     }

@@ -180,6 +180,43 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("markerCounts: one-pass scan agrees with the regex formulation everywhere") {
+    // the native expression replaced five regexp_count scans; the DuckDB
+    // oracle still runs the regex form, so the two must agree exactly —
+    // pinned over the real corpus AND a word-boundary-adversarial set
+    val tricky = Seq(
+      (101L, "the,and;of. the's THE tHe"), // punctuation-adjacent + case
+      (102L, "theand _the the_ the1 1the"), // \b: _ and digits are word chars
+      (103L, "la vie est la")) // "la" counts for es AND fr
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(poison).unionByName(tricky)
+    val markers = Seq(
+      "\\b(the|and|of|to|is|you|that|it|for|with)\\b",
+      "\\b(der|die|das|und|ist|nicht|ich|ein|zu|mit)\\b",
+      "\\b(el|la|los|las|es|una|para|por|como|pero)\\b",
+      "\\b(le|la|les|est|une|pour|dans|ce|pas|vous)\\b")
+    val regexForm = markers.zipWithIndex.map { case (re, i) =>
+      regexp_count(lower(col("text")), lit(re)).as(s"r$i")
+    } :+ regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("r4")
+    val diff = corpus
+      .withColumn("mc", TextFunctions.markerCounts(col("text")))
+      .select(col("doc_id") +: regexForm :+ col("mc"): _*)
+      .filter((0 until 5).map(i => element_at(col("mc"), i + 1) =!= col(s"r$i")).reduce(_ || _))
+    assert(diff.count() === 0, "markerCounts diverged from the regex oracle semantics")
+
+    // Where the two regex engines themselves disagree, the native expression
+    // follows the ORACLE (DuckDB/RE2: `\b` is ASCII — a CJK char is a word
+    // boundary), not Java (whose `\b` is Unicode-aware, so `\bthe\b` does
+    // NOT match in "中the文"). The corpus has no such adjacency, which is
+    // why the old Java-regex formulation ever agreed with the oracle; this
+    // pins the divergence so it stays a documented decision.
+    val cjkAdj = Seq((104L, "中the文 der中und")).toDF("doc_id", "text")
+      .select(TextFunctions.markerCounts(col("text")).as("mc"))
+      .head().getSeq[Int](0)
+    assert(cjkAdj === Seq(1, 2, 0, 0, 3), "RE2/ASCII boundary semantics expected")
+  }
+
   test("polyHash: null → null; empty string hashes deterministically") {
     val out = poison.select(col("doc_id"), TextFunctions.polyHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
