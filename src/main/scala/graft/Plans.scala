@@ -14,7 +14,8 @@ object Plans {
     "q_pagination", "q_pagination_keyset", "q_asof_join", "q_near_dup_minhash",
     "q_cosine_near_dup_lsh", "q_ann_lsh", "q_ann_ivf_q8", "q_contamination",
     "q_decontaminate", "q_boilerplate_lines", "q_stratified_sample",
-    "q_top_bigrams", "q_gopher_rules", "q_corpus_mix", "q_approx_distinct")
+    "q_top_bigrams", "q_gopher_rules", "q_corpus_mix", "q_approx_distinct",
+    "q_dedup_incremental", "q_lang_id")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

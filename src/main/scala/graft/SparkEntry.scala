@@ -86,6 +86,7 @@ object SparkEntry {
         .select(col("record_id"), col("sentiment"), round(col("confidence"), 4).as("confidence"))),
     // -- dedup (§2.11 D1/D2) ----------------------------------------------
     "q_dedup_exact" -> (Dedup.exactDedupDocs _),
+    "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
     "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
     "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
@@ -375,6 +376,13 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars,
         |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
         |FROM documents) WHERE rn = 1""".stripMargin,
+    // Spark prunes with a Bloom sketch before the exact anti-join; no false
+    // negatives, so the result is exactly the plain anti-join the oracle runs
+    "q_dedup_incremental" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id % 3 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 10 < 6 AND e.text = d.text)""".stripMargin,
     "q_dedup_keep_latest" ->
       """SELECT lang, count(*) AS n_canonical, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM (SELECT lang, doc_id,

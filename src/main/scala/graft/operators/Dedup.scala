@@ -364,4 +364,61 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ----------------------------------------------------- Incremental dedup
+
+  /** D1 incremental exact dedup: keep the rows of `incoming` whose content
+    * hash does not appear in `existing` (the prior corpus snapshot) — the
+    * re-crawl-vs-corpus shape every continuously-updated training corpus
+    * needs. Reference hook: the `review_hash` dedup mandate
+    * (sample.json:21-22, SURVEY.md §2.11 D1).
+    *
+    * Scale design: a Bloom filter over the snapshot's 8-byte content hashes
+    * (Spark's native `BloomFilterAggregate`, one compact sketch via a
+    * scalar subquery — the same expression pair Spark's own runtime join
+    * filters use) prunes the incoming side FIRST. Rows the filter has
+    * definitely never seen skip the exact join entirely; only the
+    * might-contain set (true dups + the configured false-positive sliver)
+    * pays the anti-join against the snapshot. At 100 TB the snapshot never
+    * re-shuffles per batch: the sketch is built once (broadcast-sized,
+    * ~1.2 MB at the default 1M items), and the exact verify join's probe
+    * side is proportional to the dup rate, not the batch size. Bloom
+    * filters have no false negatives, so the result is EXACTLY the plain
+    * anti-join's — which is what the DuckDB oracle checks.
+    *
+    * The `maybe` probe is null when the snapshot is empty (no sketch to
+    * build) — coalesced to false so an empty snapshot keeps everything. */
+  def incrementalDedupFrames(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftx.{toColumn, toExpression}
+    val exHash = existing.select(xxhash64(col("text")).as("h"))
+    val bloom = exHash.agg(
+      toColumn(new BloomFilterAggregate(toExpression(col("h")), 1L << 20)
+        .toAggregateExpression()).as("bf"))
+    val maybe = coalesce(
+      toColumn(BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.analyzed),
+        toExpression(xxhash64(col("text"))))),
+      lit(false))
+    val probed = incoming.withColumn("maybe", maybe)
+    val fresh = probed.filter(!col("maybe"))
+    val verified = probed.filter(col("maybe"))
+      .withColumn("h", xxhash64(col("text")))
+      .join(exHash, Seq("h"), "left_anti")
+      .drop("h")
+    fresh.unionByName(verified).drop("maybe")
+  }
+
+  /** Registered incremental-dedup query: the "incoming re-crawl batch"
+    * (doc_id % 3 == 0) deduplicated against the "prior snapshot"
+    * (doc_id % 10 < 6) — both scale-invariant modulo splits of the corpus,
+    * no driver-side counts. Oracle: the plain NOT EXISTS anti-join. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalDedupFrames(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 10 < 6))
+      .select(col("doc_id"), col("source"))
+  }
 }

@@ -184,4 +184,32 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     val hamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
     assert(hamming <= 16, s"near-dup hamming was $hamming")
   }
+
+  test("D1 incremental: bloom-pruned result equals the plain exact anti-join") {
+    val docs = Tables.documents(spark, sf)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    val existing = docs.filter(col("doc_id") % 10 < 6)
+    val pruned = Dedup.incrementalDedupFrames(incoming, existing)
+      .select("doc_id").as[Long].collect().sorted
+    val exact = incoming
+      .withColumn("h", xxhash64(col("text")))
+      .join(existing.select(xxhash64(col("text")).as("h")), Seq("h"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(pruned.sameElements(exact), "bloom pruning must not change the result")
+    assert(pruned.nonEmpty, "split must leave some genuinely-new docs")
+    assert(pruned.length < incoming.count(), "split must leave some dups to drop")
+  }
+
+  test("D1 incremental: empty snapshot keeps every incoming row") {
+    val incoming = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val existing = incoming.filter(col("doc_id") < 0) // empty, same schema
+    val out = Dedup.incrementalDedupFrames(incoming, existing)
+    assert(out.count() === 2, "null bloom (no snapshot) must coalesce to keep-all")
+  }
+
+  test("D1 incremental: full-overlap snapshot drops every incoming row") {
+    val incoming = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val existing = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedupFrames(incoming, existing).count() === 0)
+  }
 }
