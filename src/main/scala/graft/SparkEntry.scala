@@ -140,6 +140,7 @@ object SparkEntry {
     "q_boilerplate_lines" -> (TextAnalysis.boilerplateLines _),
     "q_gopher_rules" -> (TextAnalysis.gopherRules _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
+    "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
     "q_pack_sequences" -> (Corpus.packQuery _),
     "q_chunk_docs" -> (Corpus.chunkQuery _),
@@ -711,6 +712,17 @@ object SparkEntry {
         |/ 2147483648.0) AS INT) AS bucket FROM documents)
         |WHERE bucket < CASE WHEN source = 'src0' THEN 80
         |WHEN source = 'src1' THEN 50 ELSE 20 END""".stripMargin,
+    // per-shard manifest: pins the LCG shard arithmetic AND the shuffle
+    // order (ord_min/ord_max checksum) of the 16-shard training export
+    "q_corpus_shards" ->
+      """SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |CAST(sum(doc_id) AS BIGINT) AS id_sum, CAST(min(ord) AS BIGINT) AS ord_min,
+        |CAST(max(ord) AS BIGINT) AS ord_max FROM (
+        |SELECT doc_id, n_chars,
+        |((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS ord,
+        |CAST(FLOOR((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) * 16
+        |/ 2147483648.0) AS INT) AS shard FROM documents)
+        |GROUP BY shard""".stripMargin,
     "q_quality_gate" ->
       """SELECT doc_id, lang, CAST(nt AS INT) AS n_tokens, pct_rank FROM (
         |SELECT doc_id, lang, nt,

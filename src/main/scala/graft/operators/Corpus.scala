@@ -77,8 +77,17 @@ object Corpus {
     * past ~8.4e9 silently wraps on Spark but raises out-of-range in
     * engines with checked arithmetic, breaking the portability contract. */
   def hashBucket(key: Column): Column =
-    floor(pmod(pmod(key, lit(2147483648L)) * lit(1103515245L) + lit(12345L), lit(2147483648L))
-      * lit(100L) / lit(2147483648.0)).cast("int")
+    floor(lcgStep(key) * lit(100L) / lit(2147483648.0)).cast("int")
+
+  /** One engine-portable LCG step: a·(key mod 2³¹)+c mod 2³¹ — the shared
+    * primitive under [[hashBucket]] and [[shardOf]]. */
+  def lcgStep(key: Column): Column =
+    pmod(pmod(key, lit(2147483648L)) * lit(1103515245L) + lit(12345L), lit(2147483648L))
+
+  /** Deterministic shard id in [0, nShards) from a long key — high bits of
+    * the LCG step, same equidistribution argument as [[hashBucket]]. */
+  def shardOf(key: Column, nShards: Int): Column =
+    floor(lcgStep(key) * lit(nShards.toLong) / lit(2147483648.0)).cast("int")
 
   /** Training-mix construction: per-source sampling rates (percent) applied
     * deterministically. A pure projection + filter — the sampling decision
@@ -233,4 +242,44 @@ object Corpus {
     packSequences(Tables.documents(s, d), budget = 512).toDF()
       .groupBy(col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+
+  // ------------------------------------------------------- Sharded export
+
+  /** Deterministic corpus shuffle + shard assignment — the export step that
+    * feeds a training run: every doc gets a shard in [0, nShards) and a
+    * pseudo-random within-shard order, both pure functions of doc_id (the
+    * portable LCG, [[lcgStep]]). Re-running over the same corpus yields
+    * byte-identical shards at ANY cluster size or partition count — unlike
+    * `orderBy(rand())`, whose partition-seeded RNG reshuffles on every
+    * topology change. Scan-local projection: the only shuffle is the
+    * writer's repartition on shard id. */
+  def shardAssignments(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .withColumn("ord", lcgStep(col("doc_id")))
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+
+  /** Registered: per-shard manifest of a 16-shard export — doc/char totals
+    * plus an order checksum, so the oracle pins the whole assignment
+    * arithmetic AND the shuffle order, not just the bucketing. */
+  def shardManifest(s: SparkSession, d: String, nShards: Int = 16): DataFrame =
+    shardAssignments(Tables.documents(s, d), nShards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("ord")).as("ord_min"),
+        max(col("ord")).as("ord_max"))
+
+  /** Write the shuffled shards: one directory per shard, rows in shuffled
+    * (`ord`) order inside each. `repartition(shard)` gives the writer task
+    * exactly one shard's rows; `sortWithinPartitions` makes the file order
+    * the shuffle order — at 100 TB this is one shuffle keyed on the shard
+    * id, and shard size is corpus/nShards by the LCG's equidistribution
+    * (no coordinator, no skew beyond statistical noise). */
+  def writeShards(docs: DataFrame, nShards: Int, outDir: String): Unit =
+    shardAssignments(docs, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

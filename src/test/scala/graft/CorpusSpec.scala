@@ -160,4 +160,30 @@ class CorpusSpec extends SparkSpec {
     // each bucket expects 100 ± generous slack
     assert(buckets.values.forall(c => c > 30 && c < 300), s"skewed buckets: $buckets")
   }
+
+  test("shard export: balanced, deterministic, and written in shuffle order") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val assigned = Corpus.shardAssignments(docs, nShards = 16)
+    // every doc lands in exactly one shard in [0, 16)
+    assert(assigned.count() === n)
+    val sizes = assigned.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.forall(s => s >= 0 && s < 16))
+    // LCG equidistribution: no shard more than 3x the ideal share
+    assert(sizes.values.max <= 3 * n / 16 + 1, s"skewed shards: $sizes")
+
+    // the written export round-trips: 16 shard dirs, complete, and each
+    // file's row order IS the shuffle (ord) order
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Corpus.writeShards(docs, nShards = 16, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length === sizes.size, "one directory per non-empty shard")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === n)
+    // within one shard file the ord column must arrive sorted
+    val shard0 = dirs.minBy(_.getName).listFiles().filter(_.getName.endsWith(".parquet"))
+    val ords = spark.read.parquet(shard0.head.getPath).select("ord").as[Long].collect()
+    assert(ords.sameElements(ords.sorted), "file order must be the shuffle order")
+  }
 }
