@@ -108,4 +108,24 @@ class StreamingSpec extends SparkSpec {
       .awaitTermination(120000)
     assert(spark.read.parquet(out).count() === pendingCount, "restart re-scored rows")
   }
+
+  test("streaming dedup: planted duplicate event_ids emit exactly once") {
+    import org.apache.spark.sql.functions._
+    // a landing dir where every event arrives TWICE (separate files, same
+    // micro-batch neighborhood): the re-delivery shape of an at-least-once
+    // upstream fetcher
+    val dupSrc = java.nio.file.Files.createTempDirectory("graft-stream-dup").toString
+    val events = Tables.events(spark, sf)
+    events.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dupSrc)
+    events.repartitionByRange(4, col("ts")).write.mode("append").parquet(dupSrc)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-dupout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-dupck").toString
+    EventsStream.run(spark, dupSrc, out, ckpt).awaitTermination(120000)
+    val emitted = spark.read.parquet(out)
+    val expected = events.count()
+    assert(emitted.select("event_id").distinct().count() === expected,
+      "every event must survive dedup")
+    assert(emitted.count() === expected,
+      "dropDuplicatesWithinWatermark must emit each planted duplicate once")
+  }
 }
