@@ -140,4 +140,5 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(cents((0, 1)) === 4.0 +- 1e-6)
     assert(cents((1, 0)) === 10.0 +- 1e-6)
   }
+
 }
