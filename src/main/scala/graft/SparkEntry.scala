@@ -113,6 +113,7 @@ object SparkEntry {
     "q_fingerprints" -> (TextAnalysis.fingerprints _),
     "q_redact" -> (TextAnalysis.redact _),
     "q_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    "q_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "q_zscore_outliers" -> (Relational.zscoreOutliers _),
     "q_argmax" -> (Relational.argmaxOrders _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
@@ -449,6 +450,18 @@ object SparkEntry {
         |r AS (SELECT doc_id, term, raw, CAST(row_number() OVER (PARTITION BY doc_id
         |ORDER BY raw DESC, term ASC) AS INT) AS rank FROM sc)
         |SELECT doc_id, term, round(raw, 4) AS tfidf, rank FROM r WHERE rank <= 3""".stripMargin,
+    // unigram LM scoring: add-one-smoothed corpus token frequency, mean
+    // log-prob per doc — the whole model-train + score chain in one query
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS tok
+        |FROM documents),
+        |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total, count(DISTINCT tok) AS vocab FROM toks)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |round(avg(ln(CAST(f.tf + 1 AS DOUBLE) / (tot.total + tot.vocab))), 4) AS avg_logp
+        |FROM toks t JOIN tf f USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin,
     "q_zscore_outliers" ->
       """WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |FROM events GROUP BY event_type)

@@ -258,4 +258,36 @@ object TextAnalysis {
       col("doc_id"),
       rollingHash(col("text")).as("content_hash"),
       rollingHash(substring(col("text"), 1, 64)).as("head_hash"))
+
+  /** Unigram language-model document scoring — the cheap perplexity proxy a
+    * corpus-quality pipeline runs when a real LM is too expensive (the
+    * CCNet recipe scores every doc against a reference LM; a corpus-trained
+    * unigram model is its degenerate, engine-native form). Each token's
+    * probability is add-one-smoothed corpus frequency; a doc's score is the
+    * mean log-probability — low scores flag gibberish, boilerplate-mix and
+    * wrong-language docs whose token distribution diverges from the corpus.
+    *
+    * Scale shape: one token-frequency aggregation (partial-agg absorbs the
+    * explode; the shuffle carries one row per DISTINCT token), one
+    * vocab-sized join back to the token stream (vocab ≪ corpus — AQE
+    * broadcasts it at test scale, falls back to a keyed join when a 100 TB
+    * vocab outgrows that), one 2-column global aggregate via broadcast
+    * cross-join (the q_funnel in-plan-scalar pattern, no driver count), and
+    * a final per-doc aggregation. Everything is SQL-expressible, so the
+    * whole chain is oracle-checked. */
+  def unigramLogProb(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val tot = toks.agg(
+      count(lit(1)).as("total"), countDistinct(col("tok")).as("vocab"))
+    toks.join(tf, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        round(avg(log((col("tf") + 1).cast("double") / (col("total") + col("vocab")))), 4)
+          .as("avg_logp"))
+  }
 }
