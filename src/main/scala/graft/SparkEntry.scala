@@ -142,6 +142,7 @@ object SparkEntry {
     "q_gopher_rules" -> (TextAnalysis.gopherRules _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
+    "q_token_budget" -> (Corpus.budgetQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
     "q_pack_sequences" -> (Corpus.packQuery _),
     "q_chunk_docs" -> (Corpus.chunkQuery _),
@@ -725,6 +726,15 @@ object SparkEntry {
         |/ 2147483648.0) AS INT) AS bucket FROM documents)
         |WHERE bucket < CASE WHEN source = 'src0' THEN 80
         |WHEN source = 'src1' THEN 50 ELSE 20 END""".stripMargin,
+    // budgeted selection: Spark runs the histogram two-pass form (no global
+    // sort); the oracle runs the naive corpus-wide running-sum window —
+    // row-for-row equality of the two IS the check
+    "q_token_budget" ->
+      """SELECT doc_id, n_chars FROM (
+        |SELECT doc_id, n_chars,
+        |sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM documents) WHERE cum <= 50000""".stripMargin,
     // per-shard manifest: pins the LCG shard arithmetic AND the shuffle
     // order (ord_min/ord_max checksum) of the 16-shard training export
     "q_corpus_shards" ->

@@ -282,4 +282,45 @@ object Corpus {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  // ------------------------------------------------- Budgeted selection
+
+  /** Token-budget corpus selection WITHOUT a global sort: keep the
+    * highest-value documents (n_chars desc, doc_id asc) until a char budget
+    * is exhausted — the "fill the training budget with the best data" step.
+    *
+    * The naive form is a corpus-wide ordered running-sum window (single
+    * task, the pagination anti-pattern). This is the two-pass scale shape:
+    * (1) aggregate a per-value histogram — rows = distinct n_chars values,
+    * thousands at most — and run the cumulative sum over THAT (the
+    * unpartitioned window is free on a tiny frame, the corpus_mix
+    * argument); (2) broadcast-join the annotated histogram back and keep
+    * fully-funded buckets outright, while the single boundary bucket
+    * admits rows by doc_id rank while they fit — rows in a bucket share
+    * one n_chars, so the in-bucket prefix sum is rank·n_chars and the
+    * only window partitions on the bucket value. Row-for-row equal to the
+    * naive global window, which is exactly what the oracle runs. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = docs.groupBy(col("n_chars"))
+      .agg(sum(col("n_chars")).as("bucket_chars"))
+      .withColumn("cum_before", coalesce(sum(col("bucket_chars")).over(w), lit(0L)))
+      .withColumn("bucket_full", col("cum_before") + col("bucket_chars") <= budget)
+      .withColumn("remaining", lit(budget) - col("cum_before"))
+      .select(col("n_chars"), col("bucket_full"), col("remaining"))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_chars")).orderBy(col("doc_id").asc)
+    docs.join(broadcast(hist), Seq("n_chars"))
+      .withColumn("rn", row_number().over(bucketW))
+      .filter(col("bucket_full") ||
+        (col("rn").cast("long") * col("n_chars") <= col("remaining")))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** Registered: select the best ~50k chars of the corpus. */
+  def budgetQuery(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      budget = 50000L)
 }
