@@ -89,4 +89,39 @@ class PropertySpec extends SparkSpec {
     val out = graft.sources.ReviewIngest.ingest(spark, tmp.getAbsolutePath)
     assert(out.count() === recs.size.toLong)
   }
+
+  test("markerCounts equals the regex formulation on random ASCII text") {
+    // random ASCII words (marker words oversampled) joined by random
+    // separators — on the ASCII plane Java and RE2 `\\b` agree, so the
+    // native one-pass scan must match regexp_count exactly. (The Unicode
+    // margin where the engines themselves diverge is pinned in EdgeCaseSpec.)
+    val word = Gen.frequency(
+      6 -> Gen.oneOf("the", "and", "la", "est", "und", "para", "vous", "is", "it", "zu"),
+      3 -> Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString),
+      2 -> Gen.oneOf("theand", "_the", "the_", "the1", "1the", "THE", "tHe", "x_y", "42"),
+      1 -> Gen.listOfN(7, Gen.alphaNumChar).map(_.mkString))
+    val sep = Gen.oneOf(" ", "  ", ", ", ". ", "; ", "'", "-", "\t", "\n", "!?", "...")
+    val textGen = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val texts = samples(textGen, 40)
+    val markers = Seq(
+      "\\b(the|and|of|to|is|you|that|it|for|with)\\b",
+      "\\b(der|die|das|und|ist|nicht|ich|ein|zu|mit)\\b",
+      "\\b(el|la|los|las|es|una|para|por|como|pero)\\b",
+      "\\b(le|la|les|est|une|pour|dans|ce|pas|vous)\\b")
+    val df = texts.toDF("text")
+    val cols = markers.zipWithIndex.map { case (re, i) =>
+      regexp_count(lower(col("text")), lit(re)).as(s"r$i")
+    } :+ graft.functions.TextFunctions.markerCounts(col("text")).as("mc")
+    df.select(col("text") +: cols: _*).collect().foreach { r =>
+      val mc = r.getSeq[Int](5)
+      (0 until 4).foreach { i =>
+        assert(mc(i) === r.getInt(i + 1),
+          s"lang $i diverged on text='${r.getString(0)}'")
+      }
+    }
+  }
 }
