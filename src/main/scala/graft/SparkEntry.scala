@@ -87,6 +87,7 @@ object SparkEntry {
     // -- dedup (§2.11 D1/D2) ----------------------------------------------
     "q_dedup_exact" -> (Dedup.exactDedupDocs _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
+    "q_repeated_passages" -> ((s, d) => Dedup.repeatedPassageStats(s, d)),
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
     "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
     "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
@@ -379,6 +380,19 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars,
         |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
         |FROM documents) WHERE rn = 1""".stripMargin,
+    // sharing-degree histogram of 20-token windows; Spark counts per-doc-
+    // distinct window HASHES, the oracle the window strings — identical
+    // histograms (the same hash-for-string convention as q_contamination)
+    "q_repeated_passages" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 18),
+        |i -> array_to_string(toks[i:i+19], ' '))) AS ps
+        |FROM t WHERE len(toks) >= 20),
+        |dw AS (SELECT doc_id, unnest(ps) AS p FROM w),
+        |f AS (SELECT p, count(*) AS nd FROM dw GROUP BY p)
+        |SELECT CAST(nd AS BIGINT) AS n_docs, count(*) AS n_passages
+        |FROM f WHERE nd >= 2 GROUP BY nd""".stripMargin,
     // Spark prunes with a Bloom sketch before the exact anti-join; no false
     // negatives, so the result is exactly the plain anti-join the oracle runs
     "q_dedup_incremental" ->

@@ -365,6 +365,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Repeated-passage statistics — the survey step of exact-substring dedup
+    * (the "dedup training data at the 50-token level" recipe): how many
+    * fixed-width token windows appear in 2+ distinct documents, as a
+    * histogram of sharing degree. Drives the decision of WHETHER passage
+    * dedup is worth a pass over the corpus before paying for one.
+    *
+    * Scale shape: rides [[shingles]] (per-doc-distinct 8-byte window
+    * hashes), so the frequency aggregation shuffles one row per distinct
+    * (doc, window) hash — never window text — and the histogram is a
+    * second agg over the repeated subset only. */
+  def repeatedPassageStats(s: SparkSession, d: String, n: Int = 20): DataFrame =
+    shingles(Tables.documents(s, d), n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("n_docs")).agg(count(lit(1)).as("n_passages"))
+
   // ----------------------------------------------------- Incremental dedup
 
   /** D1 incremental exact dedup: keep the rows of `incoming` whose content
