@@ -82,4 +82,49 @@ class PartitionInvarianceSpec extends SparkSpec {
       variants(docs, "doc_id").map(operators.TextAnalysis.boilerplateLineStats),
       "boilerplate line stats")
   }
+
+  test("shard assignments and their manifest are partitioning-invariant (LCG claim)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d =>
+        Corpus.shardAssignments(d, nShards = 16).select("doc_id", "shard", "ord")),
+      "shard assignments")
+  }
+
+  test("token-budget selection keeps the same docs under any partitioning") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d =>
+        Corpus.tokenBudgetSelect(d.select(col("doc_id"), col("n_chars")), budget = 20000L)),
+      "budget-selected docs")
+  }
+
+  test("unigram log-prob scores are partitioning-invariant (agg + keyed join claim)") {
+    // rounded to 4dp in the operator itself — the invariance claim is on the
+    // ROUNDED score, same contract the oracle checks
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map { d =>
+        val toks = d.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        val tot = toks.agg(count(lit(1)).as("total"), count_distinct(col("tok")).as("vocab"))
+        toks.join(tf, Seq("tok")).crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+            round(avg(log((col("tf") + 1).cast("double") / (col("total") + col("vocab")))), 4)
+              .as("avg_logp"))
+      },
+      "unigram log-prob scores")
+  }
+
+  test("repeated-passage histogram is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d =>
+        Dedup.shingles(d, 20).groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .groupBy(col("n_docs")).agg(count(lit(1)).as("n_passages"))),
+      "repeated-passage histogram")
+  }
 }
