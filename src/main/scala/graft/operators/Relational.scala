@@ -366,10 +366,16 @@ object Relational {
     // than two optimal single-mode passes over the pruned scan
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_suppliers"))
+    // ...and the SAME argument again inside the exact side: two
+    // countDistinct on different columns in one agg are two distinct
+    // groups, which also plans the ×2 Expand — one expand-free
+    // single-distinct agg per column, joined on the 3-row key, beats it
+    val exactParts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    val exact = exactParts.join(
+      broadcast(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))),
+      Seq("l_returnflag"))
     val approx = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
