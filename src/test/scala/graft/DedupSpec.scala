@@ -212,4 +212,16 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     val existing = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
     assert(Dedup.incrementalDedupFrames(incoming, existing).count() === 0)
   }
+
+  test("D1 incremental: plan probes ONE reused bloom subquery, anti-join broadcasts") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Dedup.incrementalDedupFrames(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 10 < 6))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from the plan")
+    assert(plan.contains("LeftAnti"), "exact verify must be an anti-join")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the maybe-set anti-join must broadcast, not shuffle the corpus:\n$plan")
+  }
 }
