@@ -129,6 +129,7 @@ object SparkEntry {
     "q_asof_tolerance" -> (AsOfJoin.purchasesWithFreshView _),
     "q_session_windows" -> (Relational.sessionWindows _),
     "q_funnel" -> (Relational.funnelConversion _),
+    "q_retention" -> (Relational.dayRetention _),
     "q_ntile" -> (Relational.ntileQuartiles _),
     "q_fuzzy_match" -> (Relational.fuzzyPartMatch _),
     "q_skew_agg" -> (Skew.saltedPricingAgg _),
@@ -551,6 +552,16 @@ object SparkEntry {
         |WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view)
         |SELECT (SELECT count(*) FROM fv) AS n_viewers,
         |(SELECT count(*) FROM conv) AS n_converted""".stripMargin,
+    "q_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT a.day, count(*) AS n_active,
+        |CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_retained,
+        |round(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |  / count(*), 4) AS retention_rate
+        |FROM active a LEFT JOIN active b
+        |ON a.user_id = b.user_id AND b.day = a.day + 1
+        |GROUP BY a.day""".stripMargin,
     "q_ntile" ->
       """SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
         |count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal FROM (

@@ -529,4 +529,26 @@ object Relational {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Day-over-day cohort retention — the dashboard query behind "did
+    * yesterday's users come back": per day, active users and the fraction
+    * active again the next day. Scale shape: the distinct (user, day)
+    * activity set is one partial-agg shuffle (rows = users x days, tiny
+    * against the event stream); the self-join keys on (user, day) with the
+    * right side date-shifted, so matching is an equi-join — no inequality
+    * or window over the stream. */
+  def dayRetention(s: SparkSession, d: String): DataFrame = {
+    val active = graft.Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val nextDay = active
+      .select(col("user_id"), date_sub(col("day"), 1).as("day"), lit(1).as("ret"))
+    active.join(nextDay, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(coalesce(col("ret"), lit(0))).as("n_retained"))
+      .withColumn("retention_rate",
+        round(col("n_retained") / col("n_active"), 4))
+  }
 }
