@@ -141,4 +141,17 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(cents((1, 0)) === 10.0 +- 1e-6)
   }
 
+
+  test("RP-signature artifacts are memoized per (session, corpus, params) with a drop hook") {
+    val (s1, n1) = Similarity.rpSigArtifacts(spark, sf,
+      Similarity.CosineLshTables, Similarity.CosineLshBits)
+    val (s2, n2) = Similarity.rpSigArtifacts(spark, sf,
+      Similarity.CosineLshTables, Similarity.CosineLshBits)
+    assert((s1 eq s2) && (n1 eq n2),
+      "second call must return the same persisted frames, not a rebuild")
+    Similarity.dropSigArtifacts(sf)
+    val (s3, _) = Similarity.rpSigArtifacts(spark, sf,
+      Similarity.CosineLshTables, Similarity.CosineLshBits)
+    assert(!(s3 eq s1), "drop must evict the memoized frames")
+  }
 }
