@@ -130,6 +130,17 @@ object Dedup {
       (sh, sig)
     })
 
+  /** Wide (passage-width) shingle frames under the same contract, keyed by
+    * window size — [[repeatedPassageStats]]' corpus build. Separate from
+    * [[shingleArtifacts]] because the minhash signatures that ride the
+    * 3-gram frame have no analog here. */
+  @transient private lazy val passageCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+
+  def passageShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
+    passageCache.computeIfAbsent((System.identityHashCode(s), d, n), key =>
+      shingles(Tables.documents(s, key._2), key._3).persist())
+
   /** D2 end-to-end (hand-rolled MinHash+LSH): near-dup pairs above a Jaccard
     * threshold. Deterministic (seeded hashes), bucketed throughout; reads the
     * memoized shingle/signature artifacts, so a query invocation pays only
@@ -334,6 +345,13 @@ object Dedup {
     }
     Option(labelCache.remove(key)).foreach(_.unpersist())
     Option(lshLabelCache.remove(key)).foreach(_.unpersist())
+    val it = passageCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == key._1 && e.getKey._2 == key._2) {
+        e.getValue.unpersist(); it.remove()
+      }
+    }
   }
 
   /** SimHash: 64-bit signature from per-token hashes by bit-voting; near-dups
@@ -376,7 +394,7 @@ object Dedup {
     * (doc, window) hash — never window text — and the histogram is a
     * second agg over the repeated subset only. */
   def repeatedPassageStats(s: SparkSession, d: String, n: Int = 20): DataFrame =
-    shingles(Tables.documents(s, d), n)
+    passageShingleArtifact(s, d, n)
       .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .groupBy(col("n_docs")).agg(count(lit(1)).as("n_passages"))
