@@ -273,8 +273,11 @@ object TextAnalysis {
     * broadcasts it at test scale, falls back to a keyed join when a 100 TB
     * vocab outgrows that), one 2-column global aggregate via broadcast
     * cross-join (the q_funnel in-plan-scalar pattern, no driver count), and
-    * a final per-doc aggregation. Everything is SQL-expressible, so the
-    * whole chain is oracle-checked. */
+    * a final per-doc aggregation. The plan derives the token explode three
+    * times (tf / totals / probe) — scan-bound branches Catalyst cannot
+    * share; at pipeline scale the token table is a staged intermediate,
+    * the same argument as the shingle artifacts. Everything is
+    * SQL-expressible, so the whole chain is oracle-checked. */
   def unigramLogProb(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
