@@ -323,4 +323,44 @@ object Corpus {
   def budgetQuery(s: SparkSession, d: String): DataFrame =
     tokenBudgetSelect(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
       budget = 50000L)
+
+  // -------------------------------------------------- End-to-end export
+
+  /** The whole corpus layer as ONE orchestrated build — what a nightly
+    * training-data job actually runs, end to end: token-band quality gate →
+    * exact dedup on the normalized fingerprint → benchmark decontamination
+    * → deterministic per-source sampling → 16-shard shuffled export to
+    * `outDir` (plus a written manifest for the run's accounting).
+    * Deterministic throughout (LCG sampling/sharding, fingerprint windows,
+    * keyed joins), so a re-run over the same corpus overwrites byte-stable
+    * shards — the idempotence a scheduler retry needs. Returns the shard
+    * manifest frame read back from the written export (doc/char totals per
+    * shard), so callers audit what actually landed, not what was planned. */
+  def buildAndExport(s: SparkSession, d: String, outDir: String,
+                     nShards: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val docs = Tables.documents(s, d)
+    val quality = docs
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+      .filter(col("nt") >= 20 && col("nt") <= 1000)
+    val deduped = quality
+      .withColumn("fp",
+        md5(concat_ws(" ", sort_array(split(lower(col("text")), "\\s+"))).cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+    val probes = docs.filter(col("doc_id") % 97 === 0)
+    val clean = deduped
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminationCheck(deduped, probes), Seq("doc_id"), "left_anti")
+    val sampled = stratifiedSample(clean, Map("src0" -> 80, "src1" -> 50), 20)
+      .drop("bucket", "nt")
+    writeShards(sampled, nShards, s"$outDir/shards")
+    val manifest = s.read.parquet(s"$outDir/shards")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    s.read.parquet(s"$outDir/manifest")
+  }
 }

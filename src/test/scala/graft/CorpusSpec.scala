@@ -186,4 +186,22 @@ class CorpusSpec extends SparkSpec {
     val ords = spark.read.parquet(shard0.head.getPath).select("ord").as[Long].collect()
     assert(ords.sameElements(ords.sorted), "file order must be the shuffle order")
   }
+
+  test("end-to-end corpus export: deterministic, idempotent, accounted") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-e2e").toString
+    val m1 = Corpus.buildAndExport(spark, sf, out)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(m1.nonEmpty, "export selected no documents")
+    // shards on disk agree with the manifest the call returned
+    val shardCount = spark.read.parquet(s"$out/shards").count()
+    assert(m1.map(_.split("\\|")(1).toLong).sum === shardCount)
+    // scheduler-retry idempotence: a second run overwrites to the same state
+    val m2 = Corpus.buildAndExport(spark, sf, out)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(m2 === m1, "re-run must reproduce the export exactly")
+    // every exported doc survived the quality gate and the probe exclusion
+    val exported = spark.read.parquet(s"$out/shards")
+    assert(exported.filter(col("doc_id") % 97 === 0).count() === 0,
+      "benchmark probes must never reach the training export")
+  }
 }
