@@ -131,6 +131,15 @@ object SparkEntry {
     "q_funnel" -> (Relational.funnelConversion _),
     "q_retention" -> (Relational.dayRetention _),
     "q_ntile" -> (Relational.ntileQuartiles _),
+    "q_percent_rank" -> (Relational.percentRanks _),
+    "q_string_agg" -> (Relational.segmentListAgg _),
+    "q_conditional_agg" -> (Relational.conditionalAgg _),
+    "q_window_range" -> (Relational.trailingHourSums _),
+    "q_unpivot" -> (Relational.unpivotStatusMatrix _),
+    "q_date_features" -> (Relational.dateFeatures _),
+    "q_explode_tokens" -> (TextAnalysis.explodeTokens _),
+    "q_higher_order" -> (TextAnalysis.higherOrderStats _),
+    "q_semantic_dedup" -> (Similarity.semanticDedup _),
     "q_fuzzy_match" -> (Relational.fuzzyPartMatch _),
     "q_skew_agg" -> (Skew.saltedPricingAgg _),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -789,5 +798,58 @@ object SparkEntry {
         |count(*) AS n_vectors
         |FROM embeddings e JOIN cent ON e.label = cent.label
         |GROUP BY e.label""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 6)
+        |AS pct_rank,
+        |round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 6)
+        |AS cume
+        |FROM orders""".stripMargin,
+    "q_string_agg" ->
+      """SELECT c_nationkey,
+        |string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |count(*) AS n_customers FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+        |count(*) FILTER (o_totalprice > 300000) AS n_big,
+        |bool_or(o_totalprice > 400000) AS any_huge,
+        |bool_and(o_totalprice > 0) AS all_positive
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // integer (floor-cents) frame sum: double sums over RANGE frames are
+    // evaluation-order-defined (segment tree vs sliding) — longs are not
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_cents
+        |FROM events""".stripMargin,
+    // unpivot(includeNulls=false) of the pivot matrix == the direct group-by
+    "q_unpivot" ->
+      """SELECT o_orderstatus, o_orderpriority AS priority, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_date_features" ->
+      """SELECT o_orderkey,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        |CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |AS days_since,
+        |CAST(last_day(o_orderdate) AS DATE) AS month_end
+        |FROM orders""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT doc_id, CAST(u['pos'] AS INT) AS pos, u['token'] AS token FROM (
+        |SELECT doc_id, unnest(list_transform(string_split_regex(lower(text), '\s+'),
+        |(x, i) -> struct_pack(pos := i - 1, token := x))) AS u
+        |FROM documents WHERE doc_id < 25)""".stripMargin,
+    "q_higher_order" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |x -> len(x) > 4)) AS INT) AS n_long,
+        |CAST(list_sum(list_transform(string_split_regex(lower(text), '\s+'),
+        |x -> len(x))) AS BIGINT) AS total_len,
+        |CAST(list_max(list_transform(string_split_regex(lower(text), '\s+'),
+        |x -> len(x))) AS INT) AS max_len
+        |FROM documents""".stripMargin,
   )
 }

@@ -551,4 +551,91 @@ object Relational {
       .withColumn("retention_rate",
         round(col("n_retained") / col("n_active"), 4))
   }
+
+  /** Distribution ranks: percent_rank + cume_dist per status partition —
+    * the relative-standing analytics the rank/dense_rank family doesn't
+    * cover. Both are rational functions of (rank, n) computed identically
+    * by any engine, so the values oracle exactly; rounding only guards the
+    * decimal printing. Partitioned analytic: each status is one sort, no
+    * global ordering. */
+  def percentRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice").asc)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** LISTAGG semantics: per nation, the sorted distinct segments joined into
+    * one string. Deterministic by construction (collect_set is unordered —
+    * the array_sort is what makes the result well-defined; an unsorted
+    * listagg is not a query, it's a race). Partial-aggregates: the set is
+    * merged map-side, so the shuffle carries ≤ |segments| entries per key. */
+  def segmentListAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n_customers"))
+
+  /** Conditional aggregation surface: FILTER-clause counts (count of a
+    * when-expression) and boolean aggregates (bool_or / bool_and) — one
+    * pass, no self-joins; each conditional is just another aggregate buffer
+    * in the same hash-agg. */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
+        bool_or(col("o_totalprice") > 400000).as("any_huge"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"))
+
+  /** RANGE-frame window: per-user trailing-1-hour event value, framed by the
+    * ORDER BY value (epoch seconds), not by row count — the time-decay shape
+    * ROWS frames can't express. Values are summed as floor-cents longs:
+    * integer frame sums are associativity-independent, so the result is
+    * identical no matter how either engine (sliding window vs segment tree)
+    * associates the additions — a double sum here would be
+    * evaluation-order-defined, i.e. not a correctness-checkable query. */
+  def trailingHourSums(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      sum(floor(col("value") * 100).cast("long")).over(w).as("hour_cents"))
+  }
+
+  /** Pivot → unpivot round trip: the wide per-(status, priority) count matrix
+    * melted back to long form. Exercises `unpivot` (UNPIVOT/MELT); with
+    * missing combinations dropped (includeNulls=false) the round trip is
+    * exactly the direct group-by — which is the oracle. */
+  def unpivotStatusMatrix(s: SparkSession, d: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .count()
+    wide.unpivot(
+      Array(col("o_orderstatus")),
+      priorities.map(p => col(s"`$p`")).toArray,
+      "priority", "n_orders")
+      .filter(col("n_orders").isNotNull)
+  }
+
+  /** Calendar feature extraction: month bucket, quarter, ISO weekday, day
+    * offset from a fixed epoch, month end — the date dimension a time-series
+    * mart derives in the scan projection (no shuffle, codegen'd). Weekday is
+    * pinned to the ISO convention (Monday=0) on both engines; Sunday-first
+    * `dayofweek` is one of the classic cross-engine divergences. */
+  def dateFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      trunc(col("o_orderdate"), "month").as("month_start"),
+      quarter(col("o_orderdate")).as("qtr"),
+      weekday(col("o_orderdate")).as("wd"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+      last_day(col("o_orderdate")).as("month_end"))
 }

@@ -193,6 +193,44 @@ object Similarity {
       .agg(round(avg(col("v")), 5).as("centroid_v"))
       .filter(col("pos") < 8) // small stable slice for the oracle dump
 
+  /** SemDeDup core (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space with a coarse quantizer,
+    * then drop near-identical neighbors WITHIN each cluster only. Input is
+    * any (cell, vec_id, embedding) assignment — here the IVF index's k-means
+    * cells, reused as-is, so the quantizer is trained once per corpus and
+    * shared between ANN probes and dedup.
+    *
+    * Within-cell pairing is a self-equi-join on `cell`: per-reducer work is
+    * quadratic in CELL size, never corpus size — the paper's own bound; at
+    * 100 TB you raise k so cells stay ~10⁴ vectors and the join stays one
+    * shuffle on a dense int key. The keep policy is greedy min-id: a vector
+    * is dropped iff some LOWER-id vector in its cell sits within `eps`
+    * cosine distance — deterministic, one pass, and every surviving pair is
+    * ≥ eps apart or in different cells (pinned in SimilaritySpec). */
+  def semanticDedupFrom(assigned: DataFrame, eps: Double = 0.05): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("id_keep"),
+      col("embedding").cast("array<double>").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_drop"),
+      col("embedding").cast("array<double>").as("emb_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_keep") < col("id_drop"))
+      // try_divide: zero vectors rank as null cosine and survive (they are
+      // nobody's near-duplicate), instead of ANSI DIVIDE_BY_ZERO
+      .withColumn("cos", try_divide(vecDot(col("emb_a"), col("emb_b")),
+        vecNorm(col("emb_a")) * vecNorm(col("emb_b"))))
+      .filter(col("cos") >= 1.0 - eps)
+      .select(col("cell"), col("id_drop")).distinct()
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .join(dropped.groupBy(col("cell")).agg(count(lit(1)).as("nd")), Seq("cell"), "left")
+      .select(col("cell"), col("n_vectors"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Registered query: SemDeDup summary per IVF cell (rows-only — the cells
+    * are k-means model state; the keep/drop semantics are spec-pinned). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupFrom(IvfIndex.index(s, d)._1)
+
   /** Label coherence: avg cosine of each vector to its label centroid — a
     * quality metric for the embedding space; joins rows against a broadcast
     * per-label aggregate. */

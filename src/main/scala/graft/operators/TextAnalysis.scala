@@ -293,4 +293,29 @@ object TextAnalysis {
         round(avg(log((col("tf") + 1).cast("double") / (col("total") + col("vocab")))), 4)
           .as("avg_logp"))
   }
+
+  /** Positional token stream via posexplode — the flatten every token-level
+    * pipeline stage (n-gram mining, position-weighted features, token-table
+    * staging) starts from. Narrow generate: each scan partition explodes
+    * locally, no shuffle; output position is 0-based on both engines.
+    * Bounded to a stable doc slice for the oracle dump — the operator itself
+    * is a projection and runs at any scale. */
+  def explodeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 25)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "token")))
+
+  /** Higher-order array functions over the token array — filter / transform
+    * / aggregate lambdas evaluated per row inside the projection, the
+    * idiomatic alternative to exploding when the result stays per-document.
+    * No shuffle, no UDF: the lambdas are Catalyst expressions. */
+  def higherOrderStats(s: SparkSession, d: String): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > lit(4))).as("n_long"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).as("total_len"),
+      array_max(transform(toks, t => length(t))).as("max_len"))
+  }
 }

@@ -127,4 +127,15 @@ class PartitionInvarianceSpec extends SparkSpec {
           .groupBy(col("n_docs")).agg(count(lit(1)).as("n_passages"))),
       "repeated-passage histogram")
   }
+
+  test("SemDeDup drop decisions are partitioning-invariant (greedy min-id claim)") {
+    // a fixed synthetic assignment (not the k-means cells: the model is a
+    // per-corpus artifact, this pins the dedup pass itself)
+    val assigned = Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 7).cast("int").as("cell"), col("vec_id"), col("embedding"))
+    assertInvariant(
+      variants(assigned, "vec_id").map(a =>
+        graft.operators.Similarity.semanticDedupFrom(a, eps = 0.5)),
+      "SemDeDup per-cell drop counts")
+  }
 }

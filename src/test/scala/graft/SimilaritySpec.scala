@@ -142,6 +142,29 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
   }
 
 
+  test("SemDeDup: planted near-identical neighbors drop greedily within their cell only") {
+    // cell 0: 1 and 2 are near-identical to 0 (within eps), 3 is not;
+    // cell 1: 4 is an exact copy of 0 but sits in another cell — kept
+    val assigned = Seq(
+      (0, 0L, Seq(1.0f, 0.0f, 0.0f)),
+      (0, 1L, Seq(0.999f, 0.01f, 0.0f)),  // ~0.9999 cos to id 0 -> dropped
+      (0, 2L, Seq(0.998f, 0.02f, 0.0f)),  // near id 0 and id 1 -> dropped
+      (0, 3L, Seq(0.0f, 1.0f, 0.0f)),     // orthogonal -> kept
+      (1, 4L, Seq(1.0f, 0.0f, 0.0f)))     // duplicate embedding, other cell -> kept
+      .toDF("cell", "vec_id", "embedding")
+    val out = Similarity.semanticDedupFrom(assigned, eps = 0.05)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0) === ((4L, 2L)), s"cell 0: expected 2 of 4 dropped, got ${out(0)}")
+    assert(out(1) === ((1L, 0L)), s"cell 1: cross-cell duplicate must be kept, got ${out(1)}")
+  }
+
+  test("SemDeDup summary is deterministic over the real IVF cells") {
+    val r1 = Similarity.semanticDedup(spark, sf).orderBy("cell").collect()
+    val r2 = Similarity.semanticDedup(spark, sf).orderBy("cell").collect()
+    assert(r1.sameElements(r2))
+    assert(r1.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
+  }
+
   test("RP-signature artifacts are memoized per (session, corpus, params) with a drop hook") {
     val (s1, n1) = Similarity.rpSigArtifacts(spark, sf,
       Similarity.CosineLshTables, Similarity.CosineLshBits)
