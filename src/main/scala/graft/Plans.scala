@@ -16,7 +16,9 @@ object Plans {
     "q_decontaminate", "q_boilerplate_lines", "q_stratified_sample",
     "q_top_bigrams", "q_gopher_rules", "q_corpus_mix", "q_approx_distinct",
     "q_dedup_incremental", "q_lang_id", "q_corpus_shards", "q_unigram_logprob",
-    "q_token_budget", "q_repeated_passages", "q_retention")
+    "q_token_budget", "q_repeated_passages", "q_retention", "q_semantic_dedup",
+    "q_window_range", "q_percent_rank", "q_unpivot", "q_higher_order",
+    "q_date_features", "q_string_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
