@@ -152,6 +152,9 @@ object SparkEntry {
     "q_boilerplate_lines" -> (TextAnalysis.boilerplateLines _),
     "q_gopher_rules" -> (TextAnalysis.gopherRules _),
     "q_stratified_sample" -> (Corpus.sampleQuery _),
+    "q_mix_weights" -> (Corpus.mixWeights _),
+    "q_dup_rate" -> (Corpus.dupRateBySource _),
+    "q_priority_sample" -> (Corpus.prioritySampleQuery _),
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_token_budget" -> (Corpus.budgetQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
@@ -798,6 +801,29 @@ object SparkEntry {
         |count(*) AS n_vectors
         |FROM embeddings e JOIN cent ON e.label = cent.label
         |GROUP BY e.label""".stripMargin,
+    // sqrt (IEEE-correctly-rounded, engine-identical), NOT pow(x, 0.5)
+    "q_mix_weights" ->
+      """WITH m AS (SELECT source,
+        |CAST(sum(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')))
+        |AS BIGINT) AS n_tokens FROM documents GROUP BY source),
+        |s AS (SELECT source, n_tokens,
+        |n_tokens / (sum(n_tokens) OVER ()) AS share FROM m)
+        |SELECT source, n_tokens, round(share, 4) AS share,
+        |round(sqrt(share) / (sum(sqrt(share)) OVER ()), 4) AS weight FROM s""".stripMargin,
+    // the engine counts distinct 8-byte xxhash64 fingerprints (shuffle
+    // carries hashes, never text); the oracle counts distinct text itself —
+    // equal absent a 64-bit collision
+    "q_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |count(DISTINCT text) AS n_unique,
+        |round(1.0 - count(DISTINCT text) / count(*), 4) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_priority_sample" ->
+      """SELECT doc_id, source,
+        |CAST(floor((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+        |/ (CASE WHEN source = 'src0' THEN 4 WHEN source = 'src1' THEN 2 ELSE 1 END))
+        |AS BIGINT) AS priority
+        |FROM documents ORDER BY priority ASC, doc_id ASC LIMIT 200""".stripMargin,
     "q_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 6)

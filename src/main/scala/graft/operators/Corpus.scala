@@ -68,6 +68,59 @@ object Corpus {
         round(col("n_tokens") / sum(col("n_tokens"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy()), 4))
 
+  /** Temperature-smoothed sampling weights from the token shares — the
+    * mix-weight rule behind multi-source pretraining mixes (LLaMA-style
+    * share^α with α=0.5): raising small sources, damping dominant ones.
+    * α=0.5 is written as `sqrt`, not `pow(x, 0.5)`, deliberately — IEEE 754
+    * requires sqrt to be correctly rounded (identical on every engine and
+    * libm), while pow is not, so the sqrt form is the one that
+    * oracle-checks bit-for-bit. Same aggregate-then-tiny-window shape as
+    * [[corpusMixReport]]: the windows see one row per source. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, d)
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("share", col("n_tokens") / sum(col("n_tokens")).over(all))
+      .withColumn("weight", round(sqrt(col("share")) / sum(sqrt(col("share"))).over(all), 4))
+      .select(col("source"), col("n_tokens"), round(col("share"), 4).as("share"), col("weight"))
+  }
+
+  /** Duplicate-rate diagnostics per source: docs, distinct content
+    * fingerprints, and the dup rate — the health report that decides where
+    * dedup effort goes. Fingerprints are 8-byte hashes, so the distinct
+    * count shuffles hashes, never text. */
+  def dupRateBySource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), xxhash64(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+      .withColumn("dup_rate", round(lit(1.0) - col("n_unique") / col("n_docs"), 4))
+
+  /** Exact-size weighted sample: k docs chosen by deterministic LCG
+    * priority, with per-source weights applied as integer divisors (weight
+    * 4 → priorities 4× smaller → 4× the selection odds at any k). Unlike
+    * the fraction-based [[stratifiedSample]] this guarantees EXACTLY k rows
+    * — the "give me exactly 10k docs" request. The plan is the point: a
+    * global top-k by priority is TakeOrderedAndProject (per-partition heads
+    * + k-row driver merge, spec-asserted), so no global sort and no window
+    * ever sees the corpus. */
+  def prioritySample(docs: DataFrame, k: Int, weights: Map[String, Int]): DataFrame = {
+    val w = weights.foldLeft(lit(1L)) { case (acc, (src, wt)) =>
+      when(col("source") === src, lit(wt.toLong)).otherwise(acc)
+    }
+    docs
+      .withColumn("priority", floor(lcgStep(col("doc_id")) / w))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Registered: exactly 200 docs, src0 weighted 4×, src1 2×. */
+  def prioritySampleQuery(s: SparkSession, d: String): DataFrame =
+    prioritySample(Tables.documents(s, d), 200, Map("src0" -> 4, "src1" -> 2))
+      .select(col("doc_id"), col("source"), col("priority"))
+
   /** Deterministic [0,100) bucket from a long key: one LCG step with the
     * bucket taken from the HIGH bits (the low bits of a·x+c mod 2³¹ are
     * poorly equidistributed). Engine-portable — the same rows sample on

@@ -204,4 +204,20 @@ class CorpusSpec extends SparkSpec {
     assert(exported.filter(col("doc_id") % 97 === 0).count() === 0,
       "benchmark probes must never reach the training export")
   }
+
+  test("priority sample: exactly k rows, weights shift the mix, plan is top-k not global sort") {
+    val docs = Tables.documents(spark, sf)
+    val sampled = Corpus.prioritySample(docs, 200, Map("src0" -> 4, "src1" -> 2))
+    assert(sampled.count() === 200, "exact-k contract")
+    // a weight-4 source must out-represent its unweighted corpus share
+    val unweighted = Corpus.prioritySample(docs, 200, Map.empty)
+    def srcShare(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("source") === "src0").count().toDouble / 200
+    assert(srcShare(sampled) > srcShare(unweighted),
+      s"weighted src0 share ${srcShare(sampled)} must exceed unweighted ${srcShare(unweighted)}")
+    // the global top-k must plan as TakeOrderedAndProject (per-partition
+    // heads + k-row merge), never a global Sort over the corpus
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
