@@ -102,6 +102,30 @@ object EventsStream {
       .option("path", outDir)
       .start()
 
+  /** Stream-static enrichment: every micro-batch of the unbounded event
+    * stream joins a bounded dimension table. The static side is re-resolved
+    * and broadcast per micro-batch — a dim refresh lands without restarting
+    * the query, and no state store is involved (unlike stream-stream joins:
+    * the static side is complete by definition, so nothing waits). This is
+    * the streaming form of the reference's enrich-then-write loop with the
+    * lookup table kept OUTSIDE the stream. */
+  def enrichWithUserDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"),
+        col("event_type"), col("value"))
+
+  /** Stream-static enrichment to a sink, AvailableNow. */
+  def runEnriched(spark: SparkSession, srcDir: String, userDim: DataFrame,
+                  outDir: String, checkpointDir: String): StreamingQuery =
+    enrichWithUserDim(readEvents(spark, srcDir), userDim)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Streaming windowed aggregation to a sink, AvailableNow (drains whatever
     * is in the source dir, then stops — the batch-cadence trigger). */
   def runWindowed(spark: SparkSession, srcDir: String, outDir: String, checkpointDir: String): StreamingQuery =

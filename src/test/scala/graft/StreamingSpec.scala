@@ -128,4 +128,45 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count() === expected,
       "dropDuplicatesWithinWatermark must emit each planted duplicate once")
   }
+
+  test("stream-static join: per-batch broadcast enrichment matches the batch join") {
+    import spark.implicits._
+    val dim = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 3))
+    val out = Files.createTempDirectory("graft-stream-dim").toString
+    val ckpt = Files.createTempDirectory("graft-stream-dimck").toString
+    EventsStream.runEnriched(spark, srcDir, dim, out, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = Tables.events(spark, sf).join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"), col("event_type"), col("value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty, "stream enriched differently than batch")
+    assert(streamed.filter(col("segment").isNull).count() === 0,
+      "every event user must hit the dim")
+  }
+
+  test("watermark drops late data: a row older than the watermark never lands") {
+    import spark.implicits._
+    def ev(id: Long, hour: Double, typ: String) =
+      (id, new java.sql.Timestamp((hour * 3600 * 1000).toLong), id % 5, typ, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val src = Files.createTempDirectory("graft-late-src").toString
+    val out = Files.createTempDirectory("graft-late-out").toString
+    val ckpt = Files.createTempDirectory("graft-late-ck").toString
+    // run 1: windows [0,6) holds ids 1,2; max ts 12:00 commits watermark 11:30
+    Seq(ev(1, 1.0, "click"), ev(2, 2.0, "click"), ev(3, 7.0, "click"), ev(4, 12.0, "click"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    EventsStream.runWindowed(spark, src, out, ckpt).awaitTermination(120000)
+    // run 2: id 5 arrives at event-time 01:30 — BELOW the 11:30 watermark,
+    // must be dropped; id 6 is fresh and advances the watermark
+    Seq(ev(5, 1.5, "click"), ev(6, 18.2, "click"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(src)
+    EventsStream.runWindowed(spark, src, out, ckpt).awaitTermination(120000)
+    val w0 = spark.read.parquet(out)
+      .filter(col("window_start") === lit(new java.sql.Timestamp(0L)))
+      .select("n_events").as[Long].collect()
+    assert(w0.length === 1, s"window [0,6) must emit exactly once, got ${w0.length}")
+    assert(w0.head === 2L,
+      s"late event leaked into the closed window: n_events=${w0.head}, expected 2")
+  }
 }
