@@ -18,7 +18,8 @@ object Plans {
     "q_dedup_incremental", "q_lang_id", "q_corpus_shards", "q_unigram_logprob",
     "q_token_budget", "q_repeated_passages", "q_retention", "q_semantic_dedup",
     "q_window_range", "q_percent_rank", "q_unpivot", "q_higher_order",
-    "q_date_features", "q_string_agg")
+    "q_date_features", "q_string_agg", "q_mix_weights", "q_dup_rate",
+    "q_priority_sample", "q_explode_tokens", "q_conditional_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
