@@ -59,6 +59,9 @@ object Bench {
     warm("passage-shingle-build")(
       operators.Dedup.passageShingleArtifact(spark, sfDir, 20)
         .write.format("noop").mode("overwrite").save())
+    warm("source-shingle-build")(
+      operators.Corpus.sourceShingleArtifact(spark, sfDir, 8)
+        .write.format("noop").mode("overwrite").save())
     // RP signatures are a corpus build too: without the artifact, the
     // cosine-LSH self-join derives the 96-hyperplane projection twice
     warm("rp-signature-build") {

@@ -19,7 +19,8 @@ object Plans {
     "q_token_budget", "q_repeated_passages", "q_retention", "q_semantic_dedup",
     "q_window_range", "q_percent_rank", "q_unpivot", "q_higher_order",
     "q_date_features", "q_string_agg", "q_mix_weights", "q_dup_rate",
-    "q_priority_sample", "q_explode_tokens", "q_conditional_agg")
+    "q_priority_sample", "q_explode_tokens", "q_conditional_agg",
+    "q_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -154,6 +154,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Corpus.sampleQuery _),
     "q_mix_weights" -> (Corpus.mixWeights _),
     "q_dup_rate" -> (Corpus.dupRateBySource _),
+    "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_priority_sample" -> (Corpus.prioritySampleQuery _),
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_token_budget" -> (Corpus.budgetQuery _),
@@ -818,6 +819,21 @@ object SparkEntry {
         |count(DISTINCT text) AS n_unique,
         |round(1.0 - count(DISTINCT text) / count(*), 4) AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
+    // the engine joins 8-byte shingle hashes; the oracle joins the shingle
+    // strings themselves — counts agree absent a 64-bit collision
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |w AS (SELECT source, list_distinct(list_transform(range(1, len(toks) - 6),
+        |i -> array_to_string(toks[i:i+7], ' '))) AS ps
+        |FROM t WHERE len(toks) >= 8),
+        |sh AS (SELECT DISTINCT source, unnest(ps) AS p FROM w),
+        |tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        |shared AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.p = b.p AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |round(n_shared / (ta.n_sh + tb.n_sh - n_shared), 4) AS jaccard
+        |FROM shared JOIN tot ta ON ta.source = src_a JOIN tot tb ON tb.source = src_b""".stripMargin,
     "q_priority_sample" ->
       """SELECT doc_id, source,
         |CAST(floor((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)

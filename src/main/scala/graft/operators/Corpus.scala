@@ -416,4 +416,49 @@ object Corpus {
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
     s.read.parquet(s"$outDir/manifest")
   }
+
+  private val sourceShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+
+  /** Distinct (source, shingle-hash) set — the corpus artifact under
+    * [[sourceOverlap]]. Memoized per (session, dir, n) like the other
+    * one-off corpus builds (Dedup shingles, IVF cells, RP signatures): the
+    * overlap query references it three times (self-join + totals), and at
+    * scale this is a materialized table, not a recomputed subquery. */
+  def sourceShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
+    sourceShingleCache.computeIfAbsent((System.identityHashCode(s), d, n), key => {
+      val docs = Tables.documents(s, key._2)
+      docs.select(col("source"), split(lower(col("text")), "\\s+").as("tokens"))
+        // shorter than n tokens → no n-shingles (sequence(0, negative) is
+        // DESCENDING and slice would throw — same guard as Dedup.shingles)
+        .filter(size(col("tokens")) >= n)
+        .select(col("source"), explode(
+          expr(s"transform(sequence(0, size(tokens) - $n), i -> xxhash64(concat_ws(' ', slice(tokens, i + 1, $n))))")
+            .as("sh")).as("shingle"))
+        .distinct()
+        .persist()
+    })
+
+  /** Cross-source overlap matrix: for every source pair, how many distinct
+    * word `n`-grams they share, and the shingle-set Jaccard — the corpus
+    * audit that answers "which of my crawl sources are copies of each
+    * other" before mixing (cross-source leakage inflates a source's
+    * apparent weight and leaks eval data between splits). Everything past
+    * the tokenize projection moves 8-byte hashes: the self-join is an
+    * equi-join on the shingle hash (per-reducer fan-in = sources sharing
+    * that shingle, ≤ |sources|), and the totals rejoin is a broadcast of a
+    * |sources|-row aggregate. Output rows = source pairs, independent of
+    * corpus size. */
+  def sourceOverlap(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val sh = sourceShingleArtifact(s, d, n)
+    val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 4).as("jaccard"))
+  }
 }

@@ -205,6 +205,22 @@ class CorpusSpec extends SparkSpec {
       "benchmark probes must never reach the training export")
   }
 
+  test("source overlap: pairs are ordered, jaccard bounded, join is bucketed not cartesian") {
+    val m = Corpus.sourceOverlap(spark, sf)
+    val rows = m.collect()
+    assert(rows.nonEmpty, "synthetic sources share 8-gram shingles; matrix must be non-empty")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "each pair must appear once, lexicographically ordered")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(r.getLong(2) > 0L)
+    }
+    // the self-join must be an equi-join on the shingle hash — a plan with
+    // a cartesian product here would be quadratic in corpus size
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"overlap join degenerated to cartesian:\n$plan")
+  }
+
   test("priority sample: exactly k rows, weights shift the mix, plan is top-k not global sort") {
     val docs = Tables.documents(spark, sf)
     val sampled = Corpus.prioritySample(docs, 200, Map("src0" -> 4, "src1" -> 2))
