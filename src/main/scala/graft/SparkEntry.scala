@@ -118,6 +118,13 @@ object SparkEntry {
     "q_zscore_outliers" -> (Relational.zscoreOutliers _),
     "q_argmax" -> (Relational.argmaxOrders _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
+    "q_token_entropy" -> (TextAnalysis.tokenEntropy _),
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
+    "q_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "q_moments" -> (Relational.momentStats _),
+    "q_mode_value" -> (Relational.modalEventType _),
+    "q_window_firstlast" -> (Relational.windowFirstLast _),
+    "q_minhash_est" -> ((s, d) => Dedup.minhashJaccardEst(s, d)),
     "q_repetition" -> (TextAnalysis.repetitionStats _),
     "q_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
@@ -884,6 +891,93 @@ object SparkEntry {
         |SELECT doc_id, unnest(list_transform(string_split_regex(lower(text), '\s+'),
         |(x, i) -> struct_pack(pos := i - 1, token := x))) AS u
         |FROM documents WHERE doc_id < 25)""".stripMargin,
+    "q_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+        |FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |round(ln(sum(c) * 1.0) - sum(c * ln(c * 1.0)) / sum(c), 4) AS entropy,
+        |round(count(*) * 1.0 / sum(c), 4) AS ttr
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) * 1.0 AS dl
+        |FROM documents),
+        |st AS (SELECT count(*) * 1.0 AS nd, avg(dl) AS avgdl FROM dl),
+        |h AS (SELECT doc_id, term, count(*) * 1.0 AS tf FROM (
+        |SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |FROM documents) WHERE term IN ('join', 'hash', 'vector', 'stream')
+        |GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) * 1.0 AS df FROM h GROUP BY 1),
+        |sc AS (SELECT h.doc_id,
+        |ln((st.nd - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * h.tf * 2.2 /
+        |(h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS part
+        |FROM h JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(sum(part), 4) AS bm25, count(*) AS n_terms_hit
+        |FROM sc GROUP BY doc_id)
+        |SELECT doc_id, bm25, n_terms_hit, rank FROM (
+        |SELECT *, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+        |FROM agg) WHERE rank <= 25""".stripMargin,
+    "q_pmi_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |x -> x != '') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS cw FROM u GROUP BY w),
+        |ut AS (SELECT CAST(sum(cw) AS BIGINT) * 1.0 AS n_uni FROM uc),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |i -> struct_pack(wa := toks[i], wb := toks[i + 1]))) AS g
+        |FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT g['wa'] AS wa, g['wb'] AS wb, count(*) AS cab FROM b GROUP BY 1, 2),
+        |bt AS (SELECT CAST(sum(cab) AS BIGINT) * 1.0 AS n_bi FROM bc),
+        |sc AS (SELECT wa, wb, cab,
+        |round(ln((cab / bt.n_bi) / ((ca.cw / ut.n_uni) * (cb.cw / ut.n_uni))), 4) AS pmi
+        |FROM bc JOIN uc ca ON ca.w = wa JOIN uc cb ON cb.w = wb
+        |CROSS JOIN bt CROSS JOIN ut WHERE cab >= 5)
+        |SELECT wa, wb, cab, pmi, rank FROM (
+        |SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, wa ASC, wb ASC) AS INT) AS rank
+        |FROM sc) WHERE rank <= 20""".stripMargin,
+    "q_moments" ->
+      """WITH m AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type, e.value - m.mu AS dv
+        |FROM events e JOIN m USING (event_type)),
+        |a AS (SELECT event_type, count(*) AS n_events, avg(dv * dv) AS m2,
+        |avg(dv * dv * dv) AS m3, avg(dv * dv * dv * dv) AS m4 FROM c GROUP BY 1)
+        |SELECT event_type, n_events, round(sqrt(m2), 4) AS sd_pop,
+        |round(m3 / (m2 * sqrt(m2)), 4) AS skew,
+        |round(m4 / (m2 * m2) - 3.0, 4) AS excess_kurt FROM a""".stripMargin,
+    "q_mode_value" ->
+      """SELECT user_id, event_type AS modal_type, n AS n_events FROM (
+        |SELECT user_id, event_type, count(*) AS n,
+        |row_number() OVER (PARTITION BY user_id
+        |ORDER BY count(*) DESC, event_type ASC) AS rn
+        |FROM events GROUP BY user_id, event_type) WHERE rn = 1""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |first_value(o_orderkey) OVER w AS first_order,
+        |last_value(o_orderkey) OVER w AS last_order,
+        |nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |ORDER BY o_orderdate ASC, o_orderkey ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // engine computes exact Jaccard on 8-byte shingle hashes + the MinHash
+    // estimate; oracle recomputes exact Jaccard from shingle STRINGS and
+    // trusts the pinned estimator bound (in_bound = 1 for every pair at
+    // 128 hashes — ≈4.5σ)
+    "q_minhash_est" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |len(list_intersect(a.grams, b.grams)) AS ni,
+        |len(a.grams) AS na, len(b.grams) AS nb
+        |FROM g a, g b WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(ni * 1.0 / (na + nb - ni), 4) AS jaccard,
+        |CAST(1 AS INT) AS in_bound
+        |FROM p WHERE ni * 1.0 / (na + nb - ni) >= 0.02""".stripMargin,
     "q_higher_order" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

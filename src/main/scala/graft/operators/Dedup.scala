@@ -160,6 +160,37 @@ object Dedup {
         count(lit(1)).as("n_pairs"),
         coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
 
+  /** MinHash estimator accuracy, bound-oracled (the pattern that turned the
+    * approx-percentile/distinct queries oracle-checkable): over a bounded
+    * doc slice, every pair with exact 3-gram-shingle Jaccard ≥ `threshold`
+    * gets its 128-hash MinHash estimate compared against the exact value.
+    * The output carries the exact Jaccard (DuckDB recomputes it from the
+    * shingle strings) plus an `in_bound` flag for |est − exact| ≤ 0.2 —
+    * ≈4.5σ for 128 hashes (σ = √(J(1−J)/128) ≤ 0.0442), so the flag is 1
+    * for every row and the WHOLE row including the bound check hash-matches.
+    * The pair set is defined by the EXACT Jaccard, not the estimate, so
+    * membership is oracle-deterministic. */
+  def minhashJaccardEst(s: SparkSession, d: String,
+                        maxDocId: Long = 200, threshold: Double = 0.02,
+                        numHashes: Int = 128, bound: Double = 0.2): DataFrame = {
+    val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
+    val sig = minhashSignatures(sh, numHashes)
+    val allPairs = sig.select(col("doc_id").as("doc_a")).crossJoin(
+      broadcast(sig.select(col("doc_id").as("doc_b"))))
+      .filter(col("doc_a") < col("doc_b"))
+    val exact = verifyJaccard(sh, allPairs)
+      .filter(col("n_common") / (col("size_a") + col("size_b") - col("n_common")) >= threshold)
+    val est = exact
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($numHashes AS DOUBLE)"))
+    est.select(
+      col("doc_a"), col("doc_b"), col("jaccard"),
+      (abs(col("est") - col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+        <= bound).cast("int").as("in_bound"))
+  }
+
   /** D2 via Spark ML MinHashLSH — a CROSS-CHECK of [[nearDupPairs]], not the
     * scale path: `approxSimilarityJoin` bands with r=1 rows per table, so on
     * a shared-vocabulary corpus it ORs in nearly every weakly-similar pair

@@ -461,6 +461,67 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
   }
 
+  /** Distribution-shape statistics per group: explicit central-moment
+    * skewness (m3/m2^1.5) and excess kurtosis (m4/m2² − 3), two-pass like
+    * [[zscoreOutliers]] — aggregate the mean, broadcast it back, aggregate
+    * the centered powers. The EXPLICIT formula rather than the built-in
+    * `skewness`/`kurtosis` aggregates because engines disagree on bias
+    * correction (Spark ships population moments, DuckDB sample-corrected) —
+    * the two-pass arithmetic is engine-identical and oracle-exact. */
+  def momentStats(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val mus = events.groupBy(col("event_type")).agg(avg(col("value")).as("mu"))
+    events.join(broadcast(mus), Seq("event_type"))
+      .withColumn("dv", col("value") - col("mu"))
+      .groupBy(col("event_type"))
+      // plain products, not pow(): libm pow is only ~1-ulp accurate and
+      // differs across engines; x*x (and m2*sqrt(m2) below — sqrt IS
+      // IEEE-correctly-rounded everywhere) keeps both sides bit-identical
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col("dv") * col("dv")).as("m2"),
+        avg(col("dv") * col("dv") * col("dv")).as("m3"),
+        avg(col("dv") * col("dv") * col("dv") * col("dv")).as("m4"))
+      .select(
+        col("event_type"), col("n_events"),
+        round(sqrt(col("m2")), 4).as("sd_pop"),
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 4).as("skew"),
+        round(col("m4") / (col("m2") * col("m2")) - 3.0, 4).as("excess_kurt"))
+  }
+
+  /** Deterministic mode: each user's most frequent event type, ties broken
+    * by type asc — one count aggregation plus a per-user window over the
+    * |event types|-sized grouped frame (never the raw events). The built-in
+    * `mode` aggregate is tie-arbitrary on both engines; the count+window
+    * form pins the choice. */
+  def modalEventType(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("n").as("n_events"))
+  }
+
+  /** Frame-edge window functions: first/last/2nd order key per customer in
+    * date order. last_value needs the full-partition frame spelled out (the
+    * default frame ends at CURRENT ROW, which would return each row itself);
+    * nth_value(2) is null for 1-order customers on both engines. */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+  }
+
   /** max_by/min_by aggregates: each customer's priciest order without a
     * window — single aggregation, no sort. Plain value ordering is
     * deterministic here because (custkey, totalprice) has no ties in the

@@ -294,6 +294,110 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Per-document token-distribution diagnostics: Shannon entropy of the
+    * token frequency distribution (in nats) and type-token ratio. Low
+    * entropy flags degenerate/repetitive documents a quality gate should
+    * drop; TTR is the classic lexical-diversity companion. Entropy uses the
+    * algebraic form ln(n) - Σ c·ln(c) / n, so one (doc, token) aggregation
+    * and one per-doc aggregation — two shuffles keyed on doc id, partial
+    * aggs absorb the explode. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")), 4)
+          .as("entropy"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4).as("ttr"))
+
+  /** BM25 relevance ranking of the corpus against a query term set — the
+    * retrieval scorer behind every "find training docs like X" pass
+    * (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5) + 1)).
+    *
+    * Scale shape: one (doc, term) tf aggregation restricted to the query
+    * terms (the filter lands BEFORE the shuffle, so the exchange carries
+    * only query-term hits, not the corpus vocabulary), a broadcast of the
+    * |terms|-row df table and the 1-row corpus stats (the in-plan-scalar
+    * pattern — no driver count), then one per-doc aggregation. Ranking
+    * compares ROUNDED scores so rank ties break identically on both
+    * engines (doc_id asc). */
+  def bm25Rank(s: SparkSession, d: String,
+               terms: Seq[String] = Seq("join", "hash", "vector", "stream"),
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), tokenCount(col("text")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs_total"),
+      avg(col("dl")).as("avgdl"))
+    val hits = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = hits.groupBy(col("term")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val scored = hits
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs_total") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+    // top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject — no
+    // global sort, no one-task window over the full scored frame); the
+    // row_number then ranks only the k surviving rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(25)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** PMI collocation mining: top adjacent word pairs by pointwise mutual
+    * information ln(P(ab) / (P(a)·P(b))), the standard statistical test for
+    * multi-word expressions (vs raw bigram counts, which just surface
+    * stopword pairs). Two partial-agg shuffles (bigram and unigram counts),
+    * a broadcast-sized unigram join (vocabulary ≪ corpus), and in-plan
+    * scalar totals; min-count floor keeps the estimate stable. Ranking
+    * compares ROUNDED pmi so ties break identically cross-engine. */
+  def pmiCollocations(s: SparkSession, d: String,
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), filter(split(lower(col("text")), "\\s+"), t => t =!= lit("")).as("toks"))
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val uniTot = uni.agg(sum(col("cw")).cast("double").as("n_uni"))
+    val bi = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(element_at(toks, i + 1) AS wa, element_at(toks, i + 2) AS wb))"))
+        .as("g"))
+      .select(col("g.wa").as("wa"), col("g.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cab"))
+    val biTot = bi.agg(sum(col("cab")).cast("double").as("n_bi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc)
+    bi.filter(col("cab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("cw", "ca")), Seq("wa"))
+      .join(broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("cw", "cb")), Seq("wb"))
+      .crossJoin(broadcast(biTot))
+      .crossJoin(broadcast(uniTot))
+      .withColumn("pmi", round(
+        log((col("cab") / col("n_bi")) /
+          ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni")))), 4))
+      // top-k via orderBy+limit (TakeOrderedAndProject), THEN rank the k rows
+      .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("wa"), col("wb"), col("cab"), col("pmi"), col("rank"))
+  }
+
   /** Positional token stream via posexplode — the flatten every token-level
     * pipeline stage (n-gram mining, position-weighted features, token-table
     * staging) starts from. Narrow generate: each scan partition explodes

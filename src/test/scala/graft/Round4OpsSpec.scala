@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-4 additions: BM25 ranking, token entropy, PMI
+  * collocations, explicit moment statistics, deterministic mode, frame-edge
+  * window functions, and the bound-oracled MinHash estimator. Each test pins
+  * an invariant the DuckDB hash-compare can't see (internal consistency,
+  * agreement with an independent Spark built-in, estimator bounds).
+  */
+class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
+
+  test("token entropy is bounded by ln(n_types) and ttr is in (0, 1]") {
+    val rows = TextAnalysis.tokenEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTypes = r.getAs[Long]("n_types")
+      val entropy = r.getAs[Double]("entropy")
+      val ttr = r.getAs[Double]("ttr")
+      assert(nTypes <= r.getAs[Long]("n_tokens"))
+      // entropy is ROUNDED to 4dp in the query output, so allow the half-ulp
+      // of that rounding (5e-5) over the exact ln(n_types) ceiling
+      assert(entropy >= -1e-9 && entropy <= math.log(nTypes.toDouble) + 5.1e-5)
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
+  test("bm25 ranking is dense, deterministic, and monotone in score") {
+    val rows = TextAnalysis.bm25Rank(spark, sf).orderBy(col("rank")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("n_terms_hit") >= 1L && r.getAs[Long]("n_terms_hit") <= 4L))
+  }
+
+  test("pmi collocations honor the min-count floor and rank by pmi") {
+    val rows = TextAnalysis.pmiCollocations(spark, sf).orderBy(col("rank")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("cab") >= 5L))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("explicit moments agree with Spark's population skewness/kurtosis") {
+    // Spark's built-ins ARE the population formulas — an independent
+    // implementation of the same two-pass arithmetic must agree to float
+    // noise. (The oracle can't make this comparison: DuckDB's built-ins are
+    // sample-corrected, which is exactly why momentStats spells the math out.)
+    val ours = Relational.momentStats(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val builtins = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(skewness(col("value")).as("sk"), kurtosis(col("value")).as("ku"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(ours.keySet == builtins.keySet && ours.nonEmpty)
+    ours.foreach { case (et, r) =>
+      assert(r.getAs[Double]("skew") === builtins(et).getAs[Double]("sk") +- 1e-3)
+      assert(r.getAs[Double]("excess_kurt") === builtins(et).getAs[Double]("ku") +- 1e-3)
+    }
+  }
+
+  test("modal event type is the true per-user argmax count") {
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    val maxes = counts.groupBy(col("user_id")).agg(max(col("n")).as("n_max"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_max")).toMap
+    val modal = Relational.modalEventType(spark, sf).collect()
+    assert(modal.length == maxes.size)
+    modal.foreach { r =>
+      assert(r.getAs[Long]("n_events") == maxes(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("frame-edge windows: last/first constant per partition, nth null iff short") {
+    val rows = Relational.windowFirstLast(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("first_order")).distinct.length == 1)
+      assert(rs.map(_.getAs[Long]("last_order")).distinct.length == 1)
+      val second = rs.map(r => Option(r.getAs[Any]("second_order")))
+      if (rs.length == 1) assert(second.head.isEmpty)
+      else assert(second.forall(_.nonEmpty))
+    }
+  }
+
+  test("minhash estimate stays inside the 4.5-sigma bound on every pair") {
+    val rows = Dedup.minhashJaccardEst(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("in_bound") == 1))
+  }
+}
