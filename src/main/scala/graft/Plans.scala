@@ -20,7 +20,8 @@ object Plans {
     "q_window_range", "q_percent_rank", "q_unpivot", "q_higher_order",
     "q_date_features", "q_string_agg", "q_mix_weights", "q_dup_rate",
     "q_priority_sample", "q_explode_tokens", "q_conditional_agg",
-    "q_source_overlap")
+    "q_source_overlap", "q_bm25", "q_pmi_bigrams", "q_token_entropy",
+    "q_moments", "q_mode_value", "q_minhash_est")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
