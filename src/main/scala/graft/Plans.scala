@@ -21,7 +21,9 @@ object Plans {
     "q_date_features", "q_string_agg", "q_mix_weights", "q_dup_rate",
     "q_priority_sample", "q_explode_tokens", "q_conditional_agg",
     "q_source_overlap", "q_bm25", "q_pmi_bigrams", "q_token_entropy",
-    "q_moments", "q_mode_value", "q_minhash_est")
+    "q_moments", "q_mode_value", "q_minhash_est", "q_moving_avg",
+    "q_mad_outliers", "q_corr_stats", "q_lang_source_mi",
+    "q_chi2_independence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -125,6 +125,11 @@ object SparkEntry {
     "q_mode_value" -> (Relational.modalEventType _),
     "q_window_firstlast" -> (Relational.windowFirstLast _),
     "q_minhash_est" -> ((s, d) => Dedup.minhashJaccardEst(s, d)),
+    "q_moving_avg" -> (Relational.movingAvg _),
+    "q_mad_outliers" -> (Relational.madOutliers _),
+    "q_corr_stats" -> (Relational.corrStats _),
+    "q_lang_source_mi" -> (Corpus.langSourceMi _),
+    "q_chi2_independence" -> (Corpus.langSourceChi2 _),
     "q_repetition" -> (TextAnalysis.repetitionStats _),
     "q_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
@@ -891,6 +896,55 @@ object SparkEntry {
         |SELECT doc_id, unnest(list_transform(string_split_regex(lower(text), '\s+'),
         |(x, i) -> struct_pack(pos := i - 1, token := x))) AS u
         |FROM documents WHERE doc_id < 25)""".stripMargin,
+    // integer-cents frame sum (the q_window_range convention): the sliding
+    // double sum is evaluation-order-defined, the long sum is not
+    "q_moving_avg" ->
+      """SELECT event_id, user_id,
+        |round(CAST(sum(cents) OVER w AS BIGINT) / (count(*) OVER w * 100.0), 4)
+        |AS trailing_avg FROM (
+        |SELECT event_id, user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+        |FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, any_value(m.med) AS med,
+        |quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, round(any_value(m.med), 4) AS med,
+        |round(any_value(m.mad), 4) AS mad,
+        |CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * m.mad THEN 1 ELSE 0 END)
+        |AS BIGINT) AS n_outliers,
+        |count(*) AS n_events
+        |FROM events e JOIN mad m USING (event_type) GROUP BY e.event_type""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar_pop
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_lang_source_mi" ->
+      """WITH j AS (SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+        |my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) * 1.0 AS n_tot FROM j)
+        |SELECT j.lang, j.source, j.n_xy,
+        |round(ln(j.n_xy * tot.n_tot / (mx.n_x * my.n_y)), 4) AS pmi,
+        |round((j.n_xy / tot.n_tot) * ln(j.n_xy * tot.n_tot / (mx.n_x * my.n_y)), 6)
+        |AS mi_term
+        |FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot""".stripMargin,
+    "q_chi2_independence" ->
+      """WITH j AS (SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM j GROUP BY 1),
+        |my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) * 1.0 AS n_tot FROM j),
+        |c AS (SELECT j.lang, j.source, j.n_xy,
+        |mx.n_x * my.n_y / tot.n_tot AS e
+        |FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot)
+        |SELECT round(sum((n_xy - e) * (n_xy - e) / e), 4) AS chi2,
+        |CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+        |count(*) AS n_cells FROM c""".stripMargin,
     "q_token_entropy" ->
       """WITH t AS (SELECT doc_id,
         |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok

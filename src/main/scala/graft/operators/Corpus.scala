@@ -425,6 +425,53 @@ object Corpus {
     * one-off corpus builds (Dedup shingles, IVF cells, RP signatures): the
     * overlap query references it three times (self-join + totals), and at
     * scale this is a materialized table, not a recomputed subquery. */
+  /** Mutual information between the lang and source labels — the corpus
+    * audit for "does one crawl source dominate a language" (a skewed
+    * lang×source joint means per-source sampling silently reweights
+    * languages). Per-cell pointwise MI plus each cell's contribution to the
+    * total; all probabilities are ratios of integer counts from ONE
+    * contingency aggregation plus broadcast-sized marginal rejoins. */
+  def langSourceMi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val joint = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = joint.agg(sum(col("n_xy")).cast("double").as("n_tot"))
+    joint
+      .join(broadcast(mx), Seq("lang"))
+      .join(broadcast(my), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("source"), col("n_xy"),
+        round(log(col("n_xy") * col("n_tot") / (col("n_x") * col("n_y"))), 4).as("pmi"),
+        round((col("n_xy") / col("n_tot")) *
+          log(col("n_xy") * col("n_tot") / (col("n_x") * col("n_y"))), 6).as("mi_term"))
+  }
+
+  /** Chi-square test of lang ⟂ source independence — the significance
+    * companion of [[langSourceMi]]: Σ (observed − expected)² / expected over
+    * the contingency cells, with degrees of freedom. The 1-row output is an
+    * aggregation OF an aggregation (cells, then the statistic) — nothing
+    * corpus-sized past the first shuffle. */
+  def langSourceChi2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val joint = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = joint.agg(sum(col("n_xy")).cast("double").as("n_tot"))
+    joint
+      .join(broadcast(mx), Seq("lang"))
+      .join(broadcast(my), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("n_x") * col("n_y") / col("n_tot"))
+      .agg(
+        round(sum((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e")), 4)
+          .as("chi2"),
+        ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1))
+          .as("dof"),
+        count(lit(1)).as("n_cells"))
+  }
+
   def sourceShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
     sourceShingleCache.computeIfAbsent((System.identityHashCode(s), d, n), key => {
       val docs = Tables.documents(s, key._2)

@@ -522,6 +522,63 @@ object Relational {
         nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
   }
 
+  /** Sliding ROWS-frame moving average per user (7-event trailing window).
+    * The frame aggregates integer CENTS and divides by the frame count —
+    * a double sum over a sliding frame is evaluation-order-defined (Spark
+    * recomputes per frame in row order, DuckDB uses segment trees), but the
+    * long sum is associative, so cents/count is the same exact rational on
+    * both engines (the q_window_range convention). One keyed shuffle. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select(
+        col("event_id"), col("user_id"),
+        round(sum(col("cents")).over(w) / (count(lit(1)).over(w) * 100.0), 4)
+          .as("trailing_avg"))
+  }
+
+  /** Robust dispersion per group: median + median-absolute-deviation and
+    * the MAD-scaled outlier count (the z-score detector's heavy-tail-proof
+    * sibling). Two-pass like [[zscoreOutliers]]: exact interpolated median,
+    * broadcast rejoin, median of absolute deviations, then a second rejoin
+    * counts |x − med| > 3·MAD rows. Exact percentile is a sort-based
+    * aggregate per group — at corpus scale swap in approx_percentile the
+    * same way q_quality_gate pairs exact/approx forms. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    events.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Bivariate statistics per group: Pearson correlation and sample/population
+    * covariance of quantity vs extended price. The built-in `corr`/`covar_*`
+    * aggregates share definitions across engines (unlike skewness/kurtosis);
+    * correlation is scale-free so 6dp rounding absorbs accumulation-order
+    * noise, covariances round at 2dp (money×qty units). One partial-agg
+    * shuffle carrying the co-moment tuple per group. */
+  def corrStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar_pop"))
+
   /** max_by/min_by aggregates: each customer's priciest order without a
     * window — single aggregation, no sort. Plain value ordering is
     * deterministic here because (custkey, totalprice) has no ties in the

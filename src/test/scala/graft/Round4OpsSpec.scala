@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Relational, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Pins for the round-4 additions: BM25 ranking, token entropy, PMI
@@ -89,5 +89,42 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     val rows = Dedup.minhashJaccardEst(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Int]("in_bound") == 1))
+  }
+
+  test("trailing moving average stays inside each user's value envelope") {
+    val avgs = Relational.movingAvg(spark, sf)
+    val env = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val out = avgs.join(env, Seq("user_id"))
+      // floor-to-cents can sit up to 0.01 below the true min
+      .filter(col("trailing_avg") < col("lo") - 0.01 || col("trailing_avg") > col("hi"))
+    assert(out.count() == 0)
+  }
+
+  test("MAD is non-negative and outliers are a strict subset") {
+    val rows = Relational.madOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("correlation is bounded in [-1, 1]") {
+    val rows = Relational.corrStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("qty_price_corr")) <= 1.0))
+  }
+
+  test("mutual information is non-negative and chi2/dof are consistent") {
+    val mi = Corpus.langSourceMi(spark, sf)
+      .agg(sum(col("mi_term"))).head().getDouble(0)
+    // MI >= 0 for any joint distribution; per-cell terms may be negative
+    assert(mi >= -1e-9)
+    val chi = Corpus.langSourceChi2(spark, sf).head()
+    assert(chi.getAs[Double]("chi2") >= 0.0)
+    val nLang = Tables.documents(spark, sf).select(col("lang")).distinct().count()
+    val nSrc = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    assert(chi.getAs[Long]("dof") == (nLang - 1) * (nSrc - 1))
   }
 }
