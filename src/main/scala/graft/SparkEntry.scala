@@ -130,6 +130,8 @@ object SparkEntry {
     "q_corr_stats" -> (Relational.corrStats _),
     "q_lang_source_mi" -> (Corpus.langSourceMi _),
     "q_chi2_independence" -> (Corpus.langSourceChi2 _),
+    "q_ks_test" -> ((s, d) => Corpus.ksLengthTest(s, d)),
+    "q_gini_tokens" -> (Corpus.tokenGini _),
     "q_repetition" -> (TextAnalysis.repetitionStats _),
     "q_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
@@ -945,6 +947,29 @@ object SparkEntry {
         |SELECT round(sum((n_xy - e) * (n_xy - e) / e), 4) AS chi2,
         |CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
         |count(*) AS n_cells FROM c""".stripMargin,
+    "q_ks_test" ->
+      """WITH dd AS (SELECT n_chars, CAST(source = 'src0' AS INT) AS is_a
+        |FROM documents WHERE source IN ('src0', 'src1')),
+        |cells AS (SELECT n_chars, CAST(sum(is_a) AS BIGINT) AS ca,
+        |CAST(sum(1 - is_a) AS BIGINT) AS cb FROM dd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) * 1.0 AS na,
+        |CAST(sum(cb) AS BIGINT) * 1.0 AS nb FROM cells),
+        |cum AS (SELECT n_chars,
+        |CAST(sum(ca) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+        |CAST(sum(cb) OVER (ORDER BY n_chars ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+        |FROM cells)
+        |SELECT round(max(abs(cum_a / tot.na - cum_b / tot.nb)), 6) AS ks_d,
+        |CAST(max(tot.na) AS BIGINT) AS n_a, CAST(max(tot.nb) AS BIGINT) AS n_b
+        |FROM cum CROSS JOIN tot""".stripMargin,
+    "q_gini_tokens" ->
+      """WITH f AS (SELECT tok, count(*) AS c FROM (
+        |SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |x -> x != '')) AS tok FROM documents) GROUP BY tok),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c ASC, tok ASC) AS BIGINT) AS i
+        |FROM f)
+        |SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |round(2.0 * CAST(sum(i * c) AS BIGINT) / (count(*) * CAST(sum(c) AS BIGINT))
+        |- (count(*) + 1.0) / count(*), 6) AS gini FROM r""".stripMargin,
     "q_token_entropy" ->
       """WITH t AS (SELECT doc_id,
         |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok

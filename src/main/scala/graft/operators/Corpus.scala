@@ -472,6 +472,65 @@ object Corpus {
         count(lit(1)).as("n_cells"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between two sources' document
+    * length distributions — the drift detector for "did this crawl batch
+    * change shape" (re-crawl QA, corpus-mix monitoring). D = max |F_a − F_b|
+    * over the pooled support.
+    *
+    * Scale shape: the corpus reduces to per-(value, side) counts FIRST (one
+    * partial-agg shuffle), so the cumulative window runs over the
+    * |distinct lengths|-sized aggregate — the same
+    * SinglePartition-over-an-aggregate pattern as q_mix_weights, by
+    * construction never over corpus rows. The max-abs-diff is
+    * order-independent, so the statistic is engine-exact on integer
+    * counts. */
+  def ksLengthTest(s: SparkSession, d: String,
+                   srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("n_chars"), (col("source") === srcA).cast("int").as("is_a"))
+    val cells = docs.groupBy(col("n_chars"))
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1) - col("is_a")).as("cb"))
+    val tot = cells.agg(sum(col("ca")).cast("double").as("na"),
+      sum(col("cb")).cast("double").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        round(max(abs(col("cum_a") / col("na") - col("cum_b") / col("nb"))), 6).as("ks_d"),
+        max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"))
+  }
+
+  /** Gini coefficient of the corpus token-frequency distribution — the
+    * one-number vocabulary-concentration audit (a near-1 Gini means a few
+    * tokens dominate: template spam or a collapsed crawl). Computed from the
+    * rank formula G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over frequencies sorted
+    * ascending. The explode reduces to the |vocab|-sized frequency table in
+    * one partial-agg shuffle; the rank window runs over that aggregate
+    * (the q_mix_weights pattern), and every sum is integer-exact. */
+  def tokenGini(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").asc, col("tok").asc)
+    freq
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        round(
+          lit(2.0) * sum(col("i") * col("c")) / (count(lit(1)) * sum(col("c")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
   def sourceShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
     sourceShingleCache.computeIfAbsent((System.identityHashCode(s), d, n), key => {
       val docs = Tables.documents(s, key._2)

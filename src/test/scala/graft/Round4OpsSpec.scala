@@ -127,4 +127,18 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     val nSrc = Tables.documents(spark, sf).select(col("source")).distinct().count()
     assert(chi.getAs[Long]("dof") == (nLang - 1) * (nSrc - 1))
   }
+
+  test("KS statistic is a probability-difference in [0, 1]") {
+    val r = Corpus.ksLengthTest(spark, sf).head()
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
+  test("token gini is in [0, 1) and grows with concentration") {
+    val r = Corpus.tokenGini(spark, sf).head()
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+  }
 }
