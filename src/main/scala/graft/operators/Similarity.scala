@@ -38,6 +38,36 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** ANN recall, bound-oracled (the q_minhash_est pattern): overall
+    * recall@5 of the IVF probe and the sign-LSH path against the exact
+    * brute-force baseline, emitted as in-bound flags at the ≥60% level the
+    * ScalaTest pins assert. Promotes the spec-only recall invariant into
+    * the driver's hash-compared correctness artifact — the oracle emits the
+    * query-set size and literal 1s; any recall regression below the bound
+    * flips a flag and reds the row. All three top-k frames are 25 rows; the
+    * joins are trivially broadcast. */
+  def annRecallBound(s: SparkSession, d: String, minRecall: Double = 0.6): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // 10-query probe set (the IvfStreamSpec convention): wide enough that
+    // the ≥60% aggregate bound holds with headroom at every test SF
+    val q = emb.filter(col("vec_id") < 10)
+    val (assigned, centroids) = IvfIndex.index(s, d)
+    val brute = bruteForceTopK(q, emb, 5).select(col("query_id"), col("cand_id"))
+    val ivf = IvfIndex.ivfTopK(q, assigned, centroids, 5)
+      .select(col("query_id"), col("cand_id"))
+    val lsh = lshTopK(q, emb, 5)
+      .select(col("query_id"), col("cand_id"))
+    val base = brute.agg(count(lit(1)).as("n_exact"),
+      countDistinct(col("query_id")).as("n_queries"))
+    val hitIvf = brute.join(ivf, Seq("query_id", "cand_id")).agg(count(lit(1)).as("n_ivf"))
+    val hitLsh = brute.join(lsh, Seq("query_id", "cand_id")).agg(count(lit(1)).as("n_lsh"))
+    base.crossJoin(hitIvf).crossJoin(hitLsh)
+      .select(
+        col("n_queries"),
+        (col("n_ivf") / col("n_exact") >= minRecall).cast("int").as("ivf_in_bound"),
+        (col("n_lsh") / col("n_exact") >= minRecall).cast("int").as("lsh_in_bound"))
+  }
+
   /** D3 as a registered query: exact top-5 neighbors for the first 5 vectors. */
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

@@ -135,6 +135,14 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
   }
 
+  test("ann recall bound flags are set for both approximate paths") {
+    val r = graft.operators.Similarity.annRecallBound(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_queries") == 10L)
+    assert(r.head.getAs[Int]("ivf_in_bound") == 1)
+    assert(r.head.getAs[Int]("lsh_in_bound") == 1)
+  }
+
   test("token gini is in [0, 1) and grows with concentration") {
     val r = Corpus.tokenGini(spark, sf).head()
     val g = r.getAs[Double]("gini")
