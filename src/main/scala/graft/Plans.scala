@@ -23,7 +23,8 @@ object Plans {
     "q_source_overlap", "q_bm25", "q_pmi_bigrams", "q_token_entropy",
     "q_moments", "q_mode_value", "q_minhash_est", "q_moving_avg",
     "q_mad_outliers", "q_corr_stats", "q_lang_source_mi",
-    "q_chi2_independence", "q_ks_test", "q_gini_tokens")
+    "q_chi2_independence", "q_ks_test", "q_gini_tokens", "q_novelty",
+    "q_passage_dedup", "q_zipf_slope")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -133,6 +133,9 @@ object SparkEntry {
     "q_chi2_independence" -> (Corpus.langSourceChi2 _),
     "q_ks_test" -> ((s, d) => Corpus.ksLengthTest(s, d)),
     "q_gini_tokens" -> (Corpus.tokenGini _),
+    "q_novelty" -> (Dedup.noveltyScores _),
+    "q_passage_dedup" -> ((s, d) => Dedup.passageDedupDecision(s, d)),
+    "q_zipf_slope" -> (Corpus.zipfSlope _),
     "q_repetition" -> (TextAnalysis.repetitionStats _),
     "q_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
@@ -1048,6 +1051,44 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |ORDER BY o_orderdate ASC, o_orderkey ASC
         |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // engine counts per-doc-distinct trigram HASHES, oracle the trigram
+    // strings (the q_contamination hash-for-string convention)
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS gram
+        |FROM t WHERE len(toks) >= 3),
+        |f AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |round(avg(CASE WHEN nd = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+        |FROM g JOIN f USING (gram) GROUP BY doc_id""".stripMargin,
+    "q_passage_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |w AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 18),
+        |i -> array_to_string(toks[i:i+19], ' ')))) AS p
+        |FROM t WHERE len(toks) >= 20),
+        |f AS (SELECT p, count(*) AS nd FROM w GROUP BY p),
+        |a AS (SELECT doc_id, count(*) AS n_windows,
+        |CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |round(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END), 4) AS shared_ratio
+        |FROM w JOIN f USING (p) GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_shared, shared_ratio,
+        |CAST(shared_ratio <= 0.5 AS INT) AS keep FROM a""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH f AS (SELECT tok, count(*) AS c FROM (
+        |SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |x -> x != '')) AS tok FROM documents) GROUP BY tok),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+        |ln(CAST(c AS DOUBLE)) AS y FROM f),
+        |a AS (SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+        |sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+        |FROM a""".stripMargin,
     // engine computes exact Jaccard on 8-byte shingle hashes + the MinHash
     // estimate; oracle recomputes exact Jaccard from shingle STRINGS and
     // trusts the pinned estimator bound (in_bound = 1 for every pair at

@@ -531,6 +531,35 @@ object Corpus {
             - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
   }
 
+  /** Zipf-law fit of the token-frequency distribution: least-squares slope
+    * of ln(frequency) on ln(rank) — natural text sits near −1; a far-off
+    * slope flags synthetic/templated corpora. The regression runs over the
+    * |vocab|-sized frequency aggregate (rank window over the aggregate, the
+    * q_mix_weights pattern), with the closed-form normal-equation arithmetic
+    * written identically on both engines. */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    freq
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_types"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
   def sourceShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
     sourceShingleCache.computeIfAbsent((System.identityHashCode(s), d, n), key => {
       val docs = Tables.documents(s, key._2)

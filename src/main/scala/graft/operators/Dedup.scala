@@ -430,6 +430,43 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .groupBy(col("n_docs")).agg(count(lit(1)).as("n_passages"))
 
+  /** Per-document n-gram novelty — the memorization-risk/diversity metric:
+    * what fraction of a doc's distinct 3-gram shingles appear in NO other
+    * document. Low novelty = boilerplate family member; a corpus whose mean
+    * novelty collapses is a crawl gone circular. Rides the memoized
+    * [[shingleArtifacts]] frame, so the frequency agg and the rejoin both
+    * exchange 8-byte hashes — the [[graft.operators.TextAnalysis#boilerplateLines]]
+    * shape one level down (n-grams instead of sentences). */
+  def noveltyScores(s: SparkSession, d: String): DataFrame = {
+    val (sh, _) = shingleArtifacts(s, d)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs_with"))
+    sh.join(freq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs_with") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(when(col("n_docs_with") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
+  }
+
+  /** The decision [[repeatedPassageStats]] surveys for: per document, the
+    * fraction of its 20-token windows shared with other documents, and the
+    * keep/drop flag at the `maxShared` policy threshold — exact-substring
+    * dedup's shipped output. The flag compares the ROUNDED ratio so the
+    * threshold decision is engine-identical. Same artifact, same two
+    * hash-keyed shuffles as the survey query. */
+  def passageDedupDecision(s: SparkSession, d: String,
+                           n: Int = 20, maxShared: Double = 0.5): DataFrame = {
+    val sh = passageShingleArtifact(s, d, n)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("nd"))
+    sh.join(freq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        round(avg(when(col("nd") >= 2, 1.0).otherwise(0.0)), 4).as("shared_ratio"))
+      .withColumn("keep", (col("shared_ratio") <= maxShared).cast("int"))
+  }
+
   // ----------------------------------------------------- Incremental dedup
 
   /** D1 incremental exact dedup: keep the rows of `incoming` whose content

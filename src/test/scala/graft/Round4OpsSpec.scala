@@ -149,4 +149,30 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(g >= 0.0 && g < 1.0)
     assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
   }
+
+  test("novelty is a ratio and unique shingles are a subset") {
+    val rows = Dedup.noveltyScores(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_shingles"))
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+  }
+
+  test("passage-dedup keep flag matches the shared-ratio policy") {
+    val rows = Dedup.passageDedupDecision(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_windows"))
+      val keep = r.getAs[Int]("keep") == 1
+      assert(keep == (r.getAs[Double]("shared_ratio") <= 0.5))
+    }
+  }
+
+  test("zipf slope is negative on natural-ish frequency decay") {
+    val r = Corpus.zipfSlope(spark, sf).head()
+    assert(r.getAs[Long]("n_types") > 1L)
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+  }
 }
