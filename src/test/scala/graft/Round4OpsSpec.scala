@@ -175,4 +175,37 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r.getAs[Long]("n_types") > 1L)
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
+
+  test("round-4 corpus operators survive a hostile documents table end to end") {
+    // The EdgeCaseSpec poison shapes, written as a FULL-schema documents
+    // table so the (session, dir)-shaped operators run against it unchanged
+    // — a poison row must degrade (drop/null), never throw under ANSI mode.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-poison-docs").toString
+    Seq(
+      (1L, null.asInstanceOf[String], "en", "src0", 0L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "   \t  ", "de", "src1", 6L),
+      (4L, "single", "de", "src1", 6L),
+      (5L, "two tokens", "fr", "src2", 10L),
+      (6L, "日本語のテキストです 中文文本", "zh", "src2", 14L),
+      (7L, "emoji 🎉🎊 and controlchars", "en", "src0", 28L),
+      (8L, ("a " * 50) + "long tail", "en", "src1", 109L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.Dedup.dropCorpusArtifacts(spark, dir)
+    // each op must EXECUTE without an exception; row counts are free to be 0
+    assert(TextAnalysis.tokenEntropy(spark, dir).collect() != null)
+    assert(TextAnalysis.bm25Rank(spark, dir).collect() != null)
+    assert(TextAnalysis.pmiCollocations(spark, dir, minCount = 1).collect() != null)
+    assert(Dedup.noveltyScores(spark, dir).collect() != null)
+    assert(Dedup.passageDedupDecision(spark, dir).collect() != null)
+    assert(Dedup.minhashJaccardEst(spark, dir).collect() != null)
+    assert(Corpus.zipfSlope(spark, dir).collect() != null)
+    assert(Corpus.tokenGini(spark, dir).collect() != null)
+    assert(Corpus.ksLengthTest(spark, dir).collect() != null)
+    assert(Corpus.langSourceMi(spark, dir).collect() != null)
+    assert(Corpus.langSourceChi2(spark, dir).collect() != null)
+    graft.operators.Dedup.dropCorpusArtifacts(spark, dir)
+  }
 }
