@@ -52,6 +52,8 @@ object SparkEntry {
     "q_approx_percentile" -> (Relational.approxPercentilesBounded _),
     "q_props_map" -> (Relational.propsMapQuery _),
     "q_events_hourly" -> (Relational.eventsHourly _),
+    "q_densify_hours" -> (Relational.densifyHourly _),
+    "q_gap_islands" -> (Relational.activityIslands _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -270,6 +272,26 @@ object SparkEntry {
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
         |count(*) AS n_events FROM events GROUP BY 1, 2""".stripMargin,
+    "q_densify_hours" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |count(*) AS n_events FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT s.hour, t.event_type, COALESCE(c.n_events, 0) AS n_events
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN c ON c.hour = s.hour AND c.event_type = t.event_type""".stripMargin,
+    "q_gap_islands" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |count(*) AS n_events FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, hour, n_events,
+        |CAST(floor(epoch(hour) / 3600) AS BIGINT)
+        |- row_number() OVER (PARTITION BY event_type ORDER BY hour ASC) AS grp FROM h)
+        |SELECT event_type, min(hour) AS island_start, max(hour) AS island_end,
+        |count(*) AS n_hours, CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM g GROUP BY event_type, grp""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

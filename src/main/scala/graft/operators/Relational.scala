@@ -593,6 +593,53 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("best_price"),
         min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"))
 
+  /** Dense hourly series per event type: every hour between the corpus min
+    * and max appears, zero-filled where no events landed — what a dashboard
+    * consumer (the reference's Grafana, applications/applications.tf:135-145)
+    * needs to draw unbroken lines. The hour spine is generated from the
+    * 1-row min/max aggregate (`sequence` + explode — never a corpus-sized
+    * range join) and cross-joined with the distinct-type frame, both
+    * broadcast; the observed counts left-join onto the spine keyed on
+    * (type, hour). */
+  def densifyHourly(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = span
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val types = events.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Gaps-and-islands over the hourly series: contiguous runs of ACTIVE
+    * hours per event type, found with the classic row_number-difference
+    * trick (hours_since_epoch − row_number is constant within a run). The
+    * window partitions by type over the hourly AGGREGATE (at most
+    * hours×types rows), never raw events. */
+  def activityIslands(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    hourly
+      .withColumn("hn", (unix_timestamp(col("hour")) / 3600).cast("long"))
+      .withColumn("grp", col("hn") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(
+        min(col("hour")).as("island_start"),
+        max(col("hour")).as("island_end"),
+        count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("n_events"))
+      .drop("grp")
+  }
+
   /** Time-bucketed aggregation over events (the Grafana-consumption shape:
     * applications/applications.tf:135-145). */
   def eventsHourly(s: SparkSession, d: String): DataFrame =

@@ -176,6 +176,28 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("densified hourly series is gapless and sums to the event count") {
+    val dense = Relational.densifyHourly(spark, sf)
+    val nTypes = Tables.events(spark, sf).select(col("event_type")).distinct().count()
+    val hours = dense.select(col("hour")).distinct().count()
+    // spine completeness: rows = hours × types exactly
+    assert(dense.count() == hours * nTypes)
+    // zero-filling must not invent or lose events
+    val total = dense.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("activity islands partition the active hours exactly") {
+    val islands = Relational.activityIslands(spark, sf)
+    val activeHours = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts"))).distinct().count()
+    assert(islands.agg(sum(col("n_hours"))).head().getLong(0) == activeHours)
+    islands.collect().foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("island_start")
+        .after(r.getAs[java.sql.Timestamp]("island_end")))
+    }
+  }
+
   test("round-4 corpus operators survive a hostile documents table end to end") {
     // The EdgeCaseSpec poison shapes, written as a FULL-schema documents
     // table so the (session, dir)-shaped operators run against it unchanged
