@@ -24,7 +24,8 @@ object Plans {
     "q_moments", "q_mode_value", "q_minhash_est", "q_moving_avg",
     "q_mad_outliers", "q_corr_stats", "q_lang_source_mi",
     "q_chi2_independence", "q_ks_test", "q_gini_tokens", "q_novelty",
-    "q_passage_dedup", "q_zipf_slope", "q_densify_hours", "q_gap_islands")
+    "q_passage_dedup", "q_zipf_slope", "q_densify_hours", "q_gap_islands",
+    "q_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_window_firstlast" -> (Relational.windowFirstLast _),
     "q_minhash_est" -> ((s, d) => Dedup.minhashJaccardEst(s, d)),
     "q_moving_avg" -> (Relational.movingAvg _),
+    "q_ewma" -> ((s, d) => Relational.ewmaTrailing(s, d)),
     "q_mad_outliers" -> (Relational.madOutliers _),
     "q_corr_stats" -> (Relational.corrStats _),
     "q_lang_source_mi" -> (Corpus.langSourceMi _),
@@ -934,6 +935,35 @@ object SparkEntry {
         |FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // 8 explicit lag terms with halving weights — every product and weight
+    // exactly representable, addition order literal: oracle-exact smoother
+    "q_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT event_id, user_id,
+        |lag(cents, 0) OVER w AS l0, lag(cents, 1) OVER w AS l1,
+        |lag(cents, 2) OVER w AS l2, lag(cents, 3) OVER w AS l3,
+        |lag(cents, 4) OVER w AS l4, lag(cents, 5) OVER w AS l5,
+        |lag(cents, 6) OVER w AS l6, lag(cents, 7) OVER w AS l7
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT event_id, user_id, round((
+        |CASE WHEN l0 IS NOT NULL THEN l0 / 1.0 ELSE 0 END
+        |+ CASE WHEN l1 IS NOT NULL THEN l1 / 2.0 ELSE 0 END
+        |+ CASE WHEN l2 IS NOT NULL THEN l2 / 4.0 ELSE 0 END
+        |+ CASE WHEN l3 IS NOT NULL THEN l3 / 8.0 ELSE 0 END
+        |+ CASE WHEN l4 IS NOT NULL THEN l4 / 16.0 ELSE 0 END
+        |+ CASE WHEN l5 IS NOT NULL THEN l5 / 32.0 ELSE 0 END
+        |+ CASE WHEN l6 IS NOT NULL THEN l6 / 64.0 ELSE 0 END
+        |+ CASE WHEN l7 IS NOT NULL THEN l7 / 128.0 ELSE 0 END) / (
+        |CASE WHEN l0 IS NOT NULL THEN 1.0 ELSE 0 END
+        |+ CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0 END
+        |+ CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0 END
+        |+ CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0 END
+        |+ CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0 END
+        |+ CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0 END
+        |+ CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0 END
+        |+ CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0 END) / 100.0, 4) AS ewma
+        |FROM l""".stripMargin,
     "q_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |FROM events GROUP BY 1),

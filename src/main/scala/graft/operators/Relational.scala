@@ -540,6 +540,31 @@ object Relational {
           .as("trailing_avg"))
   }
 
+  /** Truncated exponentially-weighted moving average per user (α = 1/2,
+    * 8 terms): the trend smoother dashboards run beside the flat moving
+    * average. Written as 8 explicit lag terms with halving weights rather
+    * than a recursive form — every weight 2⁻ᵏ and every cents·2⁻ᵏ product
+    * is EXACTLY representable in binary doubles and the addition order is
+    * the literal term order on both engines, so the whole smoother is
+    * oracle-exact (no libm pow anywhere). Missing leading terms drop out of
+    * numerator and denominator together. One keyed shuffle. */
+  def ewmaTrailing(s: SparkSession, d: String, terms: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cents = floor(col("value") * 100).cast("long")
+    val lags = (0 until terms).map(k => lag(cents, k).over(w))
+    val num = lags.zipWithIndex.map { case (l, k) =>
+      when(l.isNotNull, l.cast("double") / lit(1L << k).cast("double")).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = lags.zipWithIndex.map { case (l, k) =>
+      when(l.isNotNull, lit(1.0) / lit(1L << k).cast("double")).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den / 100.0, 4))
+      .select(col("event_id"), col("user_id"), col("ewma"))
+  }
+
   /** Robust dispersion per group: median + median-absolute-deviation and
     * the MAD-scaled outlier count (the z-score detector's heavy-tail-proof
     * sibling). Two-pass like [[zscoreOutliers]]: exact interpolated median,

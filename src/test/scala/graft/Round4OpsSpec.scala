@@ -176,6 +176,17 @@ class Round4OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r.getAs[Double]("zipf_slope") < 0.0)
   }
 
+  test("ewma stays inside each user's value envelope") {
+    val out = Relational.ewmaTrailing(spark, sf)
+    val env = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    // any convex combination of (floor-cents of) past values sits in the
+    // envelope, up to the 0.01 floor slack
+    val bad = out.join(env, Seq("user_id"))
+      .filter(col("ewma") < col("lo") - 0.01 || col("ewma") > col("hi"))
+    assert(bad.count() == 0)
+  }
+
   test("densified hourly series is gapless and sums to the event count") {
     val dense = Relational.densifyHourly(spark, sf)
     val nTypes = Tables.events(spark, sf).select(col("event_type")).distinct().count()
