@@ -54,6 +54,9 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.eventsHourly _),
     "q_densify_hours" -> (Relational.densifyHourly _),
     "q_gap_islands" -> (Relational.activityIslands _),
+    "q_interpolate" -> (Relational.interpolateHourly _),
+    "q_cume_distinct_users" -> (Relational.cumulativeDistinctUsers _),
+    "q_scd2" -> (Relational.scd2Intervals _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -110,6 +113,7 @@ object SparkEntry {
     "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
     "q_ann_recall" -> ((s, d) => Similarity.annRecallBound(s, d)),
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
@@ -177,6 +181,7 @@ object SparkEntry {
     "q_dup_rate" -> (Corpus.dupRateBySource _),
     "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_priority_sample" -> (Corpus.prioritySampleQuery _),
+    "q_upsample_balance" -> (Corpus.upsampleBalanced _),
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_token_budget" -> (Corpus.budgetQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
@@ -293,6 +298,57 @@ object SparkEntry {
         |SELECT event_type, min(hour) AS island_start, max(hour) AS island_end,
         |count(*) AS n_hours, CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM g GROUP BY event_type, grp""".stripMargin,
+    "q_interpolate" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |round(sum(value), 2) AS v_obs FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |sparse AS (SELECT s.hour, t.event_type, h.v_obs FROM spine s
+        |CROSS JOIN types t
+        |LEFT JOIN h ON h.hour = s.hour AND h.event_type = t.event_type),
+        |g AS (SELECT hour, event_type, v_obs,
+        |count(v_obs) OVER (PARTITION BY event_type ORDER BY hour ASC
+        |ROWS UNBOUNDED PRECEDING) AS gp,
+        |count(v_obs) OVER (PARTITION BY event_type ORDER BY hour DESC
+        |ROWS UNBOUNDED PRECEDING) AS gn FROM sparse),
+        |b AS (SELECT hour, event_type, v_obs,
+        |max(v_obs) OVER (PARTITION BY event_type, gp) AS prev_v,
+        |max(CASE WHEN v_obs IS NOT NULL THEN hour END)
+        |OVER (PARTITION BY event_type, gp) AS prev_h,
+        |max(v_obs) OVER (PARTITION BY event_type, gn) AS next_v,
+        |max(CASE WHEN v_obs IS NOT NULL THEN hour END)
+        |OVER (PARTITION BY event_type, gn) AS next_h FROM g)
+        |SELECT hour, event_type,
+        |round(CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |ELSE prev_v + (next_v - prev_v) *
+        |(CAST(epoch(hour) - epoch(prev_h) AS DOUBLE) /
+        |CAST(epoch(next_h) - epoch(prev_h) AS DOUBLE)) END, 4) AS value_filled,
+        |CAST(v_obs IS NOT NULL AS INT) AS observed
+        |FROM b""".stripMargin,
+    "q_cume_distinct_users" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |FROM events GROUP BY user_id),
+        |pd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY day)
+        |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day ASC
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users FROM pd""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+        |WHERE user_id < 30),
+        |r AS (SELECT user_id, event_type, ts,
+        |row_number() OVER (PARTITION BY user_id
+        |ORDER BY ts ASC, event_id ASC) AS rn,
+        |row_number() OVER (PARTITION BY user_id, event_type
+        |ORDER BY ts ASC, event_id ASC) AS rt FROM e),
+        |runs AS (SELECT user_id, event_type, rn - rt AS grp,
+        |min(ts) AS valid_from, count(*) AS n_events
+        |FROM r GROUP BY user_id, event_type, rn - rt)
+        |SELECT user_id, event_type, valid_from,
+        |lead(valid_from, 1) OVER (PARTITION BY user_id
+        |ORDER BY valid_from ASC, event_type ASC) AS valid_to,
+        |n_events FROM runs""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -558,6 +614,20 @@ object SparkEntry {
         |CAST(row_number() OVER (PARTITION BY query_id
         |ORDER BY raw_cos DESC, cand_id ASC) AS INT) AS rank FROM scored)
         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+        |FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cand_id, label AS c_label, embedding AS ce
+        |FROM embeddings),
+        |scored AS (SELECT query_id, q_label, cand_id, c_label,
+        |list_cosine_similarity(qe, ce) AS raw_cos
+        |FROM q, c WHERE c_label <> q_label),
+        |ranked AS (SELECT query_id, q_label, cand_id, c_label,
+        |round(raw_cos, 4) AS cos,
+        |CAST(row_number() OVER (PARTITION BY query_id
+        |ORDER BY raw_cos DESC, cand_id ASC) AS INT) AS rank FROM scored)
+        |SELECT query_id, q_label, cand_id, c_label, cos, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_centroids" ->
       """SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 5) AS centroid_v FROM (
         |SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -881,6 +951,13 @@ object SparkEntry {
         |/ (CASE WHEN source = 'src0' THEN 4 WHEN source = 'src1' THEN 2 ELSE 1 END))
         |AS BIGINT) AS priority
         |FROM documents ORDER BY priority ASC, doc_id ASC LIMIT 200""".stripMargin,
+    "q_upsample_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_class FROM documents GROUP BY lang),
+        |t AS (SELECT max(n_class) AS target FROM c),
+        |r AS (SELECT lang, (target + n_class - 1) // n_class AS copies FROM c, t)
+        |SELECT d.doc_id, d.lang,
+        |CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_id
+        |FROM documents d JOIN r USING (lang)""".stripMargin,
     "q_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 6)

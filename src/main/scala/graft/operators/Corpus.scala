@@ -98,6 +98,28 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
       .withColumn("dup_rate", round(lit(1.0) - col("n_unique") / col("n_docs"), 4))
 
+  /** Class-balanced oversampling: replicate each document so every language
+    * class reaches (at least) the majority class's size — the minority-class
+    * upsampling step of an imbalanced training build. Integer-exact copy
+    * counts: copies = ceil(target / n_class) computed in long division
+    * ((t + n − 1) div n), no doubles anywhere, so the replication factor is
+    * engine-portable. Scale shape: the class-count frame is |classes| rows
+    * (one partial-agg shuffle), the target is a 1-row agg of THAT, both
+    * broadcast back; the replication itself is a scan-local
+    * explode(sequence) — the corpus is never shuffled to be copied, and
+    * each emitted row carries its copy_id for downstream seed derivation. */
+  def upsampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val byClass = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_class"))
+    val target = byClass.agg(max(col("n_class")).as("target"))
+    val copies = byClass.crossJoin(broadcast(target))
+      .select(col("lang"),
+        expr("(target + n_class - 1) div n_class").as("copies"))
+    docs.join(broadcast(copies), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1L, copies)")).as("copy_id"))
+  }
+
   /** Exact-size weighted sample: k docs chosen by deterministic LCG
     * priority, with per-source weights applied as integer divisors (weight
     * 4 → priorities 4× smaller → 4× the selection odds at any k). Unlike

@@ -665,6 +665,103 @@ object Relational {
       .drop("grp")
   }
 
+  /** Linear interpolation of gaps in the hourly value series per event
+    * type — the sensor-style gap-fill ([[densifyHourly]] zero-fills counts;
+    * this treats absent hours as UNKNOWN readings and reconstructs them from
+    * the neighbors). Scale shape: all windows run over the hourly AGGREGATE
+    * (≤ hours×types rows), partitioned by type — the event stream reduces
+    * in one partial-agg shuffle first. Neighbor lookup uses the cumulative
+    * non-null-count trick (count(v) over the ordered frame is constant
+    * within a gap, so the gap joins its bracketing observation via a
+    * group-max window) — no IGNORE NULLS dependence, identical semantics on
+    * any engine. Determinism: observed values are rounded BEFORE
+    * interpolation, so both engines interpolate bit-identical inputs with
+    * the same literal expression order. */
+  def interpolateHourly(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value")), 2).as("v_obs"))
+    val span = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = span
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val types = events.select(col("event_type")).distinct()
+    val sparse = spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour", "event_type"), "left")
+    val wAsc = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = sparse
+      .withColumn("gp", count(col("v_obs")).over(wAsc))
+      .withColumn("gn", count(col("v_obs")).over(wDesc))
+    val wp = Window.partitionBy(col("event_type"), col("gp"))
+    val wn = Window.partitionBy(col("event_type"), col("gn"))
+    grouped
+      .withColumn("prev_v", max(col("v_obs")).over(wp))
+      .withColumn("prev_h", max(when(col("v_obs").isNotNull, col("hour"))).over(wp))
+      .withColumn("next_v", max(col("v_obs")).over(wn))
+      .withColumn("next_h", max(when(col("v_obs").isNotNull, col("hour"))).over(wn))
+      .withColumn("value_filled", round(
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            ((unix_timestamp(col("hour")) - unix_timestamp(col("prev_h"))).cast("double") /
+              (unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))).cast("double"))),
+        4))
+      .select(col("hour"), col("event_type"), col("value_filled"),
+        col("v_obs").isNotNull.cast("int").as("observed"))
+  }
+
+  /** Cumulative distinct users per day — the growth-dashboard line that is
+    * an anti-pattern when written naively (COUNT(DISTINCT) over an
+    * ever-growing window rescans the stream per day). The scale shape:
+    * distinct-over-growing-window ≡ first-seen-then-cumulate — one keyed
+    * agg collapses the stream to a row per user (their first active day),
+    * a second collapses that to a row per day, and the running total is a
+    * SinglePartition window over the |days|-row aggregate only. */
+  def cumulativeDistinctUsers(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cume_users", sum(col("n_new")).over(w))
+      .select(col("day"), col("n_new"), col("cume_users"))
+  }
+
+  /** SCD2-style validity intervals from the event stream: per user, collapse
+    * consecutive same-type events into one row with [valid_from, valid_to)
+    * bounds (valid_to null = current) — the slowly-changing-dimension build
+    * every warehouse runs on a change feed. One shuffle on user_id; the
+    * run-collapse is the row_number-difference trick inside that partition;
+    * interval bounds come from a lead over the |runs|-sized collapsed frame.
+    * Bounded to user_id < 30 so the oracle output stays reviewable — the
+    * plan is user-count-partitioned and unbounded-safe. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runs = ev
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("rt", row_number().over(wType))
+      .withColumn("grp", col("rn") - col("rt"))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wLead = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from").asc, col("event_type").asc)
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wLead))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
   /** Time-bucketed aggregation over events (the Grafana-consumption shape:
     * applications/applications.tf:135-145). */
   def eventsHourly(s: SparkSession, d: String): DataFrame =

@@ -74,6 +74,33 @@ object Similarity {
     bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * training-data op behind "for each anchor, find the most-confusable
+    * examples of a DIFFERENT class"): top-k highest-cosine candidates whose
+    * label differs from the anchor's. Same bounded-anchor / broadcast shape
+    * as [[bruteForceTopK]] — the anchor set is the small side by contract
+    * (a mining batch, not the corpus), so candidates never shuffle; the
+    * label inequality is a residual predicate on the broadcast join. At
+    * 100 TB the candidate stage swaps for the IVF probe exactly as
+    * `q_ann_ivf` does — the keep/rank logic downstream is unchanged. */
+  def hardNegatives(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"), vecNorm(col("embedding")).as("q_norm"))
+    val c = emb.select(
+      col("vec_id").as("cand_id"), col("label").as("c_label"),
+      col("embedding").as("c_emb"), vecNorm(col("embedding")).as("c_norm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("cos", try_divide(vecDot(col("q_emb"), col("c_emb")), col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN (the scale path): `tables` hash tables × `bits` sign
     * bits, all signatures computed in one pass per row, then ONE equi-join on
     * (table, signature) — at 100 TB the bucket key is the shuffle key and

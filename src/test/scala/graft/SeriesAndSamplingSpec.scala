@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Corpus, Relational, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Pins for the series/sampling batch: linear gap interpolation, cumulative
+  * distinct users, SCD2 validity intervals, hard-negative mining, and
+  * class-balanced upsampling. Each test asserts an invariant the DuckDB
+  * hash-compare can't express (boundedness, interval algebra, cross-query
+  * agreement with an independent Spark computation).
+  */
+class SeriesAndSamplingSpec extends SparkSpec {
+
+  test("interpolated values are bracketed by their neighbors; observed rows pass through") {
+    val rows = Relational.interpolateHourly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per type: gather observed series, check gap rows sit inside the
+    // bracketing observations' [min, max] and edge rows are null
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byHour = rs.sortBy(_.getAs[java.sql.Timestamp]("hour").getTime)
+      val obsIdx = byHour.zipWithIndex.filter(_._1.getAs[Int]("observed") == 1).map(_._2)
+      assert(obsIdx.nonEmpty)
+      byHour.zipWithIndex.foreach { case (r, i) =>
+        val v = Option(r.getAs[java.lang.Double]("value_filled")).map(_.toDouble)
+        if (r.getAs[Int]("observed") == 1) assert(v.isDefined)
+        else if (i < obsIdx.head || i > obsIdx.last) assert(v.isEmpty, s"edge row $i must be null")
+        else {
+          val prev = obsIdx.filter(_ < i).last
+          val next = obsIdx.filter(_ > i).head
+          val a = byHour(prev).getAs[Double]("value_filled")
+          val b = byHour(next).getAs[Double]("value_filled")
+          assert(v.isDefined)
+          assert(v.get >= math.min(a, b) - 1e-4 && v.get <= math.max(a, b) + 1e-4,
+            s"gap row $i=$v outside [$a, $b]")
+        }
+      }
+    }
+  }
+
+  test("cumulative distinct users ends at the true distinct count and is strictly increasing") {
+    val rows = Relational.cumulativeDistinctUsers(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    val trueDistinct = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.last.getAs[Long]("cume_users") == trueDistinct)
+    val cumes = rows.map(_.getAs[Long]("cume_users"))
+    assert(cumes.zip(cumes.tail).forall { case (a, b) => b > a })
+    assert(rows.map(_.getAs[Long]("n_new")).sum == trueDistinct)
+  }
+
+  test("scd2 intervals tile each user's timeline: contiguous, one open interval, type changes at bounds") {
+    val rows = Relational.scd2Intervals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evCount = Tables.events(spark, sf).filter(col("user_id") < 30).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == evCount)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[java.sql.Timestamp]("valid_from").getTime,
+        r.getAs[String]("event_type")))
+      // exactly one open (null valid_to) interval — the current state
+      assert(sorted.count(_.getAs[java.sql.Timestamp]("valid_to") == null) == 1)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+          b.getAs[java.sql.Timestamp]("valid_from"), "intervals must be contiguous")
+        assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+          "adjacent runs must change type (runs of one type are collapsed)")
+      }
+    }
+  }
+
+  test("hard negatives differ in label from the anchor and rank densely by cosine") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_label") != r.getAs[Int]("c_label"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length))
+      val coss = ranked.map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("balanced upsampling lifts every class to at least the majority size with dense copy ids") {
+    val out = Corpus.upsampleBalanced(spark, sf)
+    val perClass = out.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    val orig = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    val target = orig.values.max
+    perClass.foreach { case (lang, n) =>
+      assert(n >= target, s"$lang upsampled to $n < target $target")
+      // ceil replication overshoots by less than one original class size
+      assert(n < target + orig(lang), s"$lang overshoots: $n >= ${target + orig(lang)}")
+    }
+    // copy ids are dense 1..copies per doc
+    val maxCopy = out.groupBy(col("doc_id")).agg(
+      max(col("copy_id")).as("mx"), count(lit(1)).as("n")).collect()
+    maxCopy.foreach(r => assert(r.getAs[Long]("mx") == r.getAs[Long]("n")))
+  }
+}
