@@ -26,7 +26,8 @@ object Plans {
     "q_chi2_independence", "q_ks_test", "q_gini_tokens", "q_novelty",
     "q_passage_dedup", "q_zipf_slope", "q_densify_hours", "q_gap_islands",
     "q_ewma", "q_interpolate", "q_cume_distinct_users", "q_scd2",
-    "q_hard_negatives", "q_upsample_balance")
+    "q_hard_negatives", "q_upsample_balance", "q_seasonal_anomaly",
+    "q_wau", "q_length_deciles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -57,6 +57,8 @@ object SparkEntry {
     "q_interpolate" -> (Relational.interpolateHourly _),
     "q_cume_distinct_users" -> (Relational.cumulativeDistinctUsers _),
     "q_scd2" -> (Relational.scd2Intervals _),
+    "q_seasonal_anomaly" -> (Relational.seasonalAnomalies _),
+    "q_wau" -> (Relational.trailingWeekActives _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -182,6 +184,7 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) => Corpus.sourceOverlap(s, d)),
     "q_priority_sample" -> (Corpus.prioritySampleQuery _),
     "q_upsample_balance" -> (Corpus.upsampleBalanced _),
+    "q_length_deciles" -> (Corpus.lengthDeciles _),
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_token_budget" -> (Corpus.budgetQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
@@ -349,6 +352,36 @@ object SparkEntry {
         |lead(valid_from, 1) OVER (PARTITION BY user_id
         |ORDER BY valid_from ASC, event_type ASC) AS valid_to,
         |n_events FROM runs""".stripMargin,
+    "q_seasonal_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |count(*) AS n_events FROM events GROUP BY 1, 2),
+        |hh AS (SELECT event_type, hour, n_events,
+        |extract(hour FROM hour) AS hod FROM h),
+        |b AS (SELECT event_type, hod,
+        |CAST(sum(n_events) AS DOUBLE) AS s1,
+        |CAST(sum(n_events * n_events) AS DOUBLE) AS s2,
+        |count(*) AS cnt FROM hh GROUP BY 1, 2),
+        |bl AS (SELECT event_type, hod, s1 / cnt AS mu,
+        |sqrt(greatest(0.0, (s2 - s1 * s1 / cnt) / cnt)) AS sigma FROM b)
+        |SELECT hh.event_type, hh.hour, hh.n_events,
+        |round(bl.mu, 4) AS baseline_mu, round(bl.sigma, 4) AS baseline_sigma
+        |FROM hh JOIN bl ON hh.event_type = bl.event_type AND hh.hod = bl.hod
+        |WHERE hh.n_events > bl.mu + 3.0 * bl.sigma""".stripMargin,
+    "q_wau" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |m AS (SELECT max(day) AS max_day FROM a),
+        |c AS (SELECT user_id, day, lead(day, 1) OVER (PARTITION BY user_id
+        |ORDER BY day ASC) AS next_day FROM a),
+        |e AS (SELECT user_id, day,
+        |least(day + 6, COALESCE(next_day - 1, max_day), max_day) AS end_day
+        |FROM c, m),
+        |x AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |CAST(end_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM e),
+        |w AS (SELECT day, count(*) AS wau FROM x GROUP BY day),
+        |d AS (SELECT day, count(*) AS dau FROM a GROUP BY day)
+        |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
+        |round(CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
+        |FROM w LEFT JOIN d ON w.day = d.day""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -958,6 +991,14 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang,
         |CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_id
         |FROM documents d JOIN r USING (lang)""".stripMargin,
+    "q_length_deciles" ->
+      """WITH t AS (SELECT quantile_cont(n_chars,
+        |[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th FROM documents),
+        |b AS (SELECT n_chars,
+        |1 + len(list_filter(th, x -> n_chars > x)) AS decile FROM documents, t)
+        |SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |round(avg(n_chars), 2) AS avg_chars FROM b GROUP BY decile""".stripMargin,
     "q_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 6)

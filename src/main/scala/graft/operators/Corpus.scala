@@ -98,6 +98,31 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
       .withColumn("dup_rate", round(lit(1.0) - col("n_unique") / col("n_docs"), 4))
 
+  /** Curriculum decile binning: assign every document a length decile and
+    * report per-decile corpus statistics — the "order training data easy →
+    * hard" bucketing step. The scale story is the bucket ASSIGNMENT: a
+    * global ntile() is a single-task window over the corpus (anti-pattern);
+    * here the nine thresholds are ONE 1-row exact-percentile aggregate,
+    * broadcast, and assignment is a scan-local array fold. Thresholds
+    * interpolate over integer lengths, so a document can only sit exactly
+    * on a threshold when the percentile lands on a data point (g = 0) —
+    * where both engines return the exact integer — making the strict
+    * comparison engine-portable. At 100 TB swap the exact percentile for
+    * approx_percentile exactly as [[qualityQuantileGate]] pairs its forms. */
+  def lengthDeciles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val thresholds = docs.agg(
+      expr("percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("th"))
+    docs.crossJoin(broadcast(thresholds))
+      .withColumn("decile",
+        expr("aggregate(th, 1, (acc, t) -> acc + if(n_chars > t, 1, 0))"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+  }
+
   /** Class-balanced oversampling: replicate each document so every language
     * class reaches (at least) the majority class's size — the minority-class
     * upsampling step of an imbalanced training build. Integer-exact copy

@@ -762,6 +762,64 @@ object Relational {
         col("valid_to"), col("n_events"))
   }
 
+  /** Seasonal anomaly detection: flag hours whose event count exceeds the
+    * hour-of-day baseline by more than 3σ — the ops-dashboard alert behind
+    * the reference's monitoring consumer. Two-pass z-score shape over the
+    * hourly AGGREGATE: the stream reduces to (type, hour) counts in one
+    * partial-agg shuffle; the (type, hour-of-day) baseline is a second agg
+    * over THAT (≤ types×24 rows, broadcast back). Variance is spelled out
+    * as explicit integer-sum arithmetic (Σn, Σn², cnt are exact longs; the
+    * mean/σ doubles derive from them with the same literal expression on
+    * both engines), so the 3σ comparison is engine-portable. */
+  def seasonalAnomalies(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("hod", hour(col("hour")))
+    val baseline = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      .withColumn("sigma", sqrt(greatest(lit(0.0),
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt")) / col("cnt"))))
+      .select(col("event_type"), col("hod"), col("mu"), col("sigma"))
+    hourly.join(broadcast(baseline), Seq("event_type", "hod"))
+      .filter(col("n_events") > col("mu") + lit(3.0) * col("sigma"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        round(col("mu"), 4).as("baseline_mu"), round(col("sigma"), 4).as("baseline_sigma"))
+  }
+
+  /** Trailing-7-day active users (WAU) and the DAU/WAU stickiness ratio —
+    * the sliding-window COUNT DISTINCT that is an anti-pattern written
+    * naively (a distinct per day over a 7-day self-join of the stream).
+    * Scale shape: the stream collapses to the distinct (user, day) activity
+    * set once; each activity row then CONTRIBUTES the date interval
+    * [day, min(day+6, next_activity−1, corpus_max)] — truncation at the
+    * next activity makes contributions non-overlapping, so WAU(d) is a
+    * plain count of exploded contribution days (≤7 rows per activity, an
+    * equi-agg, no inequality join anywhere). */
+  def trailingWeekActives(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = active.agg(max(col("day")).as("max_day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val contrib = active
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("end_day", least(
+        date_add(col("day"), 6),
+        coalesce(date_sub(col("next_day"), 1), col("max_day")),
+        col("max_day")))
+      .select(col("user_id"), explode(expr("sequence(day, end_day)")).as("day"))
+    val wau = contrib.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = active.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 4))
+  }
+
   /** Time-bucketed aggregation over events (the Grafana-consumption shape:
     * applications/applications.tf:135-145). */
   def eventsHourly(s: SparkSession, d: String): DataFrame =

@@ -101,4 +101,52 @@ class SeriesAndSamplingSpec extends SparkSpec {
       max(col("copy_id")).as("mx"), count(lit(1)).as("n")).collect()
     maxCopy.foreach(r => assert(r.getAs[Long]("mx") == r.getAs[Long]("n")))
   }
+
+  test("wau equals the brute-force trailing-7-day distinct count") {
+    val rows = Relational.trailingWeekActives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent brute force: inequality self-join of the activity set
+    // (fine at test scale; the operator exists precisely to avoid this)
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = active.select(col("day")).distinct()
+      .withColumnRenamed("day", "d")
+    val brute = days.join(active,
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("bwau"))
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("bwau")).toMap
+    rows.foreach { r =>
+      val d = r.getDate(0).toString
+      // brute only has days with ≥1 active user that day; operator rows
+      // cover contribution days too — compare where both sides exist
+      brute.get(d).foreach(b => assert(r.getAs[Long]("wau") == b, s"wau($d)"))
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+    }
+  }
+
+  test("length deciles partition the corpus into ordered, near-balanced bins") {
+    val rows = Corpus.lengthDeciles(spark, sf)
+      .orderBy(col("decile")).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to rows.length))
+    // bins are ordered: each decile's max never exceeds the next one's min
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("max_chars") <= b.getAs[Long]("min_chars"))
+    }
+    // near-balanced: every bin within 3x of ideal (ties can skew small corpora)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 3 * (total / 10 + 1)))
+  }
+
+  test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
+    val rows = Relational.seasonalAnomalies(spark, sf).collect()
+    val nBuckets = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    // a 3-sigma gate must flag a small minority of buckets
+    assert(rows.length < nBuckets / 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >
+        r.getAs[Double]("baseline_mu") + 3.0 * r.getAs[Double]("baseline_sigma") - 1e-3)
+    }
+  }
 }
