@@ -27,7 +27,8 @@ object Plans {
     "q_passage_dedup", "q_zipf_slope", "q_densify_hours", "q_gap_islands",
     "q_ewma", "q_interpolate", "q_cume_distinct_users", "q_scd2",
     "q_hard_negatives", "q_upsample_balance", "q_seasonal_anomaly",
-    "q_wau", "q_length_deciles")
+    "q_wau", "q_length_deciles", "q_transition_matrix", "q_value_histogram",
+    "q_cohort_matrix", "q_bounce_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -59,6 +59,10 @@ object SparkEntry {
     "q_scd2" -> (Relational.scd2Intervals _),
     "q_seasonal_anomaly" -> (Relational.seasonalAnomalies _),
     "q_wau" -> (Relational.trailingWeekActives _),
+    "q_transition_matrix" -> (Relational.transitionMatrix _),
+    "q_value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
+    "q_cohort_matrix" -> (Relational.cohortMatrix _),
+    "q_bounce_rate" -> (Relational.bounceRate _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -382,6 +386,48 @@ object SparkEntry {
         |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
         |round(CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
         |FROM w LEFT JOIN d ON w.day = d.day""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (SELECT event_type AS from_type,
+        |lead(event_type, 1) OVER (PARTITION BY user_id
+        |ORDER BY ts ASC, event_id ASC) AS to_type FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_trans FROM t
+        |WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |round(CAST(n_trans AS DOUBLE) /
+        |CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+        |FROM c""".stripMargin,
+    "q_value_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders),
+        |a AS (SELECT o_totalprice, CAST(least(floor((o_totalprice - mn) /
+        |((mx - mn) / 20.0)), 19) AS INT) AS bin FROM orders, b),
+        |g AS (SELECT bin, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS total_value FROM a GROUP BY bin)
+        |SELECT g.bin, round(mn + g.bin * ((mx - mn) / 20.0), 2) AS bin_lo,
+        |g.n_orders, g.total_value FROM g, b""".stripMargin,
+    "q_cohort_matrix" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
+        |SELECT cohort_week,
+        |CAST((a.week - c.cohort_week) // 7 AS INT) AS week_offset,
+        |count(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2""".stripMargin,
+    "q_bounce_rate" ->
+      """WITH e AS (SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+        |sess AS (SELECT user_id, sid, min(ts) AS session_start,
+        |count(*) AS n_events FROM s GROUP BY user_id, sid),
+        |dd AS (SELECT CAST(session_start AS DATE) AS day, n_events FROM sess)
+        |SELECT day, count(*) AS n_sessions,
+        |CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |CAST(count(*) AS DOUBLE), 4) AS bounce_rate
+        |FROM dd GROUP BY day""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -849,6 +849,75 @@ object Relational {
       .crossJoin(converted.select(count(lit(1)).as("n_converted")))
   }
 
+  /** First-order Markov transition matrix over the event stream: counts and
+    * row-normalized probabilities of event_type → next event_type per user —
+    * the behavioral-model input ("what do users do after a view?"). One
+    * keyed shuffle for the lead window over raw events; the normalizing
+    * window runs over the |types|² count AGGREGATE only. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      round(col("n_trans").cast("double") / sum(col("n_trans")).over(wf).cast("double"), 4))
+  }
+
+  /** Equi-width histogram of order totals (20 bins): bounds from ONE 1-row
+    * min/max aggregate broadcast back; bin assignment is scan-local
+    * arithmetic — the profiling histogram without a sort or a window over
+    * the fact table. Identical literal expressions on both engines make the
+    * double bin edges engine-portable. */
+  def valueHistogram(s: SparkSession, d: String, bins: Int = 20): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val bounds = orders.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(
+        floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / lit(bins.toDouble))),
+        lit((bins - 1).toLong)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_value"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin_lo", round(col("mn") + col("bin") * ((col("mx") - col("mn")) / lit(bins.toDouble)), 2))
+      .select(col("bin"), col("bin_lo"), col("n_orders"), col("total_value"))
+  }
+
+  /** Weekly cohort retention triangle: users bucketed by first-active week,
+    * counted at each week offset — the growth-analytics matrix behind every
+    * retention dashboard. The stream collapses to the distinct (user, week)
+    * activity set once; the cohort assignment is a per-user min over that
+    * set; the matrix is one equi-join + agg, all frames users×weeks or
+    * smaller, integer week offsets (no timezone/interval arithmetic). */
+  def cohortMatrix(s: SparkSession, d: String): DataFrame = {
+    val activity = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset", expr("CAST(datediff(week, cohort_week) div 7 AS INT)"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Bounce rate per day: share of sessions (30-minute inactivity gap) with
+    * exactly one event. Rides the same session_window aggregation as
+    * [[sessionWindows]]; the daily rollup is a second agg over the
+    * |sessions| frame. */
+  def bounceRate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(to_date(col("w.start")).as("day"), col("n_events"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions").cast("double"), 4))
+
   /** NTILE quartiles by account balance per segment. */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

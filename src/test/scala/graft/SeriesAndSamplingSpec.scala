@@ -138,6 +138,54 @@ class SeriesAndSamplingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 3 * (total / 10 + 1)))
   }
 
+  test("transition matrix rows sum to one and transitions to events minus stream heads") {
+    val rows = Relational.transitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == expected,
+      "each user's final event is the only one without a successor")
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-3 * rs.length, s"row sums to $p")
+    }
+  }
+
+  test("value histogram covers all orders with ordered bin edges") {
+    val rows = Relational.valueHistogram(spark, sf).orderBy(col("bin")).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == Tables.orders(spark, sf).count())
+    assert(rows.forall(r => r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 19))
+    val los = rows.map(_.getAs[Double]("bin_lo"))
+    assert(los.zip(los.tail).forall { case (a, b) => a < b })
+  }
+
+  test("cohort matrix: offset-0 equals cohort size and cells never exceed it") {
+    val rows = Relational.cohortMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (_, rs) =>
+      val base = rs.find(_.getAs[Int]("week_offset") == 0)
+      assert(base.isDefined, "every user is active in their own cohort week")
+      val size = base.get.getAs[Long]("n_users")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= size))
+    }
+    val activitySet = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == activitySet)
+  }
+
+  test("bounce rate counts singleton sessions over the session_window aggregation") {
+    val rows = Relational.bounceRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
+      val expect = r.getAs[Long]("n_bounces").toDouble / r.getAs[Long]("n_sessions")
+      assert(math.abs(r.getAs[Double]("bounce_rate") - expect) < 5.1e-5)
+    }
+    val totalSessions = Relational.sessionWindows(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == totalSessions)
+  }
+
   test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
     val rows = Relational.seasonalAnomalies(spark, sf).collect()
     val nBuckets = Tables.events(spark, sf)
