@@ -59,6 +59,8 @@ object SparkEntry {
     "q_scd2" -> (Relational.scd2Intervals _),
     "q_seasonal_anomaly" -> (Relational.seasonalAnomalies _),
     "q_wau" -> (Relational.trailingWeekActives _),
+    "q_cms_hh" -> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    "q_zorder" -> ((s, d) => Bucketing.zorderLayout(s, d)),
     "q_transition_matrix" -> (Relational.transitionMatrix _),
     "q_value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "q_cohort_matrix" -> (Relational.cohortMatrix _),
@@ -386,6 +388,29 @@ object SparkEntry {
         |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
         |round(CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
         |FROM w LEFT JOIN d ON w.day = d.day""".stripMargin,
+    "q_cms_hh" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |FROM documents),
+        |tt AS (SELECT tok FROM t WHERE len(tok) > 0),
+        |c AS (SELECT tok, count(*) AS n_exact FROM tt GROUP BY tok
+        |ORDER BY n_exact DESC, tok ASC LIMIT 20)
+        |SELECT tok, n_exact, 1 AS est_ge_exact, 1 AS est_in_bound FROM c""".stripMargin,
+    "q_zorder" ->
+      """WITH o AS (SELECT o_custkey % 256 AS zx,
+        |CAST(floor(o_totalprice / 16.0) AS BIGINT) % 256 AS zy FROM orders),
+        |a1 AS (SELECT zx, zy, (zx | (zx << 8)) & 16711935 AS x1,
+        |(zy | (zy << 8)) & 16711935 AS y1 FROM o),
+        |a2 AS (SELECT zx, zy, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |(y1 | (y1 << 4)) & 252645135 AS y2 FROM a1),
+        |a3 AS (SELECT zx, zy, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |(y2 | (y2 << 2)) & 858993459 AS y3 FROM a2),
+        |a4 AS (SELECT zx, zy, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |(y3 | (y3 << 1)) & 1431655765 AS y4 FROM a3),
+        |z AS (SELECT zx, zy, x4 | (y4 << 1) AS zkey FROM a4)
+        |SELECT CAST(zkey // 4096 AS INT) AS zrange, count(*) AS n_orders,
+        |min(zx) AS min_cust, max(zx) AS max_cust,
+        |min(zy) AS min_price_bucket, max(zy) AS max_price_bucket
+        |FROM z GROUP BY 1""".stripMargin,
     "q_transition_matrix" ->
       """WITH t AS (SELECT event_type AS from_type,
         |lead(event_type, 1) OVER (PARTITION BY user_id

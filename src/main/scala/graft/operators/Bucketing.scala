@@ -41,4 +41,46 @@ object Bucketing {
     fs.delete(bak, true)
     spark.catalog.refreshByPath(dir)
   }
+
+  /** Morton (z-order) key over two 16-bit dimensions — the multi-dimension
+    * data-layout primitive: files range-partitioned and sorted by the
+    * interleaved key keep BOTH dimensions locally clustered, so parquet
+    * min/max stats prune scans filtered on either (or both) columns. The
+    * bit-spreading is four shift/mask steps per dimension (plain integer
+    * builtins — codegen'd, engine-portable, no UDF). */
+  def mortonKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // 16 bits → every other of 32: abcd… → a0b0c0d0…
+      val s1 = bitwise_and(c.bitwiseOR(shiftleft(c, 8)), lit(0x00FF00FFL))
+      val s2 = bitwise_and(s1.bitwiseOR(shiftleft(s1, 4)), lit(0x0F0F0F0FL))
+      val s3 = bitwise_and(s2.bitwiseOR(shiftleft(s2, 2)), lit(0x33333333L))
+      bitwise_and(s3.bitwiseOR(shiftleft(s3, 1)), lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+  private def bitwise_and(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    a.bitwiseAND(b)
+
+  /** Registered layout diagnostic: z-key the orders fact on (custkey mod
+    * 2¹⁶, price-bucket), then report how the z-range partitions the data —
+    * the histogram a layout job would use to pick file split points. The
+    * write path is `repartitionByRange(zkey).sortWithinPartitions(zkey)`;
+    * this query emits the per-range row counts and per-range min/max of
+    * BOTH source dimensions, which is exactly the parquet-stats pruning
+    * story (tight per-file bounds on two columns at once). 8-bit dims keep
+    * every range populated at test scale; production layouts widen the
+    * domain with the same four spread steps. */
+  def zorderLayout(s: SparkSession, d: String, ranges: Int = 16): DataFrame = {
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("zx", col("o_custkey") % 256)
+      .withColumn("zy", floor(col("o_totalprice") / lit(16.0)).cast("long") % 256)
+    orders
+      .withColumn("zkey", mortonKey(col("zx"), col("zy")))
+      .withColumn("zrange", expr(s"CAST(zkey div ${65536L / ranges} AS INT)"))
+      .groupBy(col("zrange"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("zx")).as("min_cust"), max(col("zx")).as("max_cust"),
+        min(col("zy")).as("min_price_bucket"), max(col("zy")).as("max_price_bucket"))
+  }
 }
