@@ -28,7 +28,8 @@ object Plans {
     "q_ewma", "q_interpolate", "q_cume_distinct_users", "q_scd2",
     "q_hard_negatives", "q_upsample_balance", "q_seasonal_anomaly",
     "q_wau", "q_length_deciles", "q_transition_matrix", "q_value_histogram",
-    "q_cohort_matrix", "q_bounce_rate", "q_cms_hh", "q_zorder")
+    "q_cohort_matrix", "q_bounce_rate", "q_cms_hh", "q_zorder",
+    "q_stratum_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -191,6 +191,7 @@ object SparkEntry {
     "q_priority_sample" -> (Corpus.prioritySampleQuery _),
     "q_upsample_balance" -> (Corpus.upsampleBalanced _),
     "q_length_deciles" -> (Corpus.lengthDeciles _),
+    "q_stratum_topk" -> ((s, d) => Corpus.stratumTopK(s, d)),
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_token_budget" -> (Corpus.budgetQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
@@ -1070,6 +1071,13 @@ object SparkEntry {
         |SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
         |min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |round(avg(n_chars), 2) AS avg_chars FROM b GROUP BY decile""".stripMargin,
+    "q_stratum_topk" ->
+      """WITH p AS (SELECT doc_id, source,
+        |((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS priority
+        |FROM documents),
+        |r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+        |ORDER BY priority ASC, doc_id ASC) AS INT) AS rk FROM p)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 50""".stripMargin,
     "q_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 6)

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-construction operators for LLM training-data pipelines (SURVEY.md
@@ -167,6 +168,23 @@ object Corpus {
   def prioritySampleQuery(s: SparkSession, d: String): DataFrame =
     prioritySample(Tables.documents(s, d), 200, Map("src0" -> 4, "src1" -> 2))
       .select(col("doc_id"), col("source"), col("priority"))
+
+  /** Exact-k per-stratum sample: deterministic LCG priorities ranked WITHIN
+    * each source — the per-group complement of [[prioritySample]]'s global
+    * TakeOrderedAndProject. The rank window partitions by source and the
+    * rank ≤ k filter plans as WindowGroupLimit, so each task keeps only its
+    * k-per-group survivors BEFORE the shuffle — per-reducer input is
+    * k×groups, not the corpus. Selection is a pure function of doc_id
+    * (cluster-size invariant, like every sampler here). */
+  def stratumTopK(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("priority", lcgStep(col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
 
   /** Deterministic [0,100) bucket from a long key: one LCG step with the
     * bucket taken from the HIGH bits (the low bits of a·x+c mod 2³¹ are

@@ -24,6 +24,25 @@ class SketchLayoutSpec extends SparkSpec {
     assert(recount == top.getAs[Long]("n_exact"))
   }
 
+  test("cms estimate: null-safe, zero-floor for absent items, bounded by collision mass") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions.cmsEstimate
+    val toks = Seq.fill(1000)("common") ++ Seq("rare")
+    val sketch = toks.toDF("tok")
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.999d, 7)").as("cms"))
+    val probes = Seq(Some("common"), Some("rare"), Some("absent_zzz"), None)
+      .toDF("item")
+    val out = probes.crossJoin(sketch)
+      .select(col("item"), cmsEstimate(col("cms"), col("item")).as("est"))
+      .collect().map(r => Option(r.getAs[String]("item")) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out(Some("common")).get >= 1000L)
+    assert(out(Some("rare")).get >= 1L)
+    val absent = out(Some("absent_zzz")).get
+    assert(absent >= 0L && absent <= 4L, s"absent token estimated $absent")
+    assert(out(None).isEmpty, "null item must yield null, not a crash")
+  }
+
   test("morton key matches an independent bit-interleave for the full 8-bit domain sample") {
     def mortonRef(x: Long, y: Long): Long = {
       var z = 0L
