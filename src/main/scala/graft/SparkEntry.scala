@@ -65,6 +65,7 @@ object SparkEntry {
     "q_value_histogram" -> ((s, d) => Relational.valueHistogram(s, d)),
     "q_cohort_matrix" -> (Relational.cohortMatrix _),
     "q_bounce_rate" -> (Relational.bounceRate _),
+    "q_cusum" -> (Relational.cusumChangepoint _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -454,6 +455,18 @@ object SparkEntry {
         |round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
         |CAST(count(*) AS DOUBLE), 4) AS bounce_rate
         |FROM dd GROUP BY day""".stripMargin,
+    "q_cusum" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS DOUBLE) AS st, count(*) AS c FROM dly),
+        |r AS (SELECT day, n_events,
+        |CAST(sum(n_events) OVER (ORDER BY day ASC
+        |ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sk,
+        |row_number() OVER (ORDER BY day ASC) AS k FROM dly),
+        |cu AS (SELECT day, n_events, sk - k * (st / c) AS cus FROM r, t),
+        |m AS (SELECT max(abs(cus)) AS mx FROM cu)
+        |SELECT day, n_events, round(cus, 4) AS cusum,
+        |CAST(abs(cus) = mx AS INT) AS is_peak FROM cu, m""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

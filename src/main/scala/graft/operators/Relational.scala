@@ -918,6 +918,33 @@ object Relational {
       .withColumn("bounce_rate",
         round(col("n_bounces").cast("double") / col("n_sessions").cast("double"), 4))
 
+  /** CUSUM changepoint scan over the daily event volume: cumulative
+    * deviation from the corpus mean, with the peak |deviation| flagged —
+    * the classic "when did behavior shift" diagnostic. Closed form keeps
+    * it engine-exact: cusum_k = S_k − k·μ where S_k and k are exact
+    * integers from the running window and μ is the one 1-row mean — no
+    * accumulated float error, so the peak flag (a double equality) is safe
+    * because both engines evaluate the identical expression tree. Every
+    * window runs over the |days|-row aggregate. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum(col("n_events")).cast("double").as("st"),
+      count(lit(1)).as("c"))
+    val wRun = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("sk", sum(col("n_events")).over(wRun).cast("double"))
+      .withColumn("k", row_number().over(Window.orderBy(col("day").asc)))
+      .withColumn("cus", col("sk") - col("k") * (col("st") / col("c")))
+      .withColumn("mx", max(abs(col("cus"))).over(wAll))
+      .select(col("day"), col("n_events"), round(col("cus"), 4).as("cusum"),
+        (abs(col("cus")) === col("mx")).cast("int").as("is_peak"))
+  }
+
   /** NTILE quartiles by account balance per segment. */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

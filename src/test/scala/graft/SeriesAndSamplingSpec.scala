@@ -186,6 +186,16 @@ class SeriesAndSamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_sessions")).sum == totalSessions)
   }
 
+  test("cusum closes at zero and flags at least one interior peak") {
+    val rows = Relational.cusumChangepoint(spark, sf).orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    // S_n − n·μ ≡ 0: the walk must return to zero at the last day
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-6)
+    assert(rows.count(_.getAs[Int]("is_peak") == 1) >= 1)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+  }
+
   test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
     val rows = Relational.seasonalAnomalies(spark, sf).collect()
     val nBuckets = Tables.events(spark, sf)
