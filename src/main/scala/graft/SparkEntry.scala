@@ -66,6 +66,8 @@ object SparkEntry {
     "q_cohort_matrix" -> (Relational.cohortMatrix _),
     "q_bounce_rate" -> (Relational.bounceRate _),
     "q_cusum" -> (Relational.cusumChangepoint _),
+    "q_rfm" -> (Relational.rfmSegments _),
+    "q_reactivated" -> ((s, d) => Relational.reactivations(s, d)),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -467,6 +469,30 @@ object SparkEntry {
         |m AS (SELECT max(abs(cus)) AS mx FROM cu)
         |SELECT day, n_events, round(cus, 4) AS cusum,
         |CAST(abs(cus) = mx AS INT) AS is_peak FROM cu, m""".stripMargin,
+    "q_rfm" ->
+      """WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |c AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        |FROM orders GROUP BY o_custkey),
+        |cc AS (SELECT o_custkey, frequency, monetary,
+        |CAST(mx - last_order AS INT) AS recency FROM c, a),
+        |t AS (SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rth,
+        |quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fth,
+        |quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mth FROM cc),
+        |sc AS (SELECT
+        |CAST(5 - len(list_filter(rth, x -> recency > x)) AS INT) AS r_score,
+        |CAST(1 + len(list_filter(fth, x -> frequency > x)) AS INT) AS f_score,
+        |CAST(1 + len(list_filter(mth, x -> monetary > x)) AS INT) AS m_score,
+        |monetary FROM cc, t)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |round(sum(monetary), 2) AS total_monetary FROM sc
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_reactivated" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day, lag(day, 1) OVER (PARTITION BY user_id
+        |ORDER BY day ASC) AS prev_day FROM a)
+        |SELECT day, count(*) AS n_reactivated FROM g
+        |WHERE day - prev_day >= 2 GROUP BY day""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -945,6 +945,58 @@ object Relational {
         (abs(col("cus")) === col("mx")).cast("int").as("is_peak"))
   }
 
+  /** RFM (recency/frequency/monetary) customer segmentation — the classic
+    * CRM rollup. One keyed agg collapses orders to a row per customer;
+    * recency anchors on the 1-row corpus max date; the three 1–5 scores
+    * come from ONE 1-row quintile-threshold aggregate broadcast back, with
+    * assignment as scan-local array folds (the q_length_deciles pattern —
+    * never an ntile window over the customer set). Threshold comparisons
+    * are engine-safe: the metrics are integers (days, counts) or 2dp sums,
+    * and interpolated quintile cuts land either exactly on a data point
+    * (both engines exact) or ≥ 0.002 away from every data point. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val anchor = orders.agg(max(to_date(col("o_orderdate"))).as("mx"))
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency", datediff(col("mx"), col("last_order")))
+    val cuts = cust.agg(
+      expr("percentile(recency, array(0.2,0.4,0.6,0.8))").as("rth"),
+      expr("percentile(frequency, array(0.2,0.4,0.6,0.8))").as("fth"),
+      expr("percentile(monetary, array(0.2,0.4,0.6,0.8))").as("mth"))
+    cust.crossJoin(broadcast(cuts))
+      .withColumn("r_score", expr("5 - aggregate(rth, 0, (a, t) -> a + if(recency > t, 1, 0))"))
+      .withColumn("f_score", expr("1 + aggregate(fth, 0, (a, t) -> a + if(frequency > t, 1, 0))"))
+      .withColumn("m_score", expr("1 + aggregate(mth, 0, (a, t) -> a + if(monetary > t, 1, 0))"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      // total, not avg: each `monetary` is an exact-2dp value, so the exact
+      // segment sum sits ON the cent grid — 0.005 from any rounding
+      // boundary, far beyond summation-order noise. An avg divides by n and
+      // destroys that alignment (observed: last-cent oracle divergence).
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")), 2).as("total_monetary"))
+  }
+
+  /** Dormant-user reactivation: activity days that follow ≥ `gapDays` of
+    * silence for that user — the win-back metric. The stream collapses to
+    * the distinct (user, day) activity set; the gap test is one lag over
+    * that per-user frame. */
+  def reactivations(s: SparkSession, d: String, gapDays: Int = 2): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    active
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .filter(datediff(col("day"), col("prev_day")) >= gapDays)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_reactivated"))
+  }
+
   /** NTILE quartiles by account balance per segment. */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

@@ -196,6 +196,33 @@ class SeriesAndSamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == total)
   }
 
+  test("rfm scores stay in 1..5 and partition every customer") {
+    val rows = Relational.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+    }
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+  }
+
+  test("reactivations agree with a driver-side gap recomputation") {
+    val rows = Relational.reactivations(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("n_reactivated")).toMap
+    val activity = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expected = activity.groupBy(_._1).values.flatMap { days =>
+      val sorted = days.map(_._2).sortBy(_.toEpochDay)
+      sorted.zip(sorted.tail).collect {
+        case (a, b) if b.toEpochDay - a.toEpochDay >= 2 => b.toString
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows == expected)
+  }
+
   test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
     val rows = Relational.seasonalAnomalies(spark, sf).collect()
     val nBuckets = Tables.events(spark, sf)
