@@ -134,8 +134,10 @@ object Corpus {
     * broadcast back; the replication itself is a scan-local
     * explode(sequence) — the corpus is never shuffled to be copied, and
     * each emitted row carries its copy_id for downstream seed derivation. */
-  def upsampleBalanced(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def upsampleBalanced(s: SparkSession, d: String): DataFrame =
+    upsampleBalancedFrame(Tables.documents(s, d))
+
+  def upsampleBalancedFrame(docs: DataFrame): DataFrame = {
     val byClass = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_class"))
     val target = byClass.agg(max(col("n_class")).as("target"))
     val copies = byClass.crossJoin(broadcast(target))
@@ -176,10 +178,13 @@ object Corpus {
     * k-per-group survivors BEFORE the shuffle — per-reducer input is
     * k×groups, not the corpus. Selection is a pure function of doc_id
     * (cluster-size invariant, like every sampler here). */
-  def stratumTopK(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+  def stratumTopK(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    stratumTopKFrame(Tables.documents(s, d), k)
+
+  def stratumTopKFrame(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority").asc, col("doc_id").asc)
-    Tables.documents(s, d)
+    docs
       .withColumn("priority", lcgStep(col("doc_id")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

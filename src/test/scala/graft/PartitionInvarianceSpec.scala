@@ -138,4 +138,18 @@ class PartitionInvarianceSpec extends SparkSpec {
         graft.operators.Similarity.semanticDedupFrom(a, eps = 0.5)),
       "SemDeDup per-cell drop counts")
   }
+
+  test("per-stratum top-k keeps the same rows under any partitioning (LCG + rank claim)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(d => Corpus.stratumTopKFrame(d, 25)),
+      "stratum top-k selection")
+  }
+
+  test("balanced upsampling emits identical copies under any partitioning (integer ceil claim)") {
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(Corpus.upsampleBalancedFrame),
+      "balanced upsample rows")
+  }
 }

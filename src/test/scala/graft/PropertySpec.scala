@@ -124,4 +124,22 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("cms estimate never under-counts any token of a random corpus") {
+    import graft.functions.SketchFunctions.cmsEstimate
+    val corpusGen = Gen.listOfN(300,
+      Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "rare1", "rare2", "x9"))
+    samples(corpusGen, 4).foreach { toks =>
+      val df = toks.toDF("tok")
+      val sketch = df.agg(expr("count_min_sketch(tok, 0.01d, 0.99d, 11)").as("cms"))
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ests = df.distinct().crossJoin(sketch)
+        .select(col("tok"), cmsEstimate(col("cms"), col("tok")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      ests.foreach { case (tok, est) =>
+        assert(est >= exact(tok), s"'$tok' under-counted: $est < ${exact(tok)}")
+        assert(est <= toks.length.toLong, s"'$tok' above corpus size")
+      }
+    }
+  }
 }
