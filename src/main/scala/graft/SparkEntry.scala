@@ -68,6 +68,8 @@ object SparkEntry {
     "q_cusum" -> (Relational.cusumChangepoint _),
     "q_rfm" -> (Relational.rfmSegments _),
     "q_reactivated" -> ((s, d) => Relational.reactivations(s, d)),
+    "q_ship_delay" -> (Relational.shipDelayByPriority _),
+    "q_pareto" -> (Relational.paretoConcentration _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -493,6 +495,26 @@ object SparkEntry {
         |ORDER BY day ASC) AS prev_day FROM a)
         |SELECT day, count(*) AS n_reactivated FROM g
         |WHERE day - prev_day >= 2 GROUP BY day""".stripMargin,
+    "q_ship_delay" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |min(delay) AS min_delay, max(delay) AS max_delay,
+        |CAST(sum(delay) AS BIGINT) AS total_delay_days
+        |FROM (SELECT o_orderpriority,
+        |CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS INT) AS delay
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY 1""".stripMargin,
+    "q_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+        |FROM orders GROUP BY 1),
+        |rk AS (SELECT o_custkey, rev_cents,
+        |CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS INT) AS rk,
+        |CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_cents FROM rev),
+        |t AS (SELECT max(cume_cents) AS total_cents, count(*) AS n_customers FROM rk)
+        |SELECT min(rk) AS n_top_customers, max(n_customers) AS n_customers,
+        |round(CAST(min(rk) AS DOUBLE) / CAST(max(n_customers) AS DOUBLE), 4) AS top_share
+        |FROM rk, t WHERE cume_cents * 10 >= total_cents * 8""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -997,6 +997,49 @@ object Relational {
       .agg(count(lit(1)).as("n_reactivated"))
   }
 
+  /** Fulfillment-delay profile per order priority: days between order and
+    * line-item ship date over the orders⋈lineitem fact-fact join (SMJ on
+    * the order key, AQE-adaptive — the one shuffle both tables already
+    * need). Output columns are all EXACT (counts, min/max, total days) —
+    * an average here is a rational that can sit on a rounding boundary;
+    * consumers derive it from total/n. */
+  def shipDelayByPriority(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days", datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("delay_days")).as("min_delay"),
+        max(col("delay_days")).as("max_delay"),
+        sum(col("delay_days")).as("total_delay_days"))
+
+  /** Pareto revenue concentration: how many top customers carry 80% of
+    * revenue. Arithmetic is EXACT END TO END: per-customer revenue in
+    * integer cents, a running cents sum over the revenue-ranked customer
+    * aggregate, and the 80% test as 10·cume ≥ 8·total in longs — no float
+    * enters, so the crossing rank is engine-identical. The ordered window
+    * runs over the |customers| aggregate (≪ facts); at extreme customer
+    * counts the same histogram trick as `q_token_budget` applies. */
+  def paretoConcentration(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("raw_rev"))
+      .withColumn("rev_cents", expr("CAST(round(raw_rev * 100) AS BIGINT)"))
+    val w = Window.orderBy(col("rev_cents").desc, col("o_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = rev
+      .withColumn("rk", row_number().over(Window.orderBy(col("rev_cents").desc, col("o_custkey").asc)))
+      .withColumn("cume_cents", sum(col("rev_cents")).over(w))
+    val total = ranked.agg(max(col("cume_cents")).as("total_cents"),
+      count(lit(1)).as("n_customers"))
+    ranked.crossJoin(broadcast(total))
+      .filter(col("cume_cents") * 10 >= col("total_cents") * 8)
+      .agg(min(col("rk")).as("n_top_customers"),
+        max(col("n_customers")).as("n_customers"))
+      .withColumn("top_share",
+        round(col("n_top_customers").cast("double") / col("n_customers").cast("double"), 4))
+  }
+
   /** NTILE quartiles by account balance per segment. */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

@@ -223,6 +223,30 @@ class SeriesAndSamplingSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("ship-delay profile covers every line item with coherent bounds") {
+    val rows = Relational.shipDelayByPriority(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == Tables.lineitem(spark, sf).count())
+    rows.foreach { r =>
+      val (mn, mx, n, tot) = (r.getAs[Int]("min_delay"), r.getAs[Int]("max_delay"),
+        r.getAs[Long]("n_items"), r.getAs[Long]("total_delay_days"))
+      assert(mn <= mx)
+      assert(tot >= mn.toLong * n && tot <= mx.toLong * n)
+    }
+  }
+
+  test("pareto crossing rank matches a driver-side exact-cents recomputation") {
+    val row = Relational.paretoConcentration(spark, sf).collect().head
+    val revenues = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("r"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .sortBy { case (ck, cents) => (-cents, ck) }
+    val total = revenues.map(_._2).sum
+    var cume = 0L
+    val nTop = revenues.indexWhere { case (_, cents) => cume += cents; cume * 10 >= total * 8 } + 1
+    assert(row.getAs[Int]("n_top_customers") == nTop)
+    assert(row.getAs[Long]("n_customers") == revenues.length.toLong)
+  }
+
   test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
     val rows = Relational.seasonalAnomalies(spark, sf).collect()
     val nBuckets = Tables.events(spark, sf)
