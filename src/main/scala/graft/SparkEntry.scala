@@ -70,6 +70,8 @@ object SparkEntry {
     "q_reactivated" -> ((s, d) => Relational.reactivations(s, d)),
     "q_ship_delay" -> (Relational.shipDelayByPriority _),
     "q_pareto" -> (Relational.paretoConcentration _),
+    "q_growth_accounting" -> (Relational.growthAccounting _),
+    "q_ab_test" -> (Relational.abTestConversion _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -515,6 +517,54 @@ object SparkEntry {
         |SELECT min(rk) AS n_top_customers, max(n_customers) AS n_customers,
         |round(CAST(min(rk) AS DOUBLE) / CAST(max(n_customers) AS DOUBLE), 4) AS top_share
         |FROM rk, t WHERE cume_cents * 10 >= total_cents * 8""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id),
+        |p AS (SELECT user_id, day + 1 AS day, 1 AS was_prev FROM a),
+        |cls AS (SELECT a.day,
+        |CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |CAST(sum(CASE WHEN a.day <> f.first_day AND p.was_prev IS NOT NULL
+        |THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |CAST(sum(CASE WHEN a.day <> f.first_day AND p.was_prev IS NULL
+        |THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |LEFT JOIN p ON a.user_id = p.user_id AND a.day = p.day
+        |GROUP BY a.day),
+        |m AS (SELECT max(day) AS max_day FROM a),
+        |ch AS (SELECT p.day, count(*) AS n_churned FROM p, m
+        |WHERE p.day <= m.max_day AND NOT EXISTS (
+        |SELECT 1 FROM a WHERE a.user_id = p.user_id AND a.day = p.day)
+        |GROUP BY p.day)
+        |SELECT COALESCE(cls.day, ch.day) AS day,
+        |COALESCE(n_new, 0) AS n_new, COALESCE(n_retained, 0) AS n_retained,
+        |COALESCE(n_resurrected, 0) AS n_resurrected,
+        |COALESCE(n_churned, 0) AS n_churned
+        |FROM cls FULL OUTER JOIN ch ON cls.day = ch.day""".stripMargin,
+    "q_ab_test" ->
+      """WITH up AS (SELECT user_id,
+        |sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        |FROM events GROUP BY user_id),
+        |md AS (SELECT quantile_cont(n_purch, 0.5) AS med FROM up),
+        |u AS (SELECT user_id,
+        |CASE WHEN n_purch > med THEN 1 ELSE 0 END AS converted,
+        |CAST(user_id % 2 AS INT) AS cohort FROM up, md),
+        |c AS (SELECT
+        |CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |FROM u),
+        |s AS (SELECT n_a, conv_a, n_b, conv_b,
+        |CAST(conv_a AS DOUBLE) / n_a AS p_a, CAST(conv_b AS DOUBLE) / n_b AS p_b,
+        |CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool FROM c),
+        |dd AS (SELECT s.*, sqrt(p_pool * (1.0 - p_pool) *
+        |(1.0 / n_a + 1.0 / n_b)) AS den FROM s)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |round(p_a, 4) AS rate_a, round(p_b, 4) AS rate_b,
+        |round(CASE WHEN den = 0 THEN NULL ELSE (p_a - p_b) / den END, 4) AS z_stat,
+        |CAST(CASE WHEN den = 0 THEN 0
+        |WHEN abs((p_a - p_b) / den) > 1.96 THEN 1 ELSE 0 END AS INT) AS significant
+        |FROM dd""".stripMargin,
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

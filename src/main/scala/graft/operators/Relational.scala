@@ -1040,6 +1040,82 @@ object Relational {
         round(col("n_top_customers").cast("double") / col("n_customers").cast("double"), 4))
   }
 
+  /** Growth accounting: per day, the new / retained / resurrected /
+    * churned user decomposition every growth dashboard runs. All four
+    * classes come from the distinct (user, day) activity set via
+    * EQUI-joins on date-shifted keys (the q_retention trick) — never an
+    * inequality join or a per-user window over raw events. Churn for day d
+    * = active on d−1 but not d, attributed to d (the first silent day),
+    * capped at the corpus max date. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = active.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prevActive = active.select(col("user_id"),
+      date_add(col("day"), 1).as("day"), lit(1).as("was_prev"))
+    val classes = active
+      .join(first, Seq("user_id"))
+      .join(prevActive, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day") && col("was_prev").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("day") =!= col("first_day") && col("was_prev").isNull, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val maxDay = active.agg(max(col("day")).as("max_day"))
+    val churned = prevActive
+      .join(active, Seq("user_id", "day"), "left_anti")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    classes.join(churned, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** Two-proportion z-test between user cohorts (id parity as the split):
+    * did cohort A convert (purchase) at a different rate than cohort B?
+    * Completes the statistics family (chi², KS, MI) with the A/B-test
+    * primitive. Everything reduces to four integer counts in one pass;
+    * the z arithmetic is the same literal expression on both engines, so
+    * the statistic is oracle-exact at 4dp. */
+  def abTestConversion(s: SparkSession, d: String): DataFrame = {
+    // "converted" = above-median buyer: every user purchases in this corpus,
+    // so a has-purchased flag degenerates (p_pool = 1 → zero denominator,
+    // observed as an ANSI divide-by-zero). The median split is non-degenerate
+    // at any SF with purchase-count variation, and the z is try_divide'd for
+    // the all-equal corner.
+    val purchases = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    val med = purchases.agg(expr("percentile(n_purch, 0.5)").as("med"))
+    val users = purchases.crossJoin(broadcast(med))
+      .withColumn("converted", (col("n_purch") > col("med")).cast("int"))
+      .withColumn("cohort", (col("user_id") % 2).cast("int"))
+    val counts = users.agg(
+      sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("cohort") === 0, col("converted").cast("long")).otherwise(0L)).as("conv_a"),
+      sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("cohort") === 1, col("converted").cast("long")).otherwise(0L)).as("conv_b"))
+    counts
+      .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z", try_divide(col("p_a") - col("p_b"),
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("p_a"), 4).as("rate_a"), round(col("p_b"), 4).as("rate_b"),
+        round(col("z"), 4).as("z_stat"),
+        coalesce((abs(col("z")) > lit(1.96)).cast("int"), lit(0)).as("significant"))
+  }
+
   /** NTILE quartiles by account balance per segment. */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))

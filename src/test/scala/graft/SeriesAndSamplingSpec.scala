@@ -247,6 +247,45 @@ class SeriesAndSamplingSpec extends SparkSpec {
     assert(row.getAs[Long]("n_customers") == revenues.length.toLong)
   }
 
+  test("growth accounting decomposes DAU and balances churn against yesterday's actives") {
+    val rows = Relational.growthAccounting(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    val dau = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val d = r.getDate(0).toString
+      // new + retained + resurrected = that day's DAU (0 for pure-churn days)
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+        r.getAs[Long]("n_resurrected") == dau.getOrElse(d, 0L), s"DAU split $d")
+    }
+    rows.zip(rows.tail).foreach { case (prev, cur) =>
+      val (pd, cd) = (prev.getDate(0).toLocalDate, cur.getDate(0).toLocalDate)
+      if (cd == pd.plusDays(1))
+        // everyone active yesterday either returns (retained) or churns today
+        assert(prev.getAs[Long]("n_new") + prev.getAs[Long]("n_retained") +
+          prev.getAs[Long]("n_resurrected") ==
+          cur.getAs[Long]("n_retained") + cur.getAs[Long]("n_churned"),
+          s"churn balance $cd")
+    }
+    assert(rows.map(_.getAs[Long]("n_new")).sum ==
+      Tables.events(spark, sf).select(col("user_id")).distinct().count())
+  }
+
+  test("ab test covers every user once with a coherent z sign") {
+    val r = Relational.abTestConversion(spark, sf).collect().head
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == nUsers)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    Option(r.getAs[java.lang.Double]("z_stat")).foreach { z =>
+      val diff = r.getAs[Double]("rate_a") - r.getAs[Double]("rate_b")
+      if (math.abs(diff) > 1e-9) assert(math.signum(z) == math.signum(diff))
+    }
+  }
+
   test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
     val rows = Relational.seasonalAnomalies(spark, sf).collect()
     val nBuckets = Tables.events(spark, sf)
