@@ -30,7 +30,8 @@ object Plans {
     "q_wau", "q_length_deciles", "q_transition_matrix", "q_value_histogram",
     "q_cohort_matrix", "q_bounce_rate", "q_cms_hh", "q_zorder",
     "q_stratum_topk", "q_cusum", "q_rfm", "q_reactivated",
-    "q_ship_delay", "q_pareto", "q_growth_accounting", "q_ab_test")
+    "q_ship_delay", "q_pareto", "q_growth_accounting", "q_ab_test",
+    "q_weighted_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -72,6 +72,7 @@ object SparkEntry {
     "q_pareto" -> (Relational.paretoConcentration _),
     "q_growth_accounting" -> (Relational.growthAccounting _),
     "q_ab_test" -> (Relational.abTestConversion _),
+    "q_weighted_median" -> (Relational.weightedMedianPrice _),
     "q_events_windowed" -> (Relational.eventsWindowed _),
     // -- joins (§2.5) -----------------------------------------------------
     "q_join_dims" -> (Relational.joinBroadcastDims _),
@@ -517,6 +518,17 @@ object SparkEntry {
         |SELECT min(rk) AS n_top_customers, max(n_customers) AS n_customers,
         |round(CAST(min(rk) AS DOUBLE) / CAST(max(n_customers) AS DOUBLE), 4) AS top_share
         |FROM rk, t WHERE cume_cents * 10 >= total_cents * 8""".stripMargin,
+    "q_weighted_median" ->
+      """WITH pp AS (SELECT l_returnflag, l_extendedprice,
+        |CAST(sum(l_quantity) AS BIGINT) AS wt
+        |FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_extendedprice, wt,
+        |CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_wt,
+        |CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total_wt FROM pp)
+        |SELECT l_returnflag, round(min(l_extendedprice), 2) AS w_median,
+        |max(total_wt) AS total_units
+        |FROM c WHERE cume_wt * 2 >= total_wt GROUP BY 1""".stripMargin,
     "q_growth_accounting" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id),

@@ -1116,6 +1116,38 @@ object Relational {
         coalesce((abs(col("z")) > lit(1.96)).cast("int"), lit(0)).as("significant"))
   }
 
+  /** Exact weighted median: the unit price at which half the shipped
+    * QUANTITY sits at or below, per return flag — the robust price-level
+    * statistic an unweighted median (rows, not units) misstates. Grouping
+    * by (flag, price) FIRST makes the computation tie-free by construction
+    * (equal prices collapse into one row with summed integer weight, so no
+    * arbitrary row-level tie-break can leak in); the running weight is a
+    * window over the per-flag DISTINCT-PRICE aggregate (≪ facts), the
+    * per-flag totals broadcast back, and the median is the smallest price
+    * with 2·cume ≥ total in longs — exact, engine-identical arithmetic
+    * (quantities are integral). Same scale posture as [[paretoConcentration]]:
+    * at extreme price cardinality the `q_token_budget` fixed-width histogram
+    * trick replaces the ordered window. */
+  def weightedMedianPrice(s: SparkSession, d: String): DataFrame = {
+    val perPrice = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("wt"))
+    // running weight AND per-flag total as two windows over the SAME
+    // aggregate (the total's frame is the whole partition) — one lineitem
+    // scan; a separate totals aggregation + rejoin would scan it twice
+    val wRun = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    perPrice
+      .withColumn("cume_wt", sum(col("wt")).over(wRun))
+      .withColumn("total_wt", sum(col("wt")).over(wAll))
+      .filter(col("cume_wt") * 2 >= col("total_wt"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(min(col("l_extendedprice")), 2).as("w_median"),
+        max(col("total_wt")).as("total_units"))
+  }
+
   /** NTILE quartiles by account balance per segment. */
   def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
