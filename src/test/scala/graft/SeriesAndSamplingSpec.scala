@@ -286,6 +286,31 @@ class SeriesAndSamplingSpec extends SparkSpec {
     }
   }
 
+  test("weighted median satisfies the defining crossing property per flag") {
+    val meds = Relational.weightedMedianPrice(spark, sf).collect()
+    assert(meds.nonEmpty)
+    // independent recomputation from the raw facts: strictly-below weight
+    // must be < half total, at-or-below weight must be >= half total
+    val facts = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("q"))
+      .collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    meds.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val m = r.getAs[Double]("w_median")
+      val rows = facts(flag)
+      val total = rows.map(_.getAs[Long]("q")).sum
+      assert(total == r.getAs[Long]("total_units"))
+      val below = rows.filter(_.getAs[Double]("l_extendedprice") < m - 5e-3)
+        .map(_.getAs[Long]("q")).sum
+      val atOrBelow = rows.filter(_.getAs[Double]("l_extendedprice") <= m + 5e-3)
+        .map(_.getAs[Long]("q")).sum
+      assert(below * 2 < total, s"$flag: weight below median must be < half")
+      assert(atOrBelow * 2 >= total, s"$flag: weight at-or-below median must reach half")
+    }
+  }
+
   test("seasonal anomalies genuinely exceed their hour-of-day baseline") {
     val rows = Relational.seasonalAnomalies(spark, sf).collect()
     val nBuckets = Tables.events(spark, sf)
