@@ -216,6 +216,17 @@ object SparkEntry {
           round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4)
             .as("feature_sum"))
     }),
+    // -- round 5: graph, attribution, robust stats, split/vocab audits ----
+    "q_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "q_attribution" -> (Relational.lastTouchAttribution _),
+    "q_winsorize" -> (Relational.winsorizedStats _),
+    "q_join_salted" -> (Skew.saltedCustomerOrdersAgg _),
+    "q_split_manifest" -> (Corpus.splitManifest _),
+    "q_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovRates(s, d)),
+    "q_funnel_ordered" -> (Relational.orderedFunnel _),
+    "q_ols_by_group" -> (Relational.olsByGroup _),
+    "q_token_alloc" -> ((s, d) => Corpus.tokenBudgetAlloc(s, d)),
+    "q_graph_degree" -> (Graph.degreeHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1220,12 +1231,16 @@ object SparkEntry {
         |bool_and(o_totalprice > 0) AS all_positive
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // integer (floor-cents) frame sum: double sums over RANGE frames are
-    // evaluation-order-defined (segment tree vs sliding) — longs are not
+    // evaluation-order-defined (segment tree vs sliding) — longs are not.
+    // Outer CAST matters: DuckDB sum(BIGINT) widens to HUGEINT, which the
+    // driver's pandas bridge reads back as float64 — "421.0" vs Spark's
+    // int64 "421" hash-mismatches even when every value agrees (the one
+    // red row in CORRECTNESS_r04).
     "q_window_range" ->
       """SELECT event_id, user_id,
-        |sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+        |CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
         |ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_cents
+        |RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
         |FROM events""".stripMargin,
     // unpivot(includeNulls=false) of the pivot matrix == the direct group-by
     "q_unpivot" ->
@@ -1487,5 +1502,140 @@ object SparkEntry {
         |CAST(list_max(list_transform(string_split_regex(lower(text), '\s+'),
         |x -> len(x))) AS INT) AS max_len
         |FROM documents""".stripMargin,
+    // 5 unrolled power iterations — same damping/normalization as the Spark
+    // loop; ranks compared in integer ppm (double chains differ by ±1e-12
+    // across engines, which must not flip a hash)
+    "q_pagerank" ->
+      """WITH pairs AS (SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode,
+        |count(*) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2),
+        |edges AS (SELECT cnode AS src, snode AS dst, w FROM pairs
+        |UNION ALL SELECT snode AS src, cnode AS dst, w FROM pairs),
+        |norm AS (SELECT src, dst, w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
+        |FROM edges),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r0 ON src = node GROUP BY dst),
+        |r1 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(cin, 0) AS pr
+        |FROM nodes LEFT JOIN c1 ON node = dst),
+        |c2 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r1 ON src = node GROUP BY dst),
+        |r2 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(cin, 0) AS pr
+        |FROM nodes LEFT JOIN c2 ON node = dst),
+        |c3 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r2 ON src = node GROUP BY dst),
+        |r3 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(cin, 0) AS pr
+        |FROM nodes LEFT JOIN c3 ON node = dst),
+        |c4 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r3 ON src = node GROUP BY dst),
+        |r4 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(cin, 0) AS pr
+        |FROM nodes LEFT JOIN c4 ON node = dst),
+        |c5 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r4 ON src = node GROUP BY dst),
+        |r5 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(cin, 0) AS pr
+        |FROM nodes LEFT JOIN c5 ON node = dst)
+        |SELECT node, CAST(round(pr * 1000000, 0) AS BIGINT) AS rank_ppm FROM r5""".stripMargin,
+    "q_attribution" ->
+      """SELECT event_id AS purchase_id, user_id,
+        |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |OVER w AS channel,
+        |CAST(floor(epoch(ts)) AS BIGINT) -
+        |last_value(CASE WHEN event_type <> 'purchase'
+        |THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS) OVER w AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |QUALIFY event_type = 'purchase'""".stripMargin,
+    // k-th order statistic by INTEGER rank arithmetic (see winsorizedStats
+    // scaladoc) — no interpolated quantiles anywhere near the compare
+    "q_winsorize" ->
+      """WITH ev AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |FROM events),
+        |r AS (SELECT event_type, cents,
+        |row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+        |b AS (SELECT event_type,
+        |min(CASE WHEN rk = (n * 5 + 99) // 100 THEN cents END) AS lo,
+        |min(CASE WHEN rk = (n * 95 + 99) // 100 THEN cents END) AS hi
+        |FROM r GROUP BY event_type)
+        |SELECT ev.event_type, count(*) AS n_events,
+        |CAST(sum(greatest(least(cents, hi), lo)) AS BIGINT) AS winsorized_cents,
+        |count(*) FILTER (cents < lo) AS n_capped_lo,
+        |count(*) FILTER (cents > hi) AS n_capped_hi
+        |FROM ev JOIN b USING (event_type) GROUP BY ev.event_type""".stripMargin,
+    // oracle is the PLAIN join+aggregate — agreement with the salted
+    // physical rewrite is the salting correctness contract
+    "q_join_salted" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_split_manifest" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |CAST(FLOOR((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) * 100
+        |/ 2147483648.0) AS INT) AS bucket FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |ELSE 'test' END AS split, lang, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_vocab_oov" ->
+      """WITH toks AS (SELECT doc_id,
+        |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |ORDER BY cnt DESC, tok ASC LIMIT 1000)),
+        |j AS (SELECT toks.doc_id, CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END AS oov
+        |FROM toks LEFT JOIN v ON toks.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_toks, round(avg(oov), 4) AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
+    // stage cutoffs are aggregates of the previous stage — same three-join
+    // CTE chain as the Spark plan, timestamps compare exactly
+    "q_funnel_ordered" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |JOIN v ON e.user_id = v.user_id
+        |WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |(SELECT count(*) FROM c) AS n_view_click,
+        |(SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
+    // closed-form OLS over exact integer sums (see olsByGroup scaladoc);
+    // every CAST mirrors the Spark expression so the two double divisions
+    // are bit-identical
+    "q_ols_by_group" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+        |CAST(sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+        |CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |AS slope_dollars_per_qty,
+        |round((CAST(sy AS DOUBLE) -
+        |(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_dollars
+        |FROM s""".stripMargin,
+    // largest-remainder apportionment — integer products/floors/mods end to
+    // end, so quotas sum exactly to the budget on any engine
+    "q_token_alloc" ->
+      """WITH byl AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w
+        |FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM byl),
+        |b AS (SELECT lang, w, (1000000 * w) // wtot AS base, (1000000 * w) % wtot AS rem
+        |FROM byl CROSS JOIN t),
+        |r AS (SELECT lang, w, base,
+        |row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+        |1000000 - sum(base) OVER () AS deficit FROM b)
+        |SELECT lang, w AS chars,
+        |CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
+    "q_graph_degree" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT 'customer' AS side, count(*) AS degree FROM pairs GROUP BY o_custkey
+        |UNION ALL SELECT 'supplier' AS side, count(*) AS degree FROM pairs GROUP BY l_suppkey)
+        |SELECT side, degree, count(*) AS n_nodes FROM deg GROUP BY side, degree""".stripMargin,
   )
 }

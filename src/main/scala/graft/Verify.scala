@@ -19,6 +19,14 @@ object Verify {
     // json) to the named queries. Absent in driver runs → full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Loud guard (ADVICE r04): this filter also shrinks oracle_sql.json, so
+    // if the var leaks into a driver/CI run the verification surface
+    // silently narrows. Make it impossible to miss in the logs.
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is active — dumping ONLY ${names.toSeq.sorted.mkString(",")} " +
+          s"(${names.size} of ${SparkEntry.queries.size} queries). NOT a full verification surface.")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -49,7 +49,11 @@ object Bucketing {
     * bit-spreading is four shift/mask steps per dimension (plain integer
     * builtins — codegen'd, engine-portable, no UDF). */
   def mortonKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // Domain mask first (ADVICE r04): inputs wider than 16 bits — or
+      // negative, since Spark's % can return negatives — would otherwise
+      // interleave corrupt high bits into silently-colliding keys.
+      val c = bitwise_and(c0, lit(0xFFFFL))
       // 16 bits → every other of 32: abcd… → a0b0c0d0…
       val s1 = bitwise_and(c.bitwiseOR(shiftleft(c, 8)), lit(0x00FF00FFL))
       val s2 = bitwise_and(s1.bitwiseOR(shiftleft(s1, 4)), lit(0x0F0F0F0FL))

@@ -143,9 +143,20 @@ object Corpus {
     val copies = byClass.crossJoin(broadcast(target))
       .select(col("lang"),
         expr("(target + n_class - 1) div n_class").as("copies"))
+    // Two-level explode (ADVICE r04): a singleton minority class against a
+    // large majority yields copies ≈ |majority| — materializing that as ONE
+    // sequence() array on one row risks Spark's array-length limit / OOM.
+    // Chunked, no row carries more than ChunkSize elements (chunk index
+    // array is copies/ChunkSize — bounded small for any real imbalance),
+    // and the emitted copy_id stream 1..copies is unchanged.
+    val ChunkSize = 4096L
     docs.join(broadcast(copies), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("copies"),
+        explode(expr(s"sequence(0L, (copies - 1) div $ChunkSize)")).as("chunk"))
       .select(col("doc_id"), col("lang"),
-        explode(expr("sequence(1L, copies)")).as("copy_id"))
+        explode(expr(
+          s"sequence(chunk * $ChunkSize + 1, least(copies, (chunk + 1) * $ChunkSize))"))
+          .as("copy_id"))
   }
 
   /** Exact-size weighted sample: k docs chosen by deterministic LCG
@@ -230,6 +241,57 @@ object Corpus {
   def sampleQuery(s: SparkSession, d: String): DataFrame =
     stratifiedSample(Tables.documents(s, d), Map("src0" -> 80, "src1" -> 50), 20)
       .select(col("doc_id"), col("source"), col("bucket"))
+
+  /** Train/val/test split manifest: every document deterministically
+    * assigned 80/10/10 by its [[hashBucket]] (engine-portable LCG — the
+    * same doc lands in the same split on any engine, cluster size, or
+    * partitioning; `randomSplit` guarantees none of that), then audited per
+    * (split, lang): counts, char volume, and an id checksum so two
+    * independent materializations of "the" split can be diffed cheaply.
+    * Scale shape: split assignment rides the scan (pure projection), the
+    * manifest is one partial-agg shuffle of |splits × langs| rows. */
+  def splitManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(col("doc_id")).as("id_checksum"))
+
+  /** Largest-remainder apportionment of a fixed token budget across
+    * languages: each language gets ⌊K·w/W⌋ tokens (w = its char volume, W =
+    * total), and the K − Σ⌊·⌋ leftover slots go to the largest integer
+    * remainders K·w mod W (ties broken lexically). The standard exact way to
+    * make proportional corpus quotas sum EXACTLY to the budget — per-class
+    * rounding never drifts the total. Integer end to end: products, floors,
+    * and mods are exact in both engines, so the compare has no float edge.
+    * Scale shape: one partial-agg shuffle to |langs| rows; the apportionment
+    * (window rank over remainders + the 1-row W broadcast) runs on the tiny
+    * aggregate only. */
+  def tokenBudgetAlloc(s: SparkSession, d: String, budget: Long = 1000000L): DataFrame = {
+    val byLang = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+    // total column named wtot, not W: Spark resolves case-insensitively by
+    // default, so `w` vs `W` is an AMBIGUOUS_REFERENCE
+    val total = byLang.agg(sum(col("w")).as("wtot"))
+    val based = byLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("w"),
+        expr(s"($budget * w) div wtot").as("base"),
+        expr(s"($budget * w) % wtot").as("rem"))
+    val wRem = Window.orderBy(col("rem").desc, col("lang").asc)
+    val wAll = Window.partitionBy()
+    based
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("deficit", lit(budget) - sum(col("base")).over(wAll))
+      .select(col("lang"), col("w").as("chars"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 
   /** The composed corpus-construction pipeline in one query — the shape a
     * real pretraining data build runs nightly: quality gate (token-length

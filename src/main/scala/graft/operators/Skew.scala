@@ -45,6 +45,23 @@ object Skew {
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Registered query: [[saltedJoin]] of the orders fact against the
+    * customer dimension on custkey, aggregated to per-nation order
+    * counts/totals. The oracle is the PLAIN join+group-by — salting is a
+    * physical rewrite, and row-for-row agreement with the unsalted form is
+    * exactly its correctness contract. Exact-cents total keeps the compare
+    * integer (no double-sum association noise). */
+  def saltedCustomerOrdersAgg(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    saltedJoin(fact, dim, "o_custkey", factDistinguisher = "o_orderkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+  }
+
   /** Registered query: salted two-phase aggregate over lineitem — result is
     * identical to the plain groupBy (the oracle), shuffle shape is not. */
   def saltedPricingAgg(s: SparkSession, d: String): DataFrame =

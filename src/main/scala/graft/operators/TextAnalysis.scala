@@ -422,4 +422,28 @@ object TextAnalysis {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).as("total_len"),
       array_max(transform(toks, t => length(t))).as("max_len"))
   }
+
+  /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
+    * corpus frequency (tie-broken lexically — the boundary between rank
+    * 1000 and 1001 must be deterministic on every engine), then score each
+    * document's out-of-vocabulary token rate against it — the tokenizer-
+    * coverage audit run before committing to a vocab. Scale shape: the
+    * frequency table is one partial-agg shuffle over tokens; the top-k is
+    * TakeOrderedAndProject (per-partition heads, k-row merge — no global
+    * sort); the k-row vocab broadcasts back onto the token stream, so the
+    * per-document scoring is a map-side join + one groupBy(doc_id). */
+  def vocabOovRates(s: SparkSession, d: String, vocabSize: Int = 1000): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        round(avg(when(col("in_vocab").isNull, 1.0).otherwise(0.0)), 4).as("oov_rate"))
+  }
 }

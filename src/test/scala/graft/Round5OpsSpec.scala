@@ -1,0 +1,212 @@
+package graft
+
+import graft.operators.{Corpus, Graph, Relational, Skew, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-5 additions: PageRank, last-touch attribution,
+  * winsorized aggregates, the salted-join rewrite, the split manifest, and
+  * vocabulary OOV rates. Each test pins an invariant the DuckDB
+  * hash-compare can't see (probability-mass conservation, agreement with an
+  * independently-shaped Spark recomputation, physical-rewrite equivalence).
+  */
+class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
+
+  test("pagerank mass is conserved and every rank is positive") {
+    val rows = Graph.pageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ranks sum to 1 (no dangling nodes by construction): ppm total within
+    // rounding slack of 1e6 — each of |V| roundings contributes ≤0.5 ppm
+    val total = rows.map(_.getAs[Long]("rank_ppm")).sum
+    assert(math.abs(total - 1000000L) <= rows.length / 2 + 1)
+    assert(rows.forall(_.getAs[Long]("rank_ppm") > 0L))
+    // bipartite namespacing kept customers and suppliers distinct
+    val nodes = rows.map(_.getAs[String]("node"))
+    assert(nodes.forall(n => n.startsWith("c") || n.startsWith("s")))
+    assert(nodes.distinct.length == nodes.length)
+  }
+
+  test("pagerank ranks a higher-degree supplier above an isolated-ish one") {
+    // a supplier connected to many customers must out-rank the minimum:
+    // degree dominates at equal damping — sanity that the propagation ran
+    val ranks = Graph.pageRank(spark, sf).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_ppm")).toMap
+    val suppRanks = ranks.filter(_._1.startsWith("s")).values
+    assert(suppRanks.max > suppRanks.min)
+  }
+
+  test("last-touch attribution agrees with a join-based recomputation") {
+    val ours = Relational.lastTouchAttribution(spark, sf)
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[String]("channel")), Option(r.get(r.fieldIndex("gap_s"))))).toMap
+    // independent shape: self-join purchases × prior touches, keep argmax
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puser"),
+        col("ts").as("pts"), col("event_id").as("pevent"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("tuser"), col("event_type").as("t_type"),
+        col("ts").as("tts"), col("event_id").as("tevent"))
+    // the prior-touch predicate lives IN the join condition: a purchase
+    // whose touches are all later must survive (as NULL channel), not drop
+    val best = purchases.join(touches,
+        col("puser") === col("tuser") &&
+          ((col("tts") < col("pts")) ||
+            (col("tts") === col("pts") && col("tevent") < col("pevent"))), "left")
+      .groupBy(col("pid"), col("pts"))
+      .agg(max_by(col("t_type"), struct(col("tts"), col("tevent"))).as("channel"),
+        max(struct(col("tts"), col("tevent"))).as("bt"))
+      .select(col("pid"), col("channel"),
+        (col("pts").cast("long") - col("bt.tts").cast("long")).as("gap_s"))
+      .collect().map(r => r.getAs[Long]("pid") ->
+        (Option(r.getAs[String]("channel")), Option(r.get(r.fieldIndex("gap_s"))))).toMap
+    assert(ours.keySet == best.keySet && ours.nonEmpty)
+    ours.foreach { case (pid, v) => assert(best(pid) == v, s"purchase $pid") }
+  }
+
+  test("winsorized stats: caps are consistent and bound the clamped sum") {
+    val rows = Relational.winsorizedStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val plain = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val n = r.getAs[Long]("n_events")
+      assert(n == plain(et).getAs[Long]("n"))
+      val lo = r.getAs[Long]("n_capped_lo"); val hi = r.getAs[Long]("n_capped_hi")
+      // ~5% clamped each side (rank arithmetic is ⌈q·n⌉, so within n/20+1)
+      assert(lo <= n / 20 + 1 && hi <= n / 20 + 1)
+      // clamping pulls tails inward: sum moves toward the middle, and the
+      // winsorized sum is bounded by n·min..n·max of the raw data
+      val ws = r.getAs[Long]("winsorized_cents")
+      assert(ws >= n * plain(et).getAs[Long]("mn") && ws <= n * plain(et).getAs[Long]("mx"))
+    }
+  }
+
+  test("salted join aggregate equals the plain join aggregate") {
+    val salted = Skew.saltedCustomerOrdersAgg(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("cents_sum"))).toMap
+    val plain = Tables.orders(spark, sf)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), Seq("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cs"))
+      .collect().map(r => r.getAs[Long]("c_nationkey") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cs"))).toMap
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("split manifest partitions the corpus exactly and is deterministic") {
+    val rows = Corpus.splitManifest(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // 80/10/10 target: train holds the clear majority
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // deterministic: a second evaluation is identical
+    val again = Corpus.splitManifest(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("ordered funnel agrees with a driver-side event replay") {
+    val row = Relational.orderedFunnel(spark, sf).collect().head
+    // independent recomputation: replay each user's event list in time
+    // order and walk the view→click→purchase state machine directly
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    var (nV, nVC, nVCP) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val sorted = evs.map(r => (r.getAs[Long]("t"), r.getAs[String]("event_type"))).sortBy(_._1)
+      val tV = sorted.collectFirst { case (t, "view") => t }
+      val tC = tV.flatMap(v => sorted.collectFirst { case (t, "click") if t >= v => t })
+      val tP = tC.flatMap(c => sorted.collectFirst { case (t, "purchase") if t >= c => t })
+      if (tV.isDefined) nV += 1
+      if (tC.isDefined) nVC += 1
+      if (tP.isDefined) nVCP += 1
+    }
+    assert(row.getAs[Long]("n_view") == nV && nV > 0)
+    assert(row.getAs[Long]("n_view_click") == nVC)
+    assert(row.getAs[Long]("n_view_click_purchase") == nVCP)
+    // funnel monotonicity is implied by the replay, but assert it anyway
+    assert(nV >= nVC && nVC >= nVCP)
+  }
+
+  test("OLS by group matches the textbook fit on raw collected points") {
+    val fits = Relational.olsByGroup(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("slope_dollars_per_qty"), r.getAs[Double]("intercept_dollars"))).toMap
+    val pts = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      .collect().groupBy(_.getAs[String]("l_returnflag"))
+    pts.foreach { case (flag, rows) =>
+      val n = rows.length.toDouble
+      val xs = rows.map(_.getAs[Long]("x").toDouble)
+      val ys = rows.map(_.getAs[Long]("y").toDouble)
+      val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+        (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+      val intercept = (ys.sum - slope * xs.sum) / n
+      assert(math.abs(fits(flag)._1 - slope) < 1e-4, s"slope $flag")
+      assert(math.abs(fits(flag)._2 - intercept) < 1e-2, s"intercept $flag")
+    }
+  }
+
+  test("token allocation sums exactly to the budget and respects proportionality") {
+    val rows = Corpus.tokenBudgetAlloc(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000000L)
+    val w = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("chars")).toMap
+    val a = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc")).toMap
+    val totW = w.values.sum.toDouble
+    // largest-remainder never deviates more than 1 from the exact quota
+    a.foreach { case (lang, alloc) =>
+      val exact = 1000000L * w(lang) / totW
+      assert(math.abs(alloc - exact) <= 1.0, s"$lang alloc=$alloc exact=$exact")
+    }
+  }
+
+  test("degree histogram accounts for every node and respects bipartite bounds") {
+    val rows = Graph.degreeHistogram(spark, sf).collect()
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey").as("ok"), col("o_custkey")), Seq("ok"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+    val nCust = pairs.map(_.getAs[Long]("o_custkey")).distinct.length
+    val nSupp = pairs.map(_.getAs[Long]("l_suppkey")).distinct.length
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+      .view.mapValues(_.map(_.getAs[Long]("n_nodes")).sum).toMap
+    assert(bySide("customer") == nCust && bySide("supplier") == nSupp)
+    // Σ degree·count is the same edge total seen from either side
+    def edgeSum(side: String) = rows.filter(_.getAs[String]("side") == side)
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(edgeSum("customer") == pairs.length && edgeSum("supplier") == pairs.length)
+  }
+
+  test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
+    val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_toks") > 0L)
+    }
+    // with vocabSize >= distinct-token count, nothing is OOV
+    val nTypes = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").distinct().count().toInt
+    val allIn = TextAnalysis.vocabOovRates(spark, sf, vocabSize = nTypes + 1).collect()
+    assert(allIn.forall(_.getAs[Double]("oov_rate") == 0.0))
+  }
+}
