@@ -98,7 +98,8 @@ object Bench {
     // normalize window): unmemoized it re-derives inside every power
     // iteration of q_pagerank (5× — 6.4 s measured; 1.3 s warmed)
     warm("graph-edge-build") {
-      val (norm, nodes) = operators.Graph.graphArtifacts(spark, sfDir)
+      val (norm, nodes, pairs) = operators.Graph.graphArtifacts(spark, sfDir)
+      pairs.write.format("noop").mode("overwrite").save()
       norm.write.format("noop").mode("overwrite").save()
       nodes.write.format("noop").mode("overwrite").save()
     }

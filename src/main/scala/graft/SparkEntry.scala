@@ -227,6 +227,8 @@ object SparkEntry {
     "q_ols_by_group" -> (Relational.olsByGroup _),
     "q_token_alloc" -> ((s, d) => Corpus.tokenBudgetAlloc(s, d)),
     "q_graph_degree" -> (Graph.degreeHistogram _),
+    "q_temperature_mix" -> ((s, d) => Corpus.temperatureMix(s, d)),
+    "q_dsir" -> (Corpus.dsirWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1631,6 +1633,40 @@ object SparkEntry {
         |SELECT lang, w AS chars,
         |CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r""".stripMargin,
+    // ⌊√w⌋ tempered weights: IEEE sqrt is correctly rounded in both
+    // engines, so the floor (and everything after it) is exact integer
+    "q_temperature_mix" ->
+      """WITH byl AS (SELECT lang,
+        |CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS w
+        |FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM byl),
+        |b AS (SELECT lang, w, (1000000 * w) // wtot AS base, (1000000 * w) % wtot AS rem
+        |FROM byl CROSS JOIN t),
+        |r AS (SELECT lang, w, base,
+        |row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+        |1000000 - sum(base) OVER () AS deficit FROM b)
+        |SELECT lang, w AS tempered_w,
+        |CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
+    // hashed-bigram log-likelihood ratios; identical rational arguments to
+    // ln on both engines, per-doc sum rounded to 4dp (the q_unigram_logprob
+    // precedent)
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |f AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |i -> substring(md5(concat(toks[i], ' ', toks[i + 1])), 1, 4))) AS feat
+        |FROM t WHERE len(toks) >= 2),
+        |tc AS (SELECT feat, count(*) AS ct FROM f WHERE doc_id % 97 = 0 GROUP BY feat),
+        |cr AS (SELECT feat, count(*) AS cn FROM f WHERE doc_id % 97 <> 0 GROUP BY feat),
+        |tots AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS nt,
+        |(SELECT CAST(sum(cn) AS BIGINT) FROM cr) AS nc),
+        |r AS (SELECT coalesce(tc.feat, cr.feat) AS feat,
+        |ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + 65536 AS DOUBLE)) -
+        |ln(CAST(coalesce(cn, 0) + 1 AS DOUBLE) / CAST(nc + 65536 AS DOUBLE)) AS llr
+        |FROM tc FULL JOIN cr ON tc.feat = cr.feat CROSS JOIN tots)
+        |SELECT doc_id, count(*) AS n_feats, round(sum(llr), 4) AS dsir_weight
+        |FROM f JOIN r USING (feat) WHERE doc_id % 97 <> 0 GROUP BY doc_id""".stripMargin,
     "q_graph_degree" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

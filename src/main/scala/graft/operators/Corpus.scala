@@ -273,11 +273,76 @@ object Corpus {
     * Scale shape: one partial-agg shuffle to |langs| rows; the apportionment
     * (window rank over remainders + the 1-row W broadcast) runs on the tiny
     * aggregate only. */
-  def tokenBudgetAlloc(s: SparkSession, d: String, budget: Long = 1000000L): DataFrame = {
-    val byLang = Tables.documents(s, d)
-      .groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
-    // total column named wtot, not W: Spark resolves case-insensitively by
-    // default, so `w` vs `W` is an AMBIGUOUS_REFERENCE
+  def tokenBudgetAlloc(s: SparkSession, d: String, budget: Long = 1000000L): DataFrame =
+    apportion(
+      Tables.documents(s, d).groupBy(col("lang")).agg(sum(col("n_chars")).as("w")),
+      budget)
+      .withColumnRenamed("w", "chars")
+
+  /** Temperature-flattened data mix (α = 0.5): quotas proportional to
+    * √(char volume) instead of raw volume — the standard multilingual
+    * flattening that upweights low-resource languages without letting any
+    * one language dominate. The tempered weight is ⌊√w⌋ so the
+    * apportionment stays in exact integer arithmetic: IEEE sqrt is
+    * correctly rounded in BOTH engines (unlike pow(x, α) for general α,
+    * whose last-ulp noise could flip a floor), so the floor is
+    * engine-deterministic. Same scale shape as [[tokenBudgetAlloc]]. */
+  def temperatureMix(s: SparkSession, d: String, budget: Long = 1000000L): DataFrame =
+    apportion(
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(floor(sqrt(sum(col("n_chars")))).cast("long").as("w")),
+      budget)
+      .withColumnRenamed("w", "tempered_w")
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling): score every training document by how much more likely its
+    * hashed bigram features are under a target/benchmark distribution than
+    * under the corpus distribution — Σ_f [ln p̂_target(f) − ln p̂_corpus(f)]
+    * with add-one smoothing over a fixed 65536-bucket feature space. The
+    * feature is the first 4 hex chars of md5(bigram): engine-portable (md5
+    * is the proven cross-engine hash here) and bounded, so the ratio table
+    * can never exceed 65536 rows. Target = the doc_id % 97 == 0 probe slice
+    * (the same held-out set the contamination check uses); weights are
+    * emitted for the remaining corpus.
+    *
+    * Scale shape: two partial-agg shuffles build the ≤65536-row feature
+    * tables; the ratio table broadcasts back onto the exploded doc-feature
+    * stream, so per-doc scoring is a map-side join + one groupBy(doc_id).
+    * At 100 TB the ratio table is a persisted artifact of the target set —
+    * rescoring the corpus against a new benchmark never reshuffles the
+    * corpus. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val V = 65536L
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> substring(md5(concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 4))"))
+        .as("feat"))
+    val isTarget = col("doc_id") % 97 === 0
+    val tgt = feats.filter(isTarget).groupBy(col("feat")).agg(count(lit(1)).as("ct"))
+    val crp = feats.filter(!isTarget).groupBy(col("feat")).agg(count(lit(1)).as("cn"))
+    val totals = tgt.agg(sum(col("ct")).as("nt"))
+      .crossJoin(crp.agg(sum(col("cn")).as("nc")))
+    val ratio = tgt.join(crp, Seq("feat"), "full")
+      .na.fill(0L, Seq("ct", "cn"))
+      .crossJoin(broadcast(totals))
+      .select(col("feat"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + V).cast("double"))
+          - log((col("cn") + 1).cast("double") / (col("nc") + V).cast("double")))
+          .as("llr"))
+    feats.filter(!isTarget)
+      .join(broadcast(ratio), Seq("feat"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("llr")), 4).as("dsir_weight"))
+  }
+
+  /** Largest-remainder apportionment of `budget` over a (lang, w) frame —
+    * see [[tokenBudgetAlloc]] for the contract. Total column named wtot,
+    * not W: Spark resolves case-insensitively by default, so `w` vs `W` is
+    * an AMBIGUOUS_REFERENCE. */
+  private def apportion(byLang: DataFrame, budget: Long): DataFrame = {
     val total = byLang.agg(sum(col("w")).as("wtot"))
     val based = byLang.crossJoin(broadcast(total))
       .select(col("lang"), col("w"),
@@ -288,7 +353,7 @@ object Corpus {
     based
       .withColumn("rk", row_number().over(wRem))
       .withColumn("deficit", lit(budget) - sum(col("base")).over(wAll))
-      .select(col("lang"), col("w").as("chars"),
+      .select(col("lang"), col("w"),
         (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .as("alloc"))
   }

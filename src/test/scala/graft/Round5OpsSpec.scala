@@ -194,6 +194,61 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(edgeSum("customer") == pairs.length && edgeSum("supplier") == pairs.length)
   }
 
+  test("temperature mix flattens toward uniform and still sums to the budget") {
+    val raw = Corpus.tokenBudgetAlloc(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc")).toMap
+    val temp = Corpus.temperatureMix(spark, sf).collect()
+    assert(temp.map(_.getAs[Long]("alloc")).sum == 1000000L)
+    val tempMap = temp.map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc")).toMap
+    assert(tempMap.keySet == raw.keySet)
+    // α = 0.5 compresses the spread: the tempered max/min ratio must be
+    // strictly tighter than the raw ratio (weights here are far from equal)
+    val rawRatio = raw.values.max.toDouble / raw.values.min.toDouble
+    val tempRatio = tempMap.values.max.toDouble / tempMap.values.min.toDouble
+    assert(tempRatio < rawRatio)
+    // tempered weights are exactly ⌊√chars⌋
+    val chars = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("c")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("c")).toMap
+    temp.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("tempered_w") == math.floor(math.sqrt(chars(lang).toDouble)).toLong)
+    }
+  }
+
+  test("DSIR weights match a driver-side recomputation of the llr sums") {
+    val got = Corpus.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(got.nonEmpty)
+    // independent recomputation with java.security MessageDigest
+    val md5hex = { (s: String) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
+    }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def feats(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("\\s+")
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(p => md5hex(p(0) + " " + p(1))).toSeq
+    }
+    val (tgtDocs, crpDocs) = docs.partition(_._1 % 97 == 0)
+    val ct = tgtDocs.flatMap(d => feats(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cn = crpDocs.flatMap(d => feats(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = ct.values.sum; val nc = cn.values.sum; val v = 65536L
+    def llr(f: String): Double =
+      math.log((ct.getOrElse(f, 0L) + 1).toDouble / (nt + v)) -
+        math.log((cn.getOrElse(f, 0L) + 1).toDouble / (nc + v))
+    crpDocs.filter(d => feats(d._2).nonEmpty).foreach { case (id, text) =>
+      val fs = feats(text)
+      assert(got(id)._1 == fs.length.toLong, s"n_feats doc $id")
+      assert(math.abs(got(id)._2 - fs.map(llr).sum) < 1e-3, s"weight doc $id")
+    }
+    // targets never get a weight row; docs with ≥2 tokens all do
+    assert(got.keySet == crpDocs.filter(d => feats(d._2).nonEmpty).map(_._1).toSet)
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
