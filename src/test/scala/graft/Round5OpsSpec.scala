@@ -249,6 +249,27 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(got.keySet == crpDocs.filter(d => feats(d._2).nonEmpty).map(_._1).toSet)
   }
 
+  test("plan shapes: no cartesian anywhere; broadcast joins where designed") {
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // pagerank: the only nested-loop joins are the broadcast 1-row N
+    // aggregates; the edge⋈rank joins must never go cartesian
+    val pr = physical(Graph.pageRank(spark, sf))
+    assert(!pr.contains("CartesianProduct"), "pagerank cartesian")
+    // dsir: the ≤65536-row ratio table must reach the doc-feature stream as
+    // a broadcast hash join (map-side scoring), never a shuffle of the
+    // corpus side
+    val ds = physical(Corpus.dsirWeights(spark, sf))
+    assert(!ds.contains("CartesianProduct"), "dsir cartesian")
+    assert(ds.contains("BroadcastHashJoin"), "dsir ratio join must broadcast")
+    // vocab scoring: the k-row vocabulary broadcasts onto the token stream
+    val vo = physical(TextAnalysis.vocabOovRates(spark, sf))
+    assert(vo.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    // winsorize: the |groups|-row bounds frame broadcasts back onto the scan
+    val wz = physical(Relational.winsorizedStats(spark, sf))
+    assert(wz.contains("BroadcastHashJoin"), "winsorize bounds must broadcast")
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
