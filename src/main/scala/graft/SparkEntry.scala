@@ -229,6 +229,10 @@ object SparkEntry {
     "q_graph_degree" -> (Graph.degreeHistogram _),
     "q_temperature_mix" -> ((s, d) => Corpus.temperatureMix(s, d)),
     "q_dsir" -> (Corpus.dsirWeights _),
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q_containment_scale" -> ((s, d) => Dedup.containmentPairsAtScale(s, d)),
+    "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "q_rrf" -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1667,6 +1671,42 @@ object SparkEntry {
         |FROM tc FULL JOIN cr ON tc.feat = cr.feat CROSS JOIN tots)
         |SELECT doc_id, count(*) AS n_feats, round(sum(llr), 4) AS dsir_weight
         |FROM f JOIN r USING (feat) WHERE doc_id % 97 <> 0 GROUP BY doc_id""".stripMargin,
+    // asymmetric containment, both directions — the raw (unrounded) value
+    // gates, rounding is output-only (the q_ngram_jaccard discipline)
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t WHERE len(toks) >= 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS n_inter,
+        |round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams), 4) AS containment
+        |FROM g a, g b WHERE a.doc_id <> b.doc_id
+        |AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.5""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+        |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 200""".stripMargin,
+    // integer ranks, one IEEE division per term, fixed two-term association
+    "q_rrf" ->
+      """WITH base AS (SELECT doc_id, n_chars,
+        |list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |FROM documents),
+        |t AS (SELECT doc_id, n_chars,
+        |CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr
+        |FROM base WHERE len(toks) >= 1),
+        |r AS (SELECT doc_id,
+        |CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT) AS r_len,
+        |CAST(row_number() OVER (ORDER BY ttr DESC, doc_id ASC) AS INT) AS r_ttr
+        |FROM t)
+        |SELECT doc_id, r_len, r_ttr,
+        |round(CAST(1 AS DOUBLE) / (60 + r_len) + CAST(1 AS DOUBLE) / (60 + r_ttr), 6) AS rrf
+        |FROM r ORDER BY CAST(1 AS DOUBLE) / (60 + r_len) + CAST(1 AS DOUBLE) / (60 + r_ttr) DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
     "q_graph_degree" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

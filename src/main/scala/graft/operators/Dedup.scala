@@ -256,6 +256,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 4).as("jaccard"))
   }
 
+  /** Exact bigram CONTAINMENT over a bounded doc subset: C(a→b) =
+    * |G(a)∩G(b)| / |G(a)| — the asymmetric near-dup measure. A short
+    * document embedded verbatim in a much longer one scores C≈1 while its
+    * symmetric Jaccard dilutes toward |a|/|b| and slips under any dedup
+    * threshold — exactly the quote/boilerplate/subset-dup case Jaccard
+    * misses. Emits BOTH directions (containment is not symmetric; which
+    * side is the subset is the decision a dedup policy needs). All-pairs BY
+    * DESIGN on the bounded slice — the oracle baseline; the scale path is
+    * [[containmentPairsAtScale]]. */
+  def containmentPairs(s: SparkSession, d: String,
+                       maxDocId: Long = 80, threshold: Double = 0.5): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .as("grams"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("raw_c", col("n_inter") / size(col("ga")))
+      .filter(col("raw_c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("raw_c"), 4).as("containment"))
+  }
+
+  /** Containment at corpus scale: shingle-hash equi-join instead of
+    * all-pairs. Ubiquitous shingles (document frequency > `maxShingleDf`)
+    * are dropped first — they are boilerplate n-grams that would fan the
+    * equi-join out toward all-pairs while carrying no dedup signal (the
+    * containment denominator is recomputed over the SAME pruned space, so
+    * the measure stays self-consistent). Join volume is then Σ_shingle
+    * df², df ≤ cap — bounded per key by construction, the same
+    * candidate-control idea as LSH banding but for the asymmetric measure.
+    * Reads the memoized shingle artifact; every exchange carries 8-byte
+    * hashes + ids. */
+  def containmentPairsAtScale(s: SparkSession, d: String,
+                              threshold: Double = 0.8, maxShingleDf: Long = 50): DataFrame = {
+    val (sh, _) = shingleArtifacts(s, d)
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") >= 2 && col("sdf") <= maxShingleDf)
+      .select(col("shingle"))
+    val pruned = sh.join(dfs, Seq("shingle"))
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = pruned.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .filter(col("n_common") >= col("sz_a") * threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common") / col("sz_a"), 4).as("containment"))
+  }
+
   /** Near-dup clusters: connected components over the verified near-dup
     * pair graph by iterative min-label propagation (each round: every doc
     * adopts the smallest label among itself and its neighbors; fixpoint in

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators (SURVEY.md §2.11 D5): stats, quality scoring,
@@ -432,6 +433,67 @@ object TextAnalysis {
     * TakeOrderedAndProject (per-partition heads, k-row merge — no global
     * sort); the k-row vocab broadcasts back onto the token stream, so the
     * per-document scoring is a map-side join + one groupBy(doc_id). */
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and the posting list serialized as "doc:tf" pairs in
+    * ascending doc order — the core retrieval artifact (BM25/boolean
+    * search read THIS, not the corpus). Serialization keeps the oracle
+    * compare exact (a string, not a nested list) and mirrors how postings
+    * ship to an index server. Scale shape: one (term, doc) partial-agg
+    * shuffle, then one term-keyed agg whose `collect_list` is bounded by
+    * the term's document frequency — the heavy tail (stopword terms) is
+    * exactly what real indexes cap or skip, here via `minDf`/`maxDf`
+    * gates; beyond that, posting lists shard by (term, doc-range) just
+    * like this plan's partial aggregation already does. */
+  def invertedIndex(s: SparkSession, d: String,
+                    minDf: Long = 2, maxDf: Long = 200): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            x => concat(x.getField("doc_id").cast("string"), lit(":"),
+              x.getField("tf").cast("string"))),
+          " ").as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
+
+  /** Reciprocal-rank fusion of two document rankings (k = 60, the standard
+    * RRF constant): length rank (n_chars desc) fused with lexical-diversity
+    * rank (type-token ratio desc). RRF is THE standard way to merge a
+    * lexical and a semantic retrieval list without score calibration; the
+    * two rankings here are self-contained stand-ins with the same shape.
+    * Engine-portable by construction: ranks are integers (ties broken by
+    * doc_id), each 1/(k+r) is one correctly-rounded IEEE division, and the
+    * two-term sum has a fixed association. The global rank windows funnel
+    * through one task — inherent to a total ranking (same posture as
+    * q_percent_rank); at corpus scale the fusion runs per retrieval
+    * CANDIDATE SET (hundreds of rows per query), never the whole corpus. */
+  def rrfFusion(s: SparkSession, d: String, k: Int = 60, topN: Int = 50): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= lit("")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("n_chars"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("ttr"))
+    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+    val byTtr = Window.orderBy(col("ttr").desc, col("doc_id").asc)
+    base
+      .withColumn("r_len", row_number().over(byLen))
+      .withColumn("r_ttr", row_number().over(byTtr))
+      .withColumn("rrf", lit(1.0) / (lit(k) + col("r_len")) + lit(1.0) / (lit(k) + col("r_ttr")))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topN)
+      .select(col("doc_id"), col("r_len"), col("r_ttr"), round(col("rrf"), 6).as("rrf"))
+  }
+
   def vocabOovRates(s: SparkSession, d: String, vocabSize: Int = 1000): DataFrame = {
     val toks = Tables.documents(s, d).select(
       col("doc_id"),

@@ -270,6 +270,97 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(wz.contains("BroadcastHashJoin"), "winsorize bounds must broadcast")
   }
 
+  test("containment: driver-side set recomputation; embedding beats jaccard") {
+    val got = operators.Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Int]("n_inter"), r.getAs[Double]("containment"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 80).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+")
+      if (toks.length < 2) Set.empty else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val expected = for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+      ga = grams(ta); gb = grams(tb) if ga.nonEmpty
+      inter = (ga & gb).size if inter.toDouble / ga.size >= 0.5
+    } yield (ia, ib) -> (inter, inter.toDouble / ga.size)
+    assert(got.keySet == expected.map(_._1).toSet && got.nonEmpty)
+    expected.foreach { case (k, (ni, c)) =>
+      assert(got(k)._1 == ni && math.abs(got(k)._2 - c) < 1e-3, s"pair $k")
+    }
+    // the defining property: for an embedded (subset) pair the forward
+    // containment strictly exceeds symmetric jaccard
+    got.keys.headOption.foreach { case (a, b) =>
+      val ga = grams(docs.toMap.apply(a)); val gb = grams(docs.toMap.apply(b))
+      val j = (ga & gb).size.toDouble / (ga | gb).size
+      assert(got((a, b))._2 >= j)
+    }
+  }
+
+  test("containment at scale matches a driver recomputation over the pruned shingle space") {
+    val got = operators.Dedup.containmentPairsAtScale(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("n_common")).toMap
+    // independent recomputation from the SAME artifact frame, driver-side
+    val sh = operators.Dedup.shingleArtifacts(spark, sf)._1.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shingle"))
+    val byShingle = sh.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      .filter { case (_, ds) => ds.size >= 2 && ds.size <= 50 }
+    val docSets = byShingle.toSeq.flatMap { case (h, ds) => ds.map(_ -> h) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (a, sa) <- docSets.toSeq; (b, sb) <- docSets.toSeq if a != b
+      common = (sa & sb).size if common >= sa.size * 0.8
+    } yield (a, b) -> common.toLong).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "planted dups must surface at the 0.8 threshold")
+  }
+
+  test("inverted index: postings are doc-ordered and df-gated; spot-check a term") {
+    val rows = TextAnalysis.invertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df >= 2 && df <= 200)
+      val postings = r.getAs[String]("postings").split(" ")
+      assert(postings.length == df)
+      val ids = postings.map(_.split(":")(0).toLong)
+      assert(ids.sameElements(ids.sorted), s"postings out of order for ${r.getAs[String]("term")}")
+      assert(postings.map(_.split(":")(1).toLong).sum == r.getAs[Long]("total_tf"))
+    }
+    // spot-check one term against a direct filter count
+    val term = rows.head.getAs[String]("term")
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))).as("t"))
+      .filter(col("t") === term).groupBy(col("doc_id")).count().collect()
+      .map(r => s"${r.getAs[Long]("doc_id")}:${r.getAs[Long]("count")}").sortBy(_.split(":")(0).toLong)
+    assert(rows.head.getAs[String]("postings") == direct.mkString(" "))
+  }
+
+  test("RRF fusion: driver-side recomputation of ranks and scores") {
+    val got = TextAnalysis.rrfFusion(spark, sf).collect()
+    assert(got.length == 50)
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some((r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+          toks.distinct.length.toDouble / toks.length))
+      }
+    val rLen = base.sortBy(t => (-t._2, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1) }.toMap
+    val rTtr = base.sortBy(t => (-t._3, t._1)).zipWithIndex.map { case (t, i) => t._1 -> (i + 1) }.toMap
+    val scores = base.map(t => t._1 -> (1.0 / (60 + rLen(t._1)) + 1.0 / (60 + rTtr(t._1))))
+    val top = scores.sortBy(t => (-t._2, t._1)).take(50)
+    got.zip(top).foreach { case (r, (id, sc)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Int]("r_len") == rLen(id) && r.getAs[Int]("r_ttr") == rTtr(id))
+      assert(math.abs(r.getAs[Double]("rrf") - sc) < 1e-5)
+    }
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
