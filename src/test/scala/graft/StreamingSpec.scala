@@ -40,6 +40,52 @@ class StreamingSpec extends SparkSpec {
     assert(afterFirst === afterSecond, "restart re-emitted rows — not exactly-once")
   }
 
+  test("transformWithState v2 profiles match the batch recomputation") {
+    val out = Files.createTempDirectory("graft-stream-v2out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-v2ck").toString
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      streaming.StateV2Profile.runProfiles(spark, srcDir, out, ckpt).awaitTermination(180000)
+    } finally {
+      // don't leak the RocksDB provider into the other streaming tests'
+      // queries — they checkpoint with the default provider
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // Update mode emits one profile per user per micro-batch touching the
+    // user — the FINAL state per user is the row with the max n_events
+    val emitted = spark.read.parquet(out)
+    val finalRows = emitted
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("purchase_cents"),
+          r.getAs[scala.collection.Seq[Long]]("recent_purchases").toList)).toMap
+    // batch truth: per-user totals and the last ≤5 purchase cents by event id
+    val byUser = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    assert(finalRows.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val purchases = rows.filter(_.getAs[String]("event_type") == "purchase")
+        .map(r => (r.getAs[Long]("event_id"), math.floor(r.getAs[Double]("value") * 100).toLong))
+        .sortBy(_._1)
+      val (n, cents, recent) = finalRows(u)
+      assert(n == rows.length.toLong, s"n_events user $u")
+      assert(cents == purchases.map(_._2).sum, s"cents user $u")
+      // the capped recent list is the tail of the batch-ordered purchases
+      // PROVIDED every batch's rows arrived in event order across batches —
+      // the range partitioning makes batch boundaries time-ordered, and
+      // within a batch the processor sorts, so the tail property holds
+      assert(recent == purchases.map(_._2).takeRight(streaming.StateV2Profile.RecentK).toList,
+        s"recent list user $u")
+    }
+  }
+
   test("stream-stream interval join matches the batch join exactly") {
     val out = Files.createTempDirectory("graft-stream-ssj").toString
     val ckpt = Files.createTempDirectory("graft-stream-ssjck").toString
