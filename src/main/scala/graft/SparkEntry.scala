@@ -233,6 +233,11 @@ object SparkEntry {
     "q_containment_scale" -> ((s, d) => Dedup.containmentPairsAtScale(s, d)),
     "q_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "q_rrf" -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
+    "q_tpch_q3" -> (Relational.tpchQ3 _),
+    "q_tpch_q5" -> (Relational.tpchQ5 _),
+    "q_cdc_apply" -> (Relational.cdcApply _),
+    "q_variant_props" -> (Relational.variantProps _),
+    "q_union_evolve" -> (Relational.schemaEvolutionUnion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1707,6 +1712,55 @@ object SparkEntry {
         |round(CAST(1 AS DOUBLE) / (60 + r_len) + CAST(1 AS DOUBLE) / (60 + r_ttr), 6) AS rrf
         |FROM r ORDER BY CAST(1 AS DOUBLE) / (60 + r_len) + CAST(1 AS DOUBLE) / (60 + r_ttr) DESC, doc_id ASC
         |LIMIT 50""".stripMargin,
+    // Σ price_cents·(100−disc_pct) is exact long arithmetic — "hcents"
+    // (hundredths of a cent) so the top-10 ordering has no float ties
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |* (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_hcents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-01-01'
+        |AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_hcents DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |* (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_hcents
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH ops AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |WHEN o_orderkey % 10 < 4 THEN 'U' ELSE 'I' END AS op,
+        |CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT key, op, cents,
+        |row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+        |count(*) OVER (PARTITION BY key) AS n_ops FROM ops)
+        |SELECT key, op AS final_op, cents AS final_cents, n_ops
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "q_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        |count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_union_evolve" ->
+      """WITH u AS (SELECT doc_id, lang, NULL AS source, 'v1' AS gen
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, lang, source, 'v2' AS gen
+        |FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT gen, lang, count(*) AS n, count(source) AS n_with_source
+        |FROM u GROUP BY gen, lang""".stripMargin,
     "q_graph_degree" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -1364,6 +1364,116 @@ object Relational {
           .as("intercept_dollars"))
   }
 
+  /** TPC-H Q3 shape (shipping-priority): the canonical dim→fact→fact join
+    * chain with selective filters on EVERY input — customer segment, order
+    * date, ship date — so the optimizer's job (push all three filters below
+    * the joins, broadcast the pruned customer side, keep lineitem
+    * shuffle-joined on the order key) is visible in the plan. Revenue in
+    * exact integer cents: Σ price_cents·(100 − disc_pct) is a long, so the
+    * top-10 ordering has no float tie ambiguity. */
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cutoff).cast("date"))
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_hcents"))
+      .orderBy(col("revenue_hcents").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): the 6-way snowflake —
+    * region→nation→customer→orders→lineitem→supplier with the
+    * same-nation constraint between customer and supplier. The join graph
+    * gives the optimizer real ordering freedom (dims broadcast, the two
+    * facts meet on the order key once); the nation-equality predicate
+    * lands on the supplier join, not a post-filter. Integer-cents revenue
+    * per nation. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (floor(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    cust.join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")
+        && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_hcents"))
+  }
+
+  /** CDC apply: collapse an insert/update/delete operation stream to the
+    * final table state — latest op per key wins (ordered by sequence
+    * number), a terminal D removes the key. One window over the op stream
+    * keyed on the primary key; the op stream is synthesized from orders
+    * (customers are keys, their orders a sequenced op feed). The shape a
+    * warehouse MERGE target runs on every sync. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val ops = Tables.orders(s, d).select(
+      col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 10 === 0, "D")
+        .when(col("o_orderkey") % 10 < 4, "U").otherwise("I").as("op"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val wk = Window.partitionBy(col("key"))
+    val w = wk.orderBy(col("seq").desc)
+    ops
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(wk))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("op").as("final_op"),
+        col("cents").as("final_cents"), col("n_ops"))
+  }
+
+  /** Semi-structured props via the VARIANT type (Spark 4): `parse_json`
+    * once into the binary-encoded variant, then typed `variant_get`
+    * extractions — the modern replacement for per-field get_json_object
+    * re-parses (one parse, many cheap typed reads; at scan scale that is
+    * the difference between one and N JSON passes per row). Aggregates the
+    * extracted field per event type. */
+  def variantProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"), expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+
+  /** Schema-evolution union: a v1 slice (no `source` column) unioned by
+    * NAME with a v2 slice that has it — `unionByName(allowMissingColumns)`
+    * null-fills the missing column instead of mis-binding by position (the
+    * classic silent-corruption bug of positional UNION under evolved
+    * schemas). Aggregated per generation so the null-fill is visible in
+    * the oracle compare. */
+  def schemaEvolutionUnion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang")).withColumn("gen", lit("v1"))
+    val v2 = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source")).withColumn("gen", lit("v2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("gen"), col("lang"))
+      .agg(count(lit(1)).as("n"), count(col("source")).as("n_with_source"))
+  }
+
   /** Winsorized robust aggregate: per event_type, values clamped to the
     * [p05, p95] band before summing — the outlier-capping sibling of the
     * drop-based z-score/MAD gates. The percentile bounds are the k-th

@@ -268,6 +268,20 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     // winsorize: the |groups|-row bounds frame broadcasts back onto the scan
     val wz = physical(Relational.winsorizedStats(spark, sf))
     assert(wz.contains("BroadcastHashJoin"), "winsorize bounds must broadcast")
+    // TPC-H shapes: every filter reaches its scan (PushedFilters on dates /
+    // segment), dims broadcast, nothing goes cartesian
+    val q3 = Relational.tpchQ3(spark, sf).queryExecution.executedPlan
+    val q3s = q3.toString
+    assert(!q3s.contains("CartesianProduct"), "q3 cartesian")
+    assert(q3s.contains("BroadcastHashJoin"), "q3 pruned customer side must broadcast")
+    assert(q3s.contains("TakeOrderedAndProject"), "q3 top-10 must not global-sort")
+    val q3scan = q3.toString
+    assert(q3scan.contains("PushedFilters") &&
+      (q3scan.contains("LessThan(o_orderdate") || q3scan.contains("GreaterThan(l_shipdate")),
+      "q3 date filters must push to parquet")
+    val q5s = Relational.tpchQ5(spark, sf).queryExecution.executedPlan.toString
+    assert(!q5s.contains("CartesianProduct"), "q5 cartesian")
+    assert(q5s.contains("BroadcastHashJoin"), "q5 dims must broadcast")
   }
 
   test("containment: driver-side set recomputation; embedding beats jaccard") {
@@ -359,6 +373,68 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
       assert(r.getAs[Int]("r_len") == rLen(id) && r.getAs[Int]("r_ttr") == rTtr(id))
       assert(math.abs(r.getAs[Double]("rrf") - sc) < 1e-5)
     }
+  }
+
+  test("TPC-H Q3/Q5 shapes: filters bite, ordering strict, revenue exact") {
+    val q3 = Relational.tpchQ3(spark, sf).collect()
+    assert(q3.length <= 10 && q3.nonEmpty)
+    val revs = q3.map(_.getAs[Long]("revenue_hcents"))
+    assert(revs.sameElements(revs.sortBy(-_)), "q3 must be revenue-descending")
+    assert(revs.forall(_ > 0))
+    val q5 = Relational.tpchQ5(spark, sf).collect()
+    assert(q5.nonEmpty)
+    // only ASIA nations can appear
+    val asia = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(q5.map(_.getAs[String]("n_name")).toSet.subsetOf(asia))
+  }
+
+  test("CDC apply: the final state equals a driver-side replay of the op stream") {
+    val got = Relational.cdcApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("key") ->
+        (r.getAs[String]("final_op"), r.getAs[Long]("final_cents"), r.getAs[Long]("n_ops"))).toMap
+    val ops = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).collect()
+      .map { r =>
+        val seq = r.getAs[Long]("o_orderkey")
+        val op = if (seq % 10 == 0) "D" else if (seq % 10 < 4) "U" else "I"
+        (r.getAs[Long]("o_custkey"), seq, op,
+          math.floor(r.getAs[Double]("o_totalprice") * 100).toLong)
+      }
+    val expected = ops.groupBy(_._1).flatMap { case (k, rows) =>
+      val last = rows.maxBy(_._2)
+      if (last._3 == "D") None else Some(k -> (last._3, last._4, rows.length.toLong))
+    }
+    assert(got == expected && got.nonEmpty)
+    // deletes actually delete: some keys whose last op is D must exist
+    assert(ops.groupBy(_._1).exists(kv => kv._2.maxBy(_._2)._3 == "D"))
+  }
+
+  test("variant extraction agrees with get_json_object and never loses rows") {
+    val got = Relational.variantProps(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_with_k"), r.getAs[Long]("k_sum"))).toMap
+    val legacy = Tables.events(spark, sf)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("nk"), sum(col("k")).as("ks"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nk"), r.getAs[Long]("ks"))).toMap
+    assert(got == legacy && got.nonEmpty)
+  }
+
+  test("schema-evolution union null-fills the missing column by NAME") {
+    val rows = Relational.schemaEvolutionUnion(spark, sf).collect()
+    val v1 = rows.filter(_.getAs[String]("gen") == "v1")
+    val v2 = rows.filter(_.getAs[String]("gen") == "v2")
+    assert(v1.nonEmpty && v2.nonEmpty)
+    // v1 rows predate the column: the null-fill must leave zero non-null
+    assert(v1.forall(_.getAs[Long]("n_with_source") == 0L))
+    // v2 rows all carry it
+    v2.foreach(r => assert(r.getAs[Long]("n_with_source") == r.getAs[Long]("n")))
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.documents(spark, sf).count())
   }
 
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
