@@ -238,6 +238,9 @@ object SparkEntry {
     "q_cdc_apply" -> (Relational.cdcApply _),
     "q_variant_props" -> (Relational.variantProps _),
     "q_union_evolve" -> (Relational.schemaEvolutionUnion _),
+    "q_cc_recursive" -> ((s, d) => Dedup.recursiveClusters(s, d)),
+    "q_dq_checks" -> (Audit.dqChecks _),
+    "q_column_stats" -> (Audit.columnStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1761,6 +1764,80 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 2 <> 0)
         |SELECT gen, lang, count(*) AS n, count(source) AS n_with_source
         |FROM u GROUP BY gen, lang""".stripMargin,
+    // the SAME depth-bounded decreasing-label recursion as the Spark plan
+    // (UNION ALL both sides), so the compare is exact even where the bound
+    // binds; pair derivation mirrors q_ngram_jaccard
+    "q_cc_recursive" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(node, lbl, depth) AS (
+        |SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
+        |UNION ALL
+        |SELECT e.a, r.lbl, r.depth + 1 FROM edges e JOIN reach r ON e.b = r.node
+        |WHERE r.lbl < e.a AND r.depth < 6)
+        |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        |FROM reach GROUP BY node""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT 'orders_custkey_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations,
+        |count(*) = 0 AS passed FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orderkey_unique',
+        |CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+        |count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL
+        |SELECT 'totalprice_positive', CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT),
+        |count(*) FILTER (o_totalprice <= 0) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'shipdate_not_null', CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT),
+        |count(*) FILTER (l_shipdate IS NULL) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'quantity_in_band',
+        |CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+        |count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0 FROM lineitem""".stripMargin,
+    "q_column_stats" ->
+      """WITH one AS (SELECT count(*) AS n_rows,
+        |count(DISTINCT o_orderkey) AS ndv_orderkey,
+        |count(*) FILTER (o_orderkey IS NULL) AS null_orderkey,
+        |CAST(min(o_orderkey) AS VARCHAR) AS min_orderkey,
+        |CAST(max(o_orderkey) AS VARCHAR) AS max_orderkey,
+        |count(DISTINCT o_custkey) AS ndv_custkey,
+        |count(*) FILTER (o_custkey IS NULL) AS null_custkey,
+        |CAST(min(o_custkey) AS VARCHAR) AS min_custkey,
+        |CAST(max(o_custkey) AS VARCHAR) AS max_custkey,
+        |count(DISTINCT o_orderstatus) AS ndv_status,
+        |count(*) FILTER (o_orderstatus IS NULL) AS null_status,
+        |min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |count(DISTINCT o_orderpriority) AS ndv_priority,
+        |count(*) FILTER (o_orderpriority IS NULL) AS null_priority,
+        |min(o_orderpriority) AS min_priority, max(o_orderpriority) AS max_priority,
+        |count(DISTINCT CAST(o_orderdate AS DATE)) AS ndv_odate,
+        |count(*) FILTER (o_orderdate IS NULL) AS null_odate,
+        |CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_odate,
+        |CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_odate,
+        |count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT)) AS ndv_cents,
+        |count(*) FILTER (o_totalprice IS NULL) AS null_cents,
+        |CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS min_cents,
+        |CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS max_cents
+        |FROM orders)
+        |SELECT 'o_orderkey' AS "column", n_rows, ndv_orderkey AS ndv,
+        |null_orderkey AS n_nulls, min_orderkey AS min_value, max_orderkey AS max_value FROM one
+        |UNION ALL SELECT 'o_custkey', n_rows, ndv_custkey, null_custkey, min_custkey, max_custkey FROM one
+        |UNION ALL SELECT 'o_orderstatus', n_rows, ndv_status, null_status, min_status, max_status FROM one
+        |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
+        |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
+        |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
     "q_graph_degree" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -315,6 +315,39 @@ object Dedup {
         round(col("n_common") / col("sz_a"), 4).as("containment"))
   }
 
+  /** Connected components as ONE declarative recursive query (Spark 4's
+    * `WITH RECURSIVE`) over the bounded exact-pair graph — the same
+    * clusters [[nearDupClusters]] computes with its driver-side iteration
+    * loop, but as a single lazy plan the optimizer owns end to end (no
+    * collect-per-round convergence probe, no manual lineage cuts).
+    * Spark's recursive CTEs support UNION ALL only (no set-semantics
+    * dedup), so on a cyclic graph the walk must be made finite explicitly:
+    * labels propagate only while strictly DECREASING (`r.lbl < e.a`) and a
+    * depth bound caps path length. min-per-node over all ≤depth-bounded
+    * decreasing walks = the true component min whenever the component
+    * diameter fits the bound (planted dup clusters are tiny); the oracle
+    * runs the IDENTICAL bounded recursion, so the compare is exact either
+    * way. Row growth is bounded by decreasing-label paths in components of
+    * size m — O(m!) worst-case in a clique, fine for near-dup cluster
+    * sizes; the iterative form stays the 100 TB path. */
+  def recursiveClusters(s: SparkSession, d: String, maxDepth: Int = 6): DataFrame = {
+    // Materialize the (tiny, bounded) pair set before recursing: the CTE
+    // inliner would otherwise re-derive the all-pairs gram join inside
+    // EVERY recursion step (measured 2.6 s → the join is the whole cost;
+    // the recursion over ~25 cached pairs is milliseconds)
+    ngramJaccardPairs(s, d).localCheckpoint(true).createOrReplaceTempView("cc_pairs")
+    s.sql(s"""
+      WITH RECURSIVE edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cc_pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM cc_pairs),
+      reach(node, lbl, depth) AS (
+        SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
+        UNION ALL
+        SELECT e.a, r.lbl, r.depth + 1 FROM edges e JOIN reach r ON e.b = r.node
+        WHERE r.lbl < e.a AND r.depth < $maxDepth)
+      SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node""")
+  }
+
   /** Near-dup clusters: connected components over the verified near-dup
     * pair graph by iterative min-label propagation (each round: every doc
     * adopts the smallest label among itself and its neighbors; fixpoint in

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Graph, Relational, Skew, TextAnalysis}
+import graft.operators.{Audit, Corpus, Graph, Relational, Skew, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Pins for the round-5 additions: PageRank, last-touch attribution,
@@ -435,6 +435,45 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     // v2 rows all carry it
     v2.foreach(r => assert(r.getAs[Long]("n_with_source") == r.getAs[Long]("n")))
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("recursive-CTE components equal the iterative min-label propagation") {
+    val rec = operators.Dedup.recursiveClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val iter = operators.Dedup.nearDupClusters(
+      operators.Dedup.ngramJaccardPairs(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(rec.nonEmpty)
+    assert(rec == iter, "declarative recursion must agree with the iterative loop")
+  }
+
+  test("dq checks: clean constraints pass, seeded violations are counted") {
+    val rows = Audit.dqChecks(spark, sf).collect()
+      .map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(rows.size == 6)
+    rows.foreach { case (name, (v, p)) => assert(p == (v == 0L), name) }
+    // the synthetic warehouse is referentially intact by construction
+    assert(rows("orders_custkey_fk")._1 == 0L)
+    assert(rows("lineitem_orderkey_fk")._1 == 0L)
+    assert(rows("orderkey_unique")._1 == 0L)
+  }
+
+  test("column stats agree with direct per-column aggregates") {
+    val stats = Audit.columnStats(spark, sf).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(stats.size == 6)
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    stats.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    val ck = stats("o_custkey")
+    assert(ck.getAs[Long]("ndv") ==
+      orders.select(countDistinct(col("o_custkey"))).head().getLong(0))
+    assert(ck.getAs[String]("min_value").toLong ==
+      orders.agg(min(col("o_custkey"))).head().getLong(0))
+    val od = stats("o_orderdate")
+    assert(od.getAs[String]("min_value").matches("\\d{4}-\\d{2}-\\d{2}"),
+      "dates must serialize as plain yyyy-MM-dd")
   }
 
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
