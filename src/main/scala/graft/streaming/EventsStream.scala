@@ -90,6 +90,42 @@ object EventsStream {
       .select(col("purchase_id"), col("user_id"), col("view_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits, with
+    * nulls for view columns when no view preceded it. The subtlety outer
+    * streaming joins add over inner: a purchase with no match cannot emit
+    * when seen — a matching view might still arrive — so Spark holds it
+    * until BOTH watermarks pass the join window's end and only then emits
+    * the null-padded row. Correct results therefore REQUIRE the watermark
+    * to advance past the data's end; AvailableNow's final empty batch does
+    * exactly that. State stays window-bounded, as in the inner form. */
+  def purchasesWithRecentViewsOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    purchases.join(
+      views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
+  /** Streaming LEFT OUTER interval join to a sink, AvailableNow. */
+  def runIntervalJoinOuter(spark: SparkSession, srcDir: String, outDir: String,
+                           checkpointDir: String): StreamingQuery =
+    purchasesWithRecentViewsOuter(readEvents(spark, srcDir))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Streaming interval join to a sink, AvailableNow. */
   def runIntervalJoin(spark: SparkSession, srcDir: String, outDir: String,
                       checkpointDir: String): StreamingQuery =

@@ -109,6 +109,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "no pairs joined — nothing verified")
   }
 
+  test("stream-stream LEFT OUTER interval join emits the null-padded rows too") {
+    val out = Files.createTempDirectory("graft-stream-ssjo").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ssjock").toString
+    EventsStream.runIntervalJoinOuter(spark, srcDir, out, ckpt).awaitTermination(180000)
+    val streamed = spark.read.parquet(out).select("purchase_id", "view_id", "p_ts")
+    val e = Tables.events(spark, sf)
+    val batch = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .join(
+        e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts")),
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select("purchase_id", "view_id", "p_ts")
+    // a null-padded row only emits once both watermarks pass its join
+    // window; the final AvailableNow batch advances the watermark to
+    // (max event time − 30 min delay), so purchases inside the last
+    // (delay + 1 h window) of event time are STILL HELD when the drain
+    // ends — correct streaming semantics, not loss. Equality therefore
+    // holds on the watermark-closed region; on the tail the stream may
+    // only emit matched rows (never fabricate).
+    val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val cutoff = new java.sql.Timestamp(maxTs - (90 * 60 * 1000L))
+    assert(streamed.except(batch).isEmpty, "stream emitted a row batch didn't")
+    val closedBatch = batch.filter(col("p_ts") <= cutoff)
+    val closedStream = streamed.filter(col("p_ts") <= cutoff)
+    assert(closedBatch.except(closedStream).isEmpty,
+      "stream missed a closed-region row batch found")
+    val nullRows = closedStream.filter(col("view_id").isNull).count()
+    val batchNullRows = closedBatch.filter(col("view_id").isNull).count()
+    assert(nullRows == batchNullRows && nullRows > 0,
+      "no null-padded purchases — the outer semantics went unverified")
+  }
+
   test("streaming windowed counts match the batch computation") {
     val out = Files.createTempDirectory("graft-stream-win").toString
     val ckpt = Files.createTempDirectory("graft-stream-winck").toString
