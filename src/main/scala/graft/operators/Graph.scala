@@ -89,16 +89,19 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = norm
+      // The graph is undirected (both directions materialized), so every
+      // node is the dst of at least one edge and the contribution aggregate
+      // already covers ALL of |V| — no nodes-frame left join needed to
+      // resurrect zero-in-degree nodes. One keyed join + one aggregate per
+      // iteration is the whole loop body.
+      ranks = norm
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst"))
+        .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("rank")).as("cin"))
-      ranks = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(nN))
         .select(col("node"),
           (lit(1.0 - damping) / col("n")
-            + lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+            + lit(damping) * col("cin")).as("rank"))
     }
     ranks.select(
       when(col("node") >= 0, concat(lit("c"), col("node")))
