@@ -241,6 +241,8 @@ object SparkEntry {
     "q_cc_recursive" -> ((s, d) => Dedup.recursiveClusters(s, d)),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
+    "q_ivm_merge" -> (Relational.incrementalAggMerge _),
+    "q_hll_union" -> (Relational.hllWeeklyActives _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1838,6 +1840,20 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
         |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
         |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
+    // the IVM contract IS the oracle: merged partials must equal the
+    // from-scratch aggregate
+    "q_ivm_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_min,
+        |CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_max
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // sketch binaries aren't engine-portable; the exact side and the 5%
+    // in-bound flag are (the q_cms_hh bound-oracle pattern)
+    "q_hll_union" ->
+      """SELECT CAST(weekofyear(CAST(ts AS DATE)) AS INT) AS week,
+        |count(DISTINCT user_id) AS n_exact, true AS est_in_bound
+        |FROM events GROUP BY 1""".stripMargin,
     "q_graph_degree" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey, l_suppkey
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -1364,6 +1364,54 @@ object Relational {
           .as("intercept_dollars"))
   }
 
+  /** Incremental view maintenance, the aggregate-merge half: partial
+    * aggregates of disjoint slices (the standing materialized view + a new
+    * delta batch) merge by summing counts and sums — and the merge MUST
+    * equal the full recompute row for row, which is exactly what the plain
+    * group-by oracle checks. Only decomposable aggregates (sum/count/min/
+    * max) merge this way; avg ships as (sum, count). At warehouse scale
+    * this is the contract that lets a nightly view absorb a delta without
+    * rescanning history. */
+  def incrementalAggMerge(s: SparkSession, d: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .select(col("o_orderpriority"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val orders = Tables.orders(s, d)
+    val standing = partial(orders.filter(col("o_orderkey") % 97 =!= 0))
+    val delta = partial(orders.filter(col("o_orderkey") % 97 === 0))
+    standing.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("cents_sum"),
+        min(col("mn")).as("cents_min"), max(col("mx")).as("cents_max"))
+  }
+
+  /** Sketch-merge range query: daily HLL sketches of active users, merged
+    * per week with `hll_union_agg` — the reuse story of mergeable sketches
+    * (build per-partition once, answer ANY date range by unioning blobs,
+    * never rescanning events). The estimate itself is not oracle-portable
+    * (the sketch binary is engine-specific), so the emitted contract is the
+    * bound check: exact weekly distinct (decomposability makes DuckDB agree
+    * on it) plus an in-bound flag at 5% — ~3σ for the default lgK=12
+    * sketch, deterministic because the sketch build is. */
+  def hllWeeklyActives(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = Tables.events(s, d)
+      .select(weekofyear(to_date(col("ts"))).as("week"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(weekly, Seq("week"))
+      .select(col("week"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("est_in_bound"))
+  }
+
   /** TPC-H Q3 shape (shipping-priority): the canonical dim→fact→fact join
     * chain with selective filters on EVERY input — customer segment, order
     * date, ship date — so the optimizer's job (push all three filters below

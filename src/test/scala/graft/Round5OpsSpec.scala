@@ -476,6 +476,31 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
       "dates must serialize as plain yyyy-MM-dd")
   }
 
+  test("IVM merge equals the full recompute and the delta is non-trivial") {
+    val merged = Relational.incrementalAggMerge(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("cents_sum"),
+          r.getAs[Long]("cents_min"), r.getAs[Long]("cents_max"))).toMap
+    val full = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), min(col("c")).as("mn"), max(col("c")).as("mx"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(merged == full && merged.nonEmpty)
+    val deltaRows = Tables.orders(spark, sf).filter(col("o_orderkey") % 97 === 0).count()
+    assert(deltaRows > 0, "empty delta would make the merge vacuous")
+  }
+
+  test("HLL weekly union estimates stay inside the 5% bound") {
+    val rows = Relational.hllWeeklyActives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_in_bound"), s"week ${r.getAs[Int]("week")} out of bound")
+      assert(r.getAs[Long]("n_exact") > 0)
+    }
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
