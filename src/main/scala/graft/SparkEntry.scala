@@ -243,6 +243,8 @@ object SparkEntry {
     "q_column_stats" -> (Audit.columnStats _),
     "q_ivm_merge" -> (Relational.incrementalAggMerge _),
     "q_hll_union" -> (Relational.hllWeeklyActives _),
+    "q_table_diff" -> (Audit.tableDiff _),
+    "q_file_audit" -> (Audit.fileAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1840,6 +1842,26 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
         |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
         |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
+    // the oracle derives each change class from the synthesis rules
+    // directly — the hash compare only has to AGREE with ground truth
+    "q_table_diff" ->
+      """SELECT 'removed' AS change, count(*) AS n_keys,
+        |CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM orders WHERE o_orderkey % 41 = 0
+        |UNION ALL
+        |SELECT 'changed', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey % 41 <> 0
+        |UNION ALL
+        |SELECT 'added', count(*), CAST(sum(-(o_orderkey + 1)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 43 = 0""".stripMargin,
+    // the test tables are single parquet files, so the audit's honest
+    // oracle is the degenerate distribution (the operator's value is the
+    // input_file_name pattern, exercised for real on the bucketed tables
+    // in BucketingSpec)
+    "q_file_audit" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS min_rows,
+        |count(*) AS max_rows, CAST(count(*) AS BIGINT) AS total_rows
+        |FROM lineitem""".stripMargin,
     // the IVM contract IS the oracle: merged partials must equal the
     // from-scratch aggregate
     "q_ivm_merge" ->

@@ -42,6 +42,59 @@ object Audit {
       .unionAll(checkRow("quantity_in_band", qtyBand))
   }
 
+  /** Table diff / reconciliation: compare two versions of a keyed table and
+    * classify every key as added, removed, or changed — the anti-entropy
+    * check run after a migration or replication. The "new" version here is
+    * synthesized from orders (a price-touched slice, a dropped slice, an
+    * added tail via key shift). Both sides reduce to (key, row-hash) BEFORE
+    * the full-outer join, so the exchange carries 16 bytes per row no
+    * matter how wide the table — the same hash-not-payload discipline as
+    * the dedup pipeline; at scale both sides also prune to changed
+    * partitions first. Unchanged rows (the overwhelming majority) are
+    * filtered out pre-shuffle-free — they drop after the join, whose cost
+    * is the one keyed exchange. */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def hashed(df: DataFrame) = df.select(col("o_orderkey").as("key"),
+      xxhash64(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long")).as("h"))
+    val v1 = hashed(orders)
+    // new version: one slice dropped, one price-touched, one appended under
+    // fresh keys (-(key+1), strictly negative so key 0 can't collide with
+    // its own re-addition)
+    val v2 = hashed(
+      orders.filter(col("o_orderkey") % 41 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 43 === 0)
+          .withColumn("o_orderkey", -(col("o_orderkey") + 1))))
+    v1.withColumnRenamed("h", "h1")
+      .join(v2.withColumnRenamed("h", "h2"), Seq("key"), "full")
+      .withColumn("change",
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") =!= col("h2"), "changed"))
+      .filter(col("change").isNotNull)
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("key")).as("key_checksum"))
+  }
+
+  /** Small-files audit: per-file row counts for the lineitem table via
+    * `input_file_name()` — the scan-health diagnostic behind compaction
+    * decisions (many small files = many tasks + metadata pressure; one
+    * giant file = no parallelism). Pure scan + one tiny agg keyed on file
+    * name; emits the distribution summary, not per-file rows. */
+  def fileAudit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("rows")).as("min_rows"),
+        max(col("rows")).as("max_rows"),
+        sum(col("rows")).as("total_rows"))
+
   /** ANALYZE-style column statistics for orders: one single-mode aggregate
     * PER column, unioned. Not one multi-distinct aggregate — N exact
     * countDistincts in one agg force RewriteDistinctAggregates to Expand

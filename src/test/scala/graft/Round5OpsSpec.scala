@@ -501,6 +501,28 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     }
   }
 
+  test("table diff classifies every synthesized change and nothing else") {
+    val got = Audit.tableDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("key_checksum"))).toMap
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey")).collect()
+      .map(_.getAs[Long]("o_orderkey"))
+    val removed = keys.filter(_ % 41 == 0)
+    val changed = keys.filter(k => k % 31 == 0 && k % 41 != 0)
+    val added = keys.filter(_ % 43 == 0).map(k => -(k + 1))
+    assert(got("removed") == (removed.length.toLong, removed.sum))
+    assert(got("changed") == (changed.length.toLong, changed.sum))
+    assert(got("added") == (added.length.toLong, added.sum))
+    assert(got.size == 3, "no unchanged rows may leak into the diff")
+  }
+
+  test("file audit accounts for every row") {
+    val r = Audit.fileAudit(spark, sf).collect().head
+    assert(r.getAs[Long]("total_rows") == Tables.lineitem(spark, sf).count())
+    assert(r.getAs[Long]("n_files") >= 1L)
+    assert(r.getAs[Long]("min_rows") <= r.getAs[Long]("max_rows"))
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
