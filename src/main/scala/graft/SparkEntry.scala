@@ -245,6 +245,7 @@ object SparkEntry {
     "q_hll_union" -> (Relational.hllWeeklyActives _),
     "q_table_diff" -> (Audit.tableDiff _),
     "q_file_audit" -> (Audit.fileAudit _),
+    "q_decimal_money" -> (Relational.decimalMoney _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1842,6 +1843,13 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
         |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
         |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
+    // DECIMAL end to end; Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2)
+    "q_decimal_money" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+        |CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
+        |CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // the oracle derives each change class from the synthesis rules
     // directly — the hash compare only has to AGREE with ground truth
     "q_table_diff" ->

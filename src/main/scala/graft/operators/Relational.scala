@@ -1364,6 +1364,22 @@ object Relational {
           .as("intercept_dollars"))
   }
 
+  /** Exact DECIMAL(18,2) money aggregation — the fixed-point alternative to
+    * this engine's integer-cents idiom. The double→decimal cast is
+    * engine-deterministic (2dp ties are not representable in binary, so
+    * round-to-nearest never actually ties), decimal sums are exact, and
+    * Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2) — the oracle casts to
+    * match. Both idioms belong in the surface: cents-longs for hot paths
+    * (codegen integer math), DECIMAL where downstream contracts demand
+    * typed fixed-point. */
+  def decimalMoney(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+
   /** Incremental view maintenance, the aggregate-merge half: partial
     * aggregates of disjoint slices (the standing materialized view + a new
     * delta batch) merge by summing counts and sums — and the merge MUST

@@ -523,6 +523,45 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r.getAs[Long]("min_rows") <= r.getAs[Long]("max_rows"))
   }
 
+  test("decimal money totals agree with the integer-cents idiom exactly") {
+    val dec = Relational.decimalMoney(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[java.math.BigDecimal]("total")).toMap
+    // round-then-cast: (p*100) as a double can sit at x.9999…, which a bare
+    // cast TRUNCATES — the decimal cast rounds, so the check must too
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100, 0).cast("long").as("c0"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("c0")).as("c"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("c")).toMap
+    dec.foreach { case (k, total) =>
+      assert(total.multiply(new java.math.BigDecimal(100)).longValueExact() == cents(k),
+        s"priority $k: decimal and cents disagree")
+    }
+    assert(dec.nonEmpty)
+  }
+
+  test("join strategy hints are honored and all strategies agree") {
+    val fact = Tables.orders(spark, sf)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    def agg(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue()))
+      .sortBy(_._1).toSeq
+    val broadcastJ = fact.join(dim.hint("broadcast"), Seq("o_custkey"))
+    val mergeJ = fact.join(dim.hint("merge"), Seq("o_custkey"))
+    val shuffleHashJ = fact.join(dim.hint("shuffle_hash"), Seq("o_custkey"))
+    assert(broadcastJ.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(mergeJ.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(shuffleHashJ.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    val results = Seq(broadcastJ, mergeJ, shuffleHashJ).map(agg)
+    assert(results.distinct.size == 1, "join strategies must be result-equivalent")
+    assert(results.head.nonEmpty)
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
