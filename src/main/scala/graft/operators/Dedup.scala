@@ -350,11 +350,11 @@ object Dedup {
     // inliner would otherwise re-derive the all-pairs gram join inside
     // EVERY recursion step (measured 2.6 s → the join is the whole cost;
     // the recursion over ~25 cached pairs is milliseconds)
-    ngramJaccardPairs(s, d).localCheckpoint(true).createOrReplaceTempView("cc_pairs")
+    ngramJaccardPairs(s, d).localCheckpoint(true).createOrReplaceTempView("graft_cc_pairs")
     s.sql(s"""
       WITH RECURSIVE edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM cc_pairs
-        UNION ALL SELECT doc_b AS a, doc_a AS b FROM cc_pairs),
+        SELECT doc_a AS a, doc_b AS b FROM graft_cc_pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM graft_cc_pairs),
       reach(node, lbl, depth) AS (
         SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
         UNION ALL
