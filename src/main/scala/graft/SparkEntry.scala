@@ -1881,7 +1881,7 @@ object SparkEntry {
     // sketch binaries aren't engine-portable; the exact side and the 5%
     // in-bound flag are (the q_cms_hh bound-oracle pattern)
     "q_hll_union" ->
-      """SELECT CAST(weekofyear(CAST(ts AS DATE)) AS INT) AS week,
+      """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
         |count(DISTINCT user_id) AS n_exact, true AS est_in_bound
         |FROM events GROUP BY 1""".stripMargin,
     "q_graph_degree" ->

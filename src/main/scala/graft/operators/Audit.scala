@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Warehouse audit operators: declarative data-quality constraint checking
   * (the dbt-test / Deequ shape) and ANALYZE-style per-column statistics
-  * (what a cost-based optimizer ingests). Both are one-pass aggregations —
-  * the audit never costs more than a scan per table, which is the contract
-  * that lets it run on every load at any scale.
+  * (what a cost-based optimizer ingests). Cost contract: all plain-
+  * aggregate checks on a table fold into ONE scan of it (a multi-counter
+  * agg unpivoted); each referential-integrity check adds one anti-join
+  * probe of its fact side with the dimension key set broadcast. That sum —
+  * a scan per table plus a probe per FK — is what lets the audit run on
+  * every load at any scale.
   */
 object Audit {
 
@@ -23,23 +26,33 @@ object Audit {
     def checkRow(name: String, violations: DataFrame): DataFrame =
       violations.select(lit(name).as("check"), col("v").as("n_violations"),
         (col("v") === 0L).as("passed"))
+    // plain-aggregate checks FOLD into one scan per table (a stack()
+    // unpivot of a single multi-counter agg row) — six independent jobs
+    // would rescan orders/lineitem once per check and break the
+    // one-scan-per-table contract above; only the FK anti-joins need their
+    // own probe shape
+    val ordersAggChecks = orders
+      .agg((count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("uniq_v"),
+        count(when(col("o_totalprice") <= 0, 1)).as("pos_v"))
+      .select(expr(
+        "stack(2, 'orderkey_unique', uniq_v, 'totalprice_positive', pos_v) AS (check, v)"))
+      .select(col("check"), col("v").as("n_violations"), (col("v") === 0L).as("passed"))
+    val liAggChecks = li
+      .agg(count(when(col("l_shipdate").isNull, 1)).as("dates_v"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("qty_v"))
+      .select(expr(
+        "stack(2, 'shipdate_not_null', dates_v, 'quantity_in_band', qty_v) AS (check, v)"))
+      .select(col("check"), col("v").as("n_violations"), (col("v") === 0L).as("passed"))
     val fkOrdersCust = orders.select(col("o_custkey"))
       .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("v"))
     val fkLineOrders = li.select(col("l_orderkey"))
       .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("v"))
-    val uniqOrderkey = orders
-      .agg((count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("v"))
-    val posPrice = orders.agg(count(when(col("o_totalprice") <= 0, 1)).as("v"))
-    val liDates = li.agg(count(when(col("l_shipdate").isNull, 1)).as("v"))
-    val qtyBand = li.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v"))
     checkRow("orders_custkey_fk", fkOrdersCust)
       .unionAll(checkRow("lineitem_orderkey_fk", fkLineOrders))
-      .unionAll(checkRow("orderkey_unique", uniqOrderkey))
-      .unionAll(checkRow("totalprice_positive", posPrice))
-      .unionAll(checkRow("shipdate_not_null", liDates))
-      .unionAll(checkRow("quantity_in_band", qtyBand))
+      .unionAll(ordersAggChecks)
+      .unionAll(liAggChecks)
   }
 
   /** Table diff / reconciliation: compare two versions of a keyed table and

@@ -232,18 +232,24 @@ object Dedup {
     * all-pairs correctness baseline the LSH paths approximate. Bounded by
     * `maxDocId` because all-pairs is O(n²) BY DESIGN here; the scale path is
     * [[nearDupPairs]]. Oracle-checkable end to end. */
-  def ngramJaccardPairs(s: SparkSession, d: String,
-                        maxDocId: Long = 80, threshold: Double = 0.08): DataFrame = {
-    val grams = Tables.documents(s, d)
+  /** (doc_id, distinct word-bigram set) for a bounded doc slice — shared
+    * by the symmetric-Jaccard and asymmetric-containment baselines so the
+    * tokenization can never silently diverge between them (and their
+    * oracles). Single-token docs are dropped: they have no bigrams
+    * (sequence(0, -1) would DESCEND and element_at(toks, 0) throw), and
+    * their empty gram set can never reach any threshold. */
+  private def bigramGramSets(s: SparkSession, d: String, maxDocId: Long): DataFrame =
+    Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      // single-token docs have no bigrams (sequence(0, -1) would descend and
-      // element_at(toks, 0) throw); dropping them matches the oracle, where
-      // their empty gram set can never reach the jaccard threshold
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), array_distinct(
         expr("transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
         .as("grams"))
+
+  def ngramJaccardPairs(s: SparkSession, d: String,
+                        maxDocId: Long = 80, threshold: Double = 0.08): DataFrame = {
+    val grams = bigramGramSets(s, d, maxDocId)
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
     a.crossJoin(broadcast(b))
@@ -267,13 +273,7 @@ object Dedup {
     * [[containmentPairsAtScale]]. */
   def containmentPairs(s: SparkSession, d: String,
                        maxDocId: Long = 80, threshold: Double = 0.5): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
-        .as("grams"))
+    val grams = bigramGramSets(s, d, maxDocId)
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
     a.crossJoin(broadcast(b))
@@ -345,16 +345,21 @@ object Dedup {
     * way. Row growth is bounded by decreasing-label paths in components of
     * size m — O(m!) worst-case in a clique, fine for near-dup cluster
     * sizes; the iterative form stays the 100 TB path. */
+  private val ccViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def recursiveClusters(s: SparkSession, d: String, maxDepth: Int = 6): DataFrame = {
     // Materialize the (tiny, bounded) pair set before recursing: the CTE
     // inliner would otherwise re-derive the all-pairs gram join inside
     // EVERY recursion step (measured 2.6 s → the join is the whole cost;
-    // the recursion over ~25 cached pairs is milliseconds)
-    ngramJaccardPairs(s, d).localCheckpoint(true).createOrReplaceTempView("graft_cc_pairs")
+    // the recursion over ~25 cached pairs is milliseconds). The view name
+    // is counter-unique per call — a fixed name would let two concurrent
+    // callers on one session read each other's pair sets.
+    val view = s"graft_cc_pairs_${ccViewCounter.incrementAndGet()}"
+    ngramJaccardPairs(s, d).localCheckpoint(true).createOrReplaceTempView(view)
     s.sql(s"""
       WITH RECURSIVE edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM graft_cc_pairs
-        UNION ALL SELECT doc_b AS a, doc_a AS b FROM graft_cc_pairs),
+        SELECT doc_a AS a, doc_b AS b FROM $view
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM $view),
       reach(node, lbl, depth) AS (
         SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
         UNION ALL

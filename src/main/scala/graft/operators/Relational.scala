@@ -1353,15 +1353,17 @@ object Relational {
     li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      // slope computed ONCE in a nested select and reused unrounded in the
+      // intercept — writing the quotient out twice invites the two copies
+      // drifting apart, and the bit-identical-division argument vs the
+      // oracle is checkable in one place
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
       .select(col("l_returnflag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
-          .as("slope_dollars_per_qty"),
-        round((col("sy").cast("double") -
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * col("sx").cast("double")) / col("n").cast("double"), 6)
-          .as("intercept_dollars"))
+        round(col("slope"), 6).as("slope_dollars_per_qty"),
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept_dollars"))
   }
 
   /** Exact DECIMAL(18,2) money aggregation — the fixed-point alternative to
@@ -1412,19 +1414,24 @@ object Relational {
     * on it) plus an in-bound flag at 5% — ~3σ for the default lgK=12
     * sketch, deterministic because the sketch build is. */
   def hllWeeklyActives(s: SparkSession, d: String): DataFrame = {
+    // week key = the week's Monday as a DATE, not weekofyear(): a bare ISO
+    // week NUMBER merges week 3 of every year in the stream (and folds
+    // Dec 29-31 into "week 1") — wrong semantics that an oracle making the
+    // same mistake would never catch
+    val weekOf = (c: org.apache.spark.sql.Column) => date_trunc("week", c).cast("date")
     val daily = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
     val weekly = daily
-      .groupBy(weekofyear(col("day")).as("week"))
+      .groupBy(weekOf(col("day")).as("week_start"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
     val exact = Tables.events(s, d)
-      .select(weekofyear(to_date(col("ts"))).as("week"), col("user_id"))
-      .groupBy(col("week"))
+      .select(weekOf(to_date(col("ts"))).as("week_start"), col("user_id"))
+      .groupBy(col("week_start"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
-    exact.join(weekly, Seq("week"))
-      .select(col("week"), col("n_exact"),
+    exact.join(weekly, Seq("week_start"))
+      .select(col("week_start"), col("n_exact"),
         (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("est_in_bound"))
   }
 

@@ -90,14 +90,19 @@ object EventsStream {
       .select(col("purchase_id"), col("user_id"), col("view_id"), col("p_ts"), col("v_ts"))
   }
 
-  /** LEFT OUTER stream-stream interval join: every purchase emits, with
-    * nulls for view columns when no view preceded it. The subtlety outer
+  /** LEFT OUTER stream-stream interval join: a purchase emits with nulls
+    * for the view columns when no view preceded it. The subtlety outer
     * streaming joins add over inner: a purchase with no match cannot emit
     * when seen — a matching view might still arrive — so Spark holds it
     * until BOTH watermarks pass the join window's end and only then emits
-    * the null-padded row. Correct results therefore REQUIRE the watermark
-    * to advance past the data's end; AvailableNow's final empty batch does
-    * exactly that. State stays window-bounded, as in the inner form. */
+    * the null-padded row. The watermark only ever reaches
+    * (max observed event time − delay), so purchases inside the final
+    * (delay + window) of event time stay HELD even after an AvailableNow
+    * drain: the output is the complete left join on the watermark-closed
+    * region and match-only on the tail. That is the correct unbounded-
+    * stream semantics (more data could still arrive); a consumer wanting
+    * the tail closed feeds one sentinel event past the horizon. State
+    * stays window-bounded, as in the inner form. */
   def purchasesWithRecentViewsOuter(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))

@@ -275,9 +275,8 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(!q3s.contains("CartesianProduct"), "q3 cartesian")
     assert(q3s.contains("BroadcastHashJoin"), "q3 pruned customer side must broadcast")
     assert(q3s.contains("TakeOrderedAndProject"), "q3 top-10 must not global-sort")
-    val q3scan = q3.toString
-    assert(q3scan.contains("PushedFilters") &&
-      (q3scan.contains("LessThan(o_orderdate") || q3scan.contains("GreaterThan(l_shipdate")),
+    assert(q3s.contains("PushedFilters") &&
+      (q3s.contains("LessThan(o_orderdate") || q3s.contains("GreaterThan(l_shipdate")),
       "q3 date filters must push to parquet")
     val q5s = Relational.tpchQ5(spark, sf).queryExecution.executedPlan.toString
     assert(!q5s.contains("CartesianProduct"), "q5 cartesian")
@@ -496,7 +495,8 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     val rows = Relational.hllWeeklyActives(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Boolean]("est_in_bound"), s"week ${r.getAs[Int]("week")} out of bound")
+      assert(r.getAs[Boolean]("est_in_bound"),
+        s"week ${r.getAs[java.sql.Date]("week_start")} out of bound")
       assert(r.getAs[Long]("n_exact") > 0)
     }
   }

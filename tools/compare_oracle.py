@@ -51,8 +51,8 @@ def main(outdir, sfdir):
         if sorted(spark.columns) != cols:
             bad.append((name, f"cols {sorted(spark.columns)} vs {cols}"))
             continue
-        s = spark[cols].sort_values(cols).reset_index(drop=True)
-        o = oracle[cols].sort_values(cols).reset_index(drop=True)
+        s = spark[cols].copy()
+        o = oracle[cols].copy()
         # Dtype families must agree (int64-vs-float64 was CORRECTNESS_r04's
         # one red row), but width within a family must not: the driver
         # hashed float32-vs-float64 `cos` columns green in r04, so flagging
@@ -68,10 +68,16 @@ def main(outdir, sfdir):
         if dt:
             bad.append((name, f"dtype mismatch {dt}"))
             continue
+        # round BEFORE sorting: sorting on raw floats then rounding lets a
+        # cross-engine near-tie (0.4999999 vs 0.5000001) order rows
+        # differently on the two sides and report a false mismatch after
+        # both round to the same value
         for c in cols:
             if fam(s[c].dtype) == "float":
                 s[c] = s[c].astype("float64").round(6)
                 o[c] = o[c].astype("float64").round(6)
+        s = s.sort_values(cols).reset_index(drop=True)
+        o = o.sort_values(cols).reset_index(drop=True)
         neq = (s != o) & ~(s.isna() & o.isna())
         if neq.any().any():
             n = int(neq.any(axis=1).sum())
