@@ -246,6 +246,9 @@ object SparkEntry {
     "q_table_diff" -> (Audit.tableDiff _),
     "q_file_audit" -> (Audit.fileAudit _),
     "q_decimal_money" -> (Relational.decimalMoney _),
+    "q_twa" -> (Relational.timeWeightedAvg _),
+    "q_share_of_parent" -> (Relational.shareOfParent _),
+    "q_minhash_recall" -> ((s, d) => Dedup.minhashCandidateRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1843,6 +1846,33 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
         |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
         |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
+    // exact cents×seconds core, one final double division (round 6)
+    "q_twa" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |iv AS (SELECT user_id, cents,
+        |lead(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) - t AS dt
+        |FROM e),
+        |agg AS (SELECT user_id, count(*) AS n_intervals,
+        |CAST(sum(dt) AS BIGINT) AS total_s,
+        |CAST(sum(cents * dt) AS BIGINT) AS cs
+        |FROM iv WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals,
+        |round(CAST(cs AS DOUBLE) / CAST(total_s AS DOUBLE), 6) AS twa_cents
+        |FROM agg WHERE total_s > 0""".stripMargin,
+    // aggregate first; the normalizing window sees |nations| rows only
+    "q_share_of_parent" ->
+      """WITH n AS (SELECT r_name, n_name,
+        |CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, cents,
+        |round(CAST(cents AS DOUBLE) /
+        |CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region
+        |FROM n""".stripMargin,
     // DECIMAL end to end; Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2)
     "q_decimal_money" ->
       """SELECT o_orderpriority, count(*) AS n,

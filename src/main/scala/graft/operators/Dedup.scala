@@ -368,6 +368,44 @@ object Dedup {
       SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node""")
   }
 
+  /** Candidate-generation recall of the banded MinHash pipeline, measured
+    * against EXACT shingle Jaccard on a bounded slice — the evaluation a
+    * dedup deployment runs before trusting its thresholds. Per true-pair
+    * tier (high: j ≥ 0.8, mid: 0.5 ≤ j < 0.8), the fraction that the
+    * (bands=8, rows=4) banding surfaces as candidates. Theory for (8,4):
+    * P(candidate) = 1−(1−j⁴)⁸ ≈ 0.99 at j=0.8, ≈ 0.40 at j=0.5 — the spec
+    * pins the high tier ≥ 0.9, and the mid tier documents WHY the banding
+    * is tuned for near-identical pairs, not borderline ones. All-pairs
+    * exact Jaccard is bounded BY DESIGN (the same slice discipline as the
+    * other oracle baselines); the measured pipeline is the production
+    * bucketed one, unmodified. */
+  def minhashCandidateRecall(s: SparkSession, d: String, maxDocId: Long = 500): DataFrame = {
+    // slice bound 500, not 80: the sf0.01 corpus plants its dup groups
+    // across the id range, and a recall evaluated over zero true pairs is
+    // zero evidence (the q_near_dup_ml lesson from CORRECTNESS_r04)
+    val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("j", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("j") >= 0.5)
+      .withColumn("tier", when(col("j") >= 0.8, "high").otherwise("mid"))
+    val cand = bandedCandidates(minhashSignatures(sh))
+      .withColumn("hit", lit(1L))
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_surfaced"),
+        round(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("recall"))
+  }
+
   /** Near-dup clusters: connected components over the verified near-dup
     * pair graph by iterative min-label propagation (each round: every doc
     * adopts the smallest label among itself and its neighbors; fixpoint in

@@ -1366,6 +1366,54 @@ object Relational {
           / col("n").cast("double"), 6).as("intercept_dollars"))
   }
 
+  /** Time-weighted average per user — the metering/billing aggregate: each
+    * value holds from its event until the next one, so the mean must weight
+    * by holding DURATION, not by sample count (a plain avg over-weights
+    * bursts). Exact integer core: cents × seconds products summed as longs
+    * (one lead window per user), with the single double division at the
+    * very end. Emits users with ≥2 events (one event has no holding
+    * interval). One keyed shuffle for the window; the aggregate rides the
+    * same partitioning. */
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("next_t", lead(col("ts").cast("long"), 1).over(w))
+      .filter(col("next_t").isNotNull)
+      .withColumn("dt", col("next_t") - col("ts").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("total_s"),
+        sum(col("cents") * col("dt")).as("cent_seconds"))
+      .filter(col("total_s") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        round(col("cent_seconds").cast("double") / col("total_s").cast("double"), 6)
+          .as("twa_cents"))
+  }
+
+  /** Share-of-parent in a dimension hierarchy: each nation's revenue as a
+    * fraction of its region's — the percent-of-total BI primitive done
+    * right: aggregate FIRST (one partial-agg shuffle to |nations| rows),
+    * then the normalizing window runs over the tiny aggregate, never the
+    * fact table. Exact integer cents; one division per output row. */
+  def shareOfParent(s: SparkSession, d: String): DataFrame = {
+    val byNation = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"), col("n_regionkey"))),
+        Seq("c_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name"))), Seq("n_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val wr = Window.partitionBy(col("r_name"))
+    byNation.select(col("r_name"), col("n_name"), col("cents"),
+      round(col("cents").cast("double") / sum(col("cents")).over(wr).cast("double"), 6)
+        .as("share_of_region"))
+  }
+
   /** Exact DECIMAL(18,2) money aggregation — the fixed-point alternative to
     * this engine's integer-cents idiom. The double→decimal cast is
     * engine-deterministic (2dp ties are not representable in binary, so

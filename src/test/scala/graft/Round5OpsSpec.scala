@@ -562,6 +562,58 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(results.head.nonEmpty)
   }
 
+  test("time-weighted average sits inside the value envelope and weights by duration") {
+    val rows = Relational.timeWeightedAvg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val envelope = Tables.events(spark, sf)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    rows.foreach { r =>
+      val (mn, mx) = envelope(r.getAs[Long]("user_id"))
+      val twa = r.getAs[Double]("twa_cents")
+      // a duration-weighted mean of held values can never leave their range
+      assert(twa >= mn - 1e-6 && twa <= mx + 1e-6, s"user ${r.getAs[Long]("user_id")}")
+    }
+    // directly verify one user against a replay
+    val uid = rows.head.getAs[Long]("user_id")
+    val evs = Tables.events(spark, sf).filter(col("user_id") === uid)
+      .select(col("ts").cast("long").as("t"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Long]("event_id"), r.getAs[Long]("c")))
+      .sortBy(e => (e._1, e._2))
+    val dts = evs.sliding(2).collect { case Array(a, b) => (a._3, b._1 - a._1) }.toSeq
+    val expected = dts.map { case (c, dt) => c * dt }.sum.toDouble / dts.map(_._2).sum
+    assert(math.abs(rows.head.getAs[Double]("twa_cents") - expected) < 1e-3)
+  }
+
+  test("shares of parent sum to 1 within each region") {
+    val rows = Relational.shareOfParent(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (region, ns) =>
+      val total = ns.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"region $region shares sum to $total")
+      // shares must match the cents ratio
+      val cents = ns.map(_.getAs[Long]("cents")).sum
+      ns.foreach { n =>
+        assert(math.abs(n.getAs[Double]("share_of_region") -
+          n.getAs[Long]("cents").toDouble / cents) < 1e-4)
+      }
+    }
+  }
+
+  test("minhash banding surfaces >=90% of near-identical pairs") {
+    val rows = operators.Dedup.minhashCandidateRecall(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("n_true_pairs"), r.getAs[Double]("recall"))).toMap
+    assert(rows.contains("high"), "the planted dups must produce high-jaccard pairs")
+    val (nHigh, recallHigh) = rows("high")
+    assert(nHigh > 0)
+    assert(recallHigh >= 0.9,
+      s"banding (8,4) must surface near-identical pairs: recall=$recallHigh over $nHigh")
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
