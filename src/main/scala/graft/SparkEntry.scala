@@ -249,6 +249,7 @@ object SparkEntry {
     "q_twa" -> (Relational.timeWeightedAvg _),
     "q_share_of_parent" -> (Relational.shareOfParent _),
     "q_minhash_recall" -> ((s, d) => Dedup.minhashCandidateRecall(s, d)),
+    "q_null_safe_join" -> (Relational.nullSafeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1846,6 +1847,17 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
         |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
         |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
+    // IS NOT DISTINCT FROM: the NULL bucket must JOIN, not silently drop
+    "q_null_safe_join" ->
+      """WITH b AS (SELECT nullif(o_orderkey % 7, 0) AS bucket,
+        |CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |dim AS (SELECT DISTINCT bucket,
+        |coalesce('b' || bucket, 'unknown') AS bucket_label FROM b)
+        |SELECT bucket_label, count(*) AS n,
+        |CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |bucket_label = 'unknown' AS is_null_bucket
+        |FROM b JOIN dim ON b.bucket IS NOT DISTINCT FROM dim.bucket
+        |GROUP BY bucket_label""".stripMargin,
     // exact cents×seconds core, one final double division (round 6)
     "q_twa" ->
       """WITH e AS (SELECT user_id, event_id, ts,

@@ -1414,6 +1414,27 @@ object Relational {
         .as("share_of_region"))
   }
 
+  /** Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM): plain
+    * equality drops every row whose join key is NULL on either side —
+    * usually silently, because the other rows still match. Here a nullable
+    * key is synthesized (every 7th clerk bucket nulled on both sides) and
+    * joined null-safely, so the NULL group JOINS — the semantics a
+    * dimension with "unknown" members needs. Output aggregates per joined
+    * bucket with an explicit is_null_bucket flag. */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.orders(s, d).select(
+      nullif(col("o_orderkey") % 7, lit(0L)).as("bucket"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dim = Tables.orders(s, d)
+      .select(nullif(col("o_orderkey") % 7, lit(0L)).as("bucket")).distinct()
+      .withColumn("bucket_label",
+        coalesce(concat(lit("b"), col("bucket")), lit("unknown")))
+    bucketed.join(dim, bucketed("bucket") <=> dim("bucket"))
+      .groupBy(col("bucket_label"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+      .withColumn("is_null_bucket", col("bucket_label") === "unknown")
+  }
+
   /** Exact DECIMAL(18,2) money aggregation — the fixed-point alternative to
     * this engine's integer-cents idiom. The double→decimal cast is
     * engine-deterministic (2dp ties are not representable in binary, so

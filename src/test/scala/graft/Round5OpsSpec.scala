@@ -614,6 +614,25 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
       s"banding (8,4) must surface near-identical pairs: recall=$recallHigh over $nHigh")
   }
 
+  test("null-safe join keeps the NULL bucket that plain equality drops") {
+    val rows = Relational.nullSafeJoin(spark, sf).collect()
+      .map(r => r.getAs[String]("bucket_label") ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("is_null_bucket"))).toMap
+    assert(rows.contains("unknown"), "the NULL bucket must survive the join")
+    assert(rows("unknown")._2 && rows("unknown")._1 > 0)
+    // every order lands in exactly one bucket — nothing dropped
+    assert(rows.values.map(_._1).sum == Tables.orders(spark, sf).count())
+    // plain equality on the same synthesized key LOSES the null bucket
+    val plainRows = {
+      val b = Tables.orders(spark, sf)
+        .select(nullif(col("o_orderkey") % 7, lit(0L)).as("bucket"))
+      val dm = b.distinct()
+      b.join(dm.withColumnRenamed("bucket", "b2"), b("bucket") === col("b2")).count()
+    }
+    assert(plainRows < rows.values.map(_._1).sum,
+      "plain equality should silently drop the null-key rows")
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
