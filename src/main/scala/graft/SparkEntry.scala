@@ -250,6 +250,8 @@ object SparkEntry {
     "q_share_of_parent" -> (Relational.shareOfParent _),
     "q_minhash_recall" -> ((s, d) => Dedup.minhashCandidateRecall(s, d)),
     "q_null_safe_join" -> (Relational.nullSafeJoin _),
+    "q_conversion_lag" -> (Relational.conversionLag _),
+    "q_session_paths" -> ((s, d) => Relational.sessionPaths(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1847,6 +1849,42 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', n_rows, ndv_priority, null_priority, min_priority, max_priority FROM one
         |UNION ALL SELECT 'o_orderdate', n_rows, ndv_odate, null_odate, min_odate, max_odate FROM one
         |UNION ALL SELECT 'o_totalprice_cents', n_rows, ndv_cents, null_cents, min_cents, max_cents FROM one""".stripMargin,
+    // attribution window -> per-channel lag profile; median of integer
+    // seconds is exactly representable (int or int+0.5)
+    "q_conversion_lag" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, ts,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |att AS (SELECT event_id AS purchase_id,
+        |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |OVER w AS channel,
+        |t - last_value(CASE WHEN event_type <> 'purchase' THEN t END IGNORE NULLS)
+        |OVER w AS gap_s
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |QUALIFY event_type = 'purchase')
+        |SELECT coalesce(channel, 'organic') AS channel,
+        |count(*) AS n_purchases,
+        |CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+        |CAST(quantile_cont(gap_s, 0.5) AS DOUBLE) AS median_gap_s
+        |FROM att GROUP BY 1""".stripMargin,
+    // gaps-and-islands sessionization (the q_session_windows oracle shape)
+    // -> ordered path string per session -> top-k with deterministic ties
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |flags AS (SELECT *, CASE WHEN t - lag(t) OVER
+        |(PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |OR lag(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |THEN 1 ELSE 0 END AS new_session FROM e),
+        |sess AS (SELECT *, sum(new_session) OVER
+        |(PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM flags),
+        |paths AS (SELECT user_id, session_id,
+        |string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |FROM sess GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin,
     // IS NOT DISTINCT FROM: the NULL bucket must JOIN, not silently drop
     "q_null_safe_join" ->
       """WITH b AS (SELECT nullif(o_orderkey % 7, 0) AS bucket,

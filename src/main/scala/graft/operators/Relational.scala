@@ -1414,6 +1414,54 @@ object Relational {
         .as("share_of_region"))
   }
 
+  /** Conversion-lag distribution per acquisition channel: the follow-on
+    * report over [[lastTouchAttribution]] — for each crediting channel, how
+    * long purchases took (count, min/max, exact median of integer
+    * seconds). Organic conversions (no prior touch) are a labeled group,
+    * not dropped rows. Median of integers is an int or int+0.5 — exactly
+    * representable, so the interpolated-percentile compare is safe here
+    * (unlike general quantiles). Aggregation rides the attribution
+    * window's user partitioning until the final |channels|-row shuffle. */
+  def conversionLag(s: SparkSession, d: String): DataFrame =
+    lastTouchAttribution(s, d)
+      .select(coalesce(col("channel"), lit("organic")).as("channel"), col("gap_s"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        expr("percentile(gap_s, 0.5)").as("median_gap_s"))
+
+  /** Session path analysis: the top event-type sequences users walk within
+    * a session (30-minute inactivity gap) — the product-analytics "what do
+    * converting sessions look like" query. Sessionization via the
+    * gaps-and-islands window (new session when the gap exceeds the
+    * threshold, session id = running sum of starts — the same shape the
+    * session-window oracle uses), then one ordered string_agg per session
+    * and a count per distinct path with a deterministic top-k. Scale: two
+    * user-keyed window passes + one path-keyed partial agg;
+    * TakeOrderedAndProject for the top-k. */
+  def sessionPaths(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("new_session",
+        when(col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w) > 1800, 1)
+          .otherwise(when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("new_session")).over(w))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      // order independence: collect_list order is partition-dependent, so
+      // sort the (ts, event_id, type) structs INSIDE the aggregate before
+      // projecting the type sequence
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM): plain
     * equality drops every row whose join key is NULL on either side —
     * usually silently, because the other rows still match. Here a nullable

