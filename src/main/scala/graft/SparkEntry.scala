@@ -1923,13 +1923,18 @@ object SparkEntry {
         |round(CAST(cents AS DOUBLE) /
         |CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region
         |FROM n""".stripMargin,
-    // DECIMAL end to end; Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2)
+    // DECIMAL end to end, derived from exact integer cents on both sides —
+    // round(double) to integer is engine-portable where the double→decimal
+    // cast is not (Spark rounds the shortest repr, DuckDB scales the
+    // binary value; they disagree by a cent on ~half of 2dp doubles)
     "q_decimal_money" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
-        |CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-        |CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+      """WITH c AS (SELECT o_orderpriority,
+        |CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |CAST(CAST(sum(cents) AS DECIMAL(28,2)) / 100 AS DECIMAL(28,2)) AS total,
+        |CAST(CAST(min(cents) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS min_price,
+        |CAST(CAST(max(cents) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS max_price
+        |FROM c GROUP BY o_orderpriority""".stripMargin,
     // the oracle derives each change class from the synthesis rules
     // directly — the hash compare only has to AGREE with ground truth
     "q_table_diff" ->

@@ -1483,21 +1483,30 @@ object Relational {
       .withColumn("is_null_bucket", col("bucket_label") === "unknown")
   }
 
-  /** Exact DECIMAL(18,2) money aggregation — the fixed-point alternative to
-    * this engine's integer-cents idiom. The double→decimal cast is
-    * engine-deterministic (2dp ties are not representable in binary, so
-    * round-to-nearest never actually ties), decimal sums are exact, and
-    * Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2) — the oracle casts to
-    * match. Both idioms belong in the surface: cents-longs for hot paths
-    * (codegen integer math), DECIMAL where downstream contracts demand
-    * typed fixed-point. */
+  /** Exact DECIMAL money aggregation — the fixed-point alternative to this
+    * engine's integer-cents idiom, derived FROM exact integer cents rather
+    * than from a double→decimal cast. The direct cast is NOT portable:
+    * Spark rounds the double's shortest decimal representation (HALF_UP on
+    * `BigDecimal(d.toString)`) while DuckDB scales the binary value, and
+    * ~half of all 2dp-printed doubles sit one ulp below the boundary
+    * (112946.26 is binary 112946.2599999…), so the two disagree by a cent
+    * whenever the engines' cast semantics differ. `round(x*100)` to an
+    * integer IS portable: both engines round the identical IEEE product,
+    * and shortest-repr vs binary-value rounding cannot disagree at integer
+    * scale (the half-integer boundary is itself representable, so a repr
+    * never crosses it). Summing longs is exact; dividing an integer-valued
+    * decimal by 100 is exact at scale 2; the final casts pin the schema
+    * (total DECIMAL(28,2) — Spark's sum-widened type — min/max
+    * DECIMAL(18,2)). */
   def decimalMoney(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"),
-        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")).cast("decimal(28,2)") / lit(100)).cast("decimal(28,2)").as("total"),
+        (min(col("cents")).cast("decimal(18,2)") / lit(100)).cast("decimal(18,2)").as("min_price"),
+        (max(col("cents")).cast("decimal(18,2)") / lit(100)).cast("decimal(18,2)").as("max_price"))
 
   /** Incremental view maintenance, the aggregate-merge half: partial
     * aggregates of disjoint slices (the standing materialized view + a new

@@ -523,20 +523,35 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(r.getAs[Long]("min_rows") <= r.getAs[Long]("max_rows"))
   }
 
-  test("decimal money totals agree with the integer-cents idiom exactly") {
+  test("decimal money totals recompute from raw doubles, engine-portably") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val dec = Relational.decimalMoney(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderpriority") ->
-        r.getAs[java.math.BigDecimal]("total")).toMap
-    // round-then-cast: (p*100) as a double can sit at x.9999…, which a bare
-    // cast TRUNCATES — the decimal cast rounds, so the check must too
-    val cents = Tables.orders(spark, sf)
-      .select(col("o_orderpriority"), round(col("o_totalprice") * 100, 0).cast("long").as("c0"))
-      .groupBy(col("o_orderpriority"))
-      .agg(sum(col("c0")).as("c"))
-      .collect().map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("c")).toMap
-    dec.foreach { case (k, total) =>
-      assert(total.multiply(new java.math.BigDecimal(100)).longValueExact() == cents(k),
-        s"priority $k: decimal and cents disagree")
+        (r.getAs[Long]("n"), r.getAs[JBD]("total"),
+          r.getAs[JBD]("min_price"), r.getAs[JBD]("max_price"))).toMap
+    // Recompute driver-side from the RAW doubles (not via Spark's round):
+    // cents under BOTH portable-rounding models — shortest-repr (Spark's
+    // double→decimal path) and exact-binary-value (DuckDB's) — which must
+    // agree at integer scale; that agreement IS the portability claim the
+    // oracle hash depends on.
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def centsOf(x: Double): Long = {
+      val prod = x * 100 // identical IEEE product on every engine
+      val viaRepr = new JBD(prod.toString).setScale(0, RoundingMode.HALF_UP).longValueExact()
+      val viaBinary = new JBD(prod).setScale(0, RoundingMode.HALF_UP).longValueExact()
+      assert(viaRepr == viaBinary, s"integer-scale rounding diverged for $x")
+      viaRepr
+    }
+    raw.groupBy(_._1).foreach { case (k, rows) =>
+      val cents = rows.map(r => centsOf(r._2))
+      val (n, total, mn, mx) = dec(k)
+      assert(n == rows.length.toLong)
+      assert(total.multiply(JBD.valueOf(100)).longValueExact() == cents.sum, s"total for $k")
+      assert(mn.multiply(JBD.valueOf(100)).longValueExact() == cents.min, s"min for $k")
+      assert(mx.multiply(JBD.valueOf(100)).longValueExact() == cents.max, s"max for $k")
+      assert(total.scale == 2 && mn.scale == 2 && mx.scale == 2)
     }
     assert(dec.nonEmpty)
   }

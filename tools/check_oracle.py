@@ -9,7 +9,7 @@ before comparison, which is the strictest plausible driver behavior.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import decimal, json, math, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -25,6 +25,12 @@ def canon(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 v = 0.0 if (not math.isnan(v) and v == 0) else (round(v, 6) if not math.isnan(v) else "NaN")
+            elif isinstance(v, decimal.Decimal):
+                # scale-preserving, and deliberately distinct from the float
+                # repr: a DECIMAL column on one side vs DOUBLE on the other
+                # must FAIL here (the round-5 q_decimal_money lesson — see
+                # tools/decimal_repro.py for the cast-model sensitivity check)
+                v = f"decimal:{v}"
             vals.append(repr(v))
         out.append(tuple(vals))
     return sorted(out), [cols[i] for i in order]
