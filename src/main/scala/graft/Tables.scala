@@ -20,15 +20,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for. Read nanos as long (legacy conf) and convert with
-    * integer division — exact, and identical to DuckDB's ns→µs truncation.
-    */
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (early testdata
+    * generations) and TIMESTAMP(MICROS). NANOS has no native Spark type, so
+    * it's read as long (legacy conf) and converted with integer division —
+    * exact, and identical to DuckDB's ns→µs truncation. MICROS reads
+    * natively as TimestampNTZ; normalize to TimestampType so downstream
+    * window/watermark ops see one type regardless of generation. The schema
+    * probe keys the branch off what the footer actually declares. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
