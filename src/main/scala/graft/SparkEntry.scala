@@ -163,7 +163,7 @@ object SparkEntry {
     "q_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     // -- multimodal (D4) --------------------------------------------------
-    "q_multimodal_features" -> (Multimodal.assetFeatures _),
+    "q_multimodal_features" -> (Multimodal.imageDecodeQuery _),
     "q_frame_sample" -> (Multimodal.frameSampleQuery _),
     // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
     "q_asof_join" -> (AsOfJoin.purchasesWithLastView _),
@@ -206,16 +206,15 @@ object SparkEntry {
     "q_pack_sequences" -> (Corpus.packQuery _),
     "q_chunk_docs" -> (Corpus.chunkQuery _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
-    "q_decode_batched" -> ((s, d) => {
-      import s.implicits._
+    // the ≤16-payload batch plumbing driven by the REAL imageio kernel:
+    // feature_sum over (w, h, channels, r̄, ḡ, b̄) is arithmetic in the id
+    // for the synthetic PNGs, so the batched path gets a full oracle too
+    "q_decode_batched" -> ((s, d) =>
       Multimodal.decodeBatched(
-        Multimodal.assets(s, d).select(col("asset_id"), col("payload"))
-          .as[(Long, Array[Byte])],
-        Multimodal.fakeBatchKernel).toDF()
+        Multimodal.imageAssets(s, d), Multimodal.imageBatchKernel).toDF()
         .select(col("asset_id"),
           round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4)
-            .as("feature_sum"))
-    }),
+            .as("feature_sum"))),
     // -- round 5: graph, attribution, robust stats, split/vocab audits ----
     "q_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "q_attribution" -> (Relational.lastTouchAttribution _),
@@ -248,10 +247,14 @@ object SparkEntry {
     "q_decimal_money" -> (Relational.decimalMoney _),
     "q_twa" -> (Relational.timeWeightedAvg _),
     "q_share_of_parent" -> (Relational.shareOfParent _),
-    "q_minhash_recall" -> ((s, d) => Dedup.minhashCandidateRecall(s, d)),
+    "q_minhash_recall" -> ((s, d) => Dedup.minhashRecallBound(s, d)),
     "q_null_safe_join" -> (Relational.nullSafeJoin _),
     "q_conversion_lag" -> (Relational.conversionLag _),
     "q_session_paths" -> ((s, d) => Relational.sessionPaths(s, d)),
+    // a REAL streaming query inside the correctness gate: silver → scored
+    // results via Structured Streaming (AvailableNow), hash-compared
+    // against the one-batch SQL equivalent — exactly-once, driver-checked
+    "q_stream_enrich" -> (streaming.EnrichStream.enrichedBatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -743,6 +746,19 @@ object SparkEntry {
         |len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
         |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
         |FROM documents)""".stripMargin,
+    // the streaming enrichment drained via AvailableNow must equal this
+    // single batch pass over the pending half of the silver table — the
+    // exactly-once contract as a hash compare (dup or lost micro-batch
+    // rows change the result set)
+    "q_stream_enrich" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS record_id,
+        |CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'
+        |ELSE 'neutral' END AS sentiment,
+        |round((p + 1.0) / (p + n + 2.0), 4) AS confidence FROM (
+        |SELECT doc_id,
+        |len(regexp_extract_all(lower(concat_ws('. ', source, text)), '\b(fast|good|great)\b')) AS p,
+        |len(regexp_extract_all(lower(concat_ws('. ', source, text)), '\b(slow|bad|poor)\b')) AS n
+        |FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
     "q_sentiment_dist" ->
       """SELECT sentiment, count(*) AS n_docs FROM (
         |SELECT CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'
@@ -913,6 +929,26 @@ object SparkEntry {
         |CAST(greatest(0, least(32, nb - frame_id * 32)) AS INT) AS frame_bytes
         |FROM (SELECT doc_id, unnest([0, 1, 2, 3]) AS frame_id,
         |octet_length(encode(text)) AS nb FROM documents)""".stripMargin,
+    // the REAL javax.imageio decode, verified without DuckDB running a
+    // codec: the synthetic PNGs are solid-color with dims/channels pure
+    // functions of the id (Multimodal.syntheticPng), and PNG is lossless,
+    // so the decoded features must equal this arithmetic exactly — a
+    // stubbed or lossy decode path cannot fake the hash
+    "q_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |CAST(4 + doc_id % 5 AS INT) AS width,
+        |CAST(4 + doc_id % 3 AS INT) AS height,
+        |CAST(3 AS INT) AS n_channels,
+        |round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_r,
+        |round(CAST((doc_id * 2) % 256 AS DOUBLE), 4) AS mean_g,
+        |round(CAST((doc_id * 3) % 256 AS DOUBLE), 4) AS mean_b
+        |FROM documents""".stripMargin,
+    "q_decode_batched" ->
+      """SELECT doc_id AS asset_id,
+        |round(CAST((4 + doc_id % 5) + (4 + doc_id % 3) + 3
+        |+ doc_id % 256 + (doc_id * 2) % 256 + (doc_id * 3) % 256
+        |AS DOUBLE), 4) AS feature_sum
+        |FROM documents""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1702,6 +1738,44 @@ object SparkEntry {
         |round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams), 4) AS containment
         |FROM g a, g b WHERE a.doc_id <> b.doc_id
         |AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.5""".stripMargin,
+    // full recomputation of the df-capped containment: the pruned shingle
+    // space is pure set algebra (distinct 3-grams, df in [2,50], per-key
+    // self-join) — DuckDB's string grams and Spark's xxhash64 grams are the
+    // same SETS, so counts/sizes agree exactly; the 0.8 threshold compares
+    // IEEE doubles on both sides (CAST AS DOUBLE mirrors Spark's promotion)
+    "q_containment_scale" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS sh
+        |FROM t WHERE len(toks) >= 3),
+        |dfs AS (SELECT sh FROM g GROUP BY sh HAVING count(*) BETWEEN 2 AND 50),
+        |pruned AS (SELECT g.doc_id, g.sh FROM g JOIN dfs USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |round(CAST(n_common AS DOUBLE) / sz, 4) AS containment
+        |FROM common JOIN sizes ON sizes.doc_id = common.doc_a
+        |WHERE CAST(n_common AS DOUBLE) >= CAST(sz AS DOUBLE) * 0.8""".stripMargin,
+    // bound oracle (the q_ann_recall pattern): tier membership + true-pair
+    // counts recomputed exactly from full-precision grams; the banding
+    // recall itself is hash-dependent, so the oracle pins its in-bound flag
+    "q_minhash_recall" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 500),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+        |len(a.grams) AS na, len(b.grams) AS nb
+        |FROM g a, g b WHERE a.doc_id < b.doc_id),
+        |x AS (SELECT CASE WHEN CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.8
+        |THEN 'high' ELSE 'mid' END AS tier FROM p
+        |WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5)
+        |SELECT tier, count(*) AS n_true_pairs, CAST(1 AS INT) AS in_bound
+        |FROM x GROUP BY tier""".stripMargin,
     "q_inverted_index" ->
       """WITH toks AS (SELECT doc_id,
         |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
@@ -1926,14 +2000,18 @@ object SparkEntry {
     // DECIMAL end to end, derived from exact integer cents on both sides —
     // round(double) to integer is engine-portable where the double→decimal
     // cast is not (Spark rounds the shortest repr, DuckDB scales the
-    // binary value; they disagree by a cent on ~half of 2dp doubles)
+    // binary value; they disagree by a cent on ~half of 2dp doubles).
+    // The cents→money step is decimal MULTIPLICATION by 0.01, not /100:
+    // DuckDB evaluates DECIMAL/int through DOUBLE (a silent round-trip
+    // that corrupts above ~2^53 cents), while decimal×decimal is exact
+    // in both engines at any magnitude the width admits.
     "q_decimal_money" ->
       """WITH c AS (SELECT o_orderpriority,
         |CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |SELECT o_orderpriority, count(*) AS n,
-        |CAST(CAST(sum(cents) AS DECIMAL(28,2)) / 100 AS DECIMAL(28,2)) AS total,
-        |CAST(CAST(min(cents) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS min_price,
-        |CAST(CAST(max(cents) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS max_price
+        |CAST(CAST(sum(cents) AS DECIMAL(28,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(28,2)) AS total,
+        |CAST(CAST(min(cents) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS min_price,
+        |CAST(CAST(max(cents) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS max_price
         |FROM c GROUP BY o_orderpriority""".stripMargin,
     // the oracle derives each change class from the synthesis rules
     // directly — the hash compare only has to AGREE with ground truth
@@ -1976,4 +2054,30 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier' AS side, count(*) AS degree FROM pairs GROUP BY l_suppkey)
         |SELECT side, degree, count(*) AS n_nodes FROM deg GROUP BY side, degree""".stripMargin,
   )
+
+  /** Registered queries DELIBERATELY left without a DuckDB oracle, each
+    * with the reason and the spec that pins it instead — the honest
+    * accounting the round-6 ADVICE asked for. Every key here reaches the
+    * driver's gate as rows-only; everything else in [[queries]] MUST have
+    * an [[oracleSql]] entry ([[graft.EntryContractSpec]] enforces the
+    * partition, so a new query can't silently skip verification).
+    *
+    * The shared cause: these outputs depend on model state or hash-bucket
+    * randomness SQL cannot re-derive (k-means cells, RP/banding buckets,
+    * trained LR weights, greedy packing order). Their quality is gated by
+    * the BOUND oracles that ARE checked (`q_ann_recall`,
+    * `q_minhash_recall`) plus the named specs. */
+  val intentionalNoOracle: Map[String, String] = Map(
+    "q_ann_ivf" -> "IVF cell assignment is k-means model state; recall vs exact is the oracled q_ann_recall; IvfStreamSpec",
+    "q_ann_ivf_q8" -> "int8 two-stage probe over the same model state; equality with the float probe pinned in IvfStreamSpec",
+    "q_ann_lsh" -> "RP-bucket candidates are hash state; recall bound oracled in q_ann_recall; SimilaritySpec",
+    "q_cosine_near_dup_lsh" -> "bucketed candidate subset of the exact pair set; recall pinned vs exact in SimilaritySpec",
+    "q_near_dup_minhash" -> "banding emits a verified SUBSET of true pairs; recall tiers oracled in q_minhash_recall; DedupSpec",
+    "q_near_dup_simhash" -> "Hamming-ball candidates are signature state; agreement with exact pinned in DedupSpec",
+    "q_near_dup_ml" -> "ML-embedding candidate path; overlap with exact pairs pinned in DedupSpec",
+    "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
+    "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",
+    "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec",
+    "q_sentiment_ml" -> "trained LR output; determinism + holdout accuracy pinned in SentimentSpec",
+    "q_pack_sequences" -> "greedy first-fit packing is sequential heuristic state; conservation laws pinned in CorpusSpec")
 }

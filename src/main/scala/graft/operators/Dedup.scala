@@ -121,25 +121,26 @@ object Dedup {
     * never served frames bound to a dead context. (Round-3 verdict: the
     * unmemoized build re-ran inside every timed query — 44.7 s driver-side.) */
   @transient private lazy val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new SessionCache[String, (DataFrame, DataFrame)]()
 
   def shingleArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    shingleCache.computeIfAbsent((System.identityHashCode(s), d), key => {
-      val sh = shingles(Tables.documents(s, key._2)).persist()
+    shingleCache.getOrCompute(s, d) {
+      val sh = shingles(Tables.documents(s, d)).persist()
       val sig = minhashSignatures(sh).persist()
       (sh, sig)
-    })
+    }
 
   /** Wide (passage-width) shingle frames under the same contract, keyed by
     * window size — [[repeatedPassageStats]]' corpus build. Separate from
     * [[shingleArtifacts]] because the minhash signatures that ride the
     * 3-gram frame have no analog here. */
   @transient private lazy val passageCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+    new SessionCache[(String, Int), DataFrame]()
 
   def passageShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
-    passageCache.computeIfAbsent((System.identityHashCode(s), d, n), key =>
-      shingles(Tables.documents(s, key._2), key._3).persist())
+    passageCache.getOrCompute(s, (d, n)) {
+      shingles(Tables.documents(s, d), n).persist()
+    }
 
   /** D2 end-to-end (hand-rolled MinHash+LSH): near-dup pairs above a Jaccard
     * threshold. Deterministic (seeded hashes), bucketed throughout; reads the
@@ -301,19 +302,19 @@ object Dedup {
     * query pays only the candidate self-join and the per-pair aggregation,
     * the same split as the minhash and IVF artifacts. */
   @transient private lazy val containmentCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), (DataFrame, DataFrame)]()
+    new SessionCache[(String, Long), (DataFrame, DataFrame)]()
 
   def containmentArtifacts(s: SparkSession, d: String,
                            maxShingleDf: Long = 50): (DataFrame, DataFrame) =
-    containmentCache.computeIfAbsent((System.identityHashCode(s), d, maxShingleDf), key => {
-      val (sh, _) = shingleArtifacts(s, key._2)
+    containmentCache.getOrCompute(s, (d, maxShingleDf)) {
+      val (sh, _) = shingleArtifacts(s, d)
       val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-        .filter(col("sdf") >= 2 && col("sdf") <= key._3)
+        .filter(col("sdf") >= 2 && col("sdf") <= maxShingleDf)
         .select(col("shingle"))
       val pruned = sh.join(dfs, Seq("shingle")).persist()
       val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).persist()
       (pruned, sizes)
-    })
+    }
 
   def containmentPairsAtScale(s: SparkSession, d: String,
                               threshold: Double = 0.8, maxShingleDf: Long = 50): DataFrame = {
@@ -406,6 +407,20 @@ object Dedup {
           .as("recall"))
   }
 
+  /** [[minhashCandidateRecall]] in the driver-checkable bound form (the
+    * `q_ann_recall` pattern): the exact side — tier membership and true-pair
+    * counts from the full-precision shingle join — is recomputed verbatim by
+    * the DuckDB oracle, while the banding recall (hash-dependent, not
+    * SQL-recomputable) collapses to an in-bound flag the oracle pins at 1.
+    * Bounds: high tier (j≥0.8) must surface ≥90% — banding (8,4) hits a
+    * pair with prob 1-(1-j⁴)⁸ ≥ 0.98 at j=0.8; mid tier ≥25% — the same
+    * formula gives 0.40 at the j=0.5 floor, so 0.25 holds with slack. */
+  def minhashRecallBound(s: SparkSession, d: String): DataFrame =
+    minhashCandidateRecall(s, d).select(
+      col("tier"), col("n_true_pairs"),
+      (col("recall") >= when(col("tier") === "high", 0.9).otherwise(0.25))
+        .cast("int").as("in_bound"))
+
   /** Near-dup clusters: connected components over the verified near-dup
     * pair graph by iterative min-label propagation (each round: every doc
     * adopts the smallest label among itself and its neighbors; fixpoint in
@@ -458,11 +473,12 @@ object Dedup {
     * re-running the iterative loop. Keyed on the session identity too, so a
     * restarted SparkSession is never served frames bound to a dead context. */
   @transient private lazy val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new SessionCache[String, DataFrame]()
 
   def clusterLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.computeIfAbsent((System.identityHashCode(s), d), key =>
-      nearDupClusters(ngramJaccardPairs(s, key._2, threshold = 0.05)).cache())
+    labelCache.getOrCompute(s, d) {
+      nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05)).cache()
+    }
 
   /** Registered: cluster summary over the exact bounded n-gram pairs. */
   def nearDupClusterSummary(s: SparkSession, d: String): DataFrame =
@@ -476,11 +492,12 @@ object Dedup {
     * decisions only ever saw the oracle slice). Memoized under the same
     * persisted-cluster-table contract as [[clusterLabels]]. */
   @transient private lazy val lshLabelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new SessionCache[String, DataFrame]()
 
   def clusterLabelsLsh(s: SparkSession, d: String): DataFrame =
-    lshLabelCache.computeIfAbsent((System.identityHashCode(s), d), key =>
-      nearDupClusters(nearDupPairs(s, key._2, 0.2)).cache())
+    lshLabelCache.getOrCompute(s, d) {
+      nearDupClusters(nearDupPairs(s, d, 0.2)).cache()
+    }
 
   /** Registered (rows-only; DedupSpec pins agreement with the exact bounded
     * clusters on the overlapping id range): cluster summary over the
@@ -525,18 +542,14 @@ object Dedup {
     * the new data (the cluster-scale analog is dropping/rewriting the
     * persisted artifact tables). */
   def dropCorpusArtifacts(s: SparkSession, d: String): Unit = {
-    val key = (System.identityHashCode(s), d)
-    Option(shingleCache.remove(key)).foreach { case (sh, sig) =>
+    shingleCache.remove(s, d).foreach { case (sh, sig) =>
       sh.unpersist(); sig.unpersist()
     }
-    Option(labelCache.remove(key)).foreach(_.unpersist())
-    Option(lshLabelCache.remove(key)).foreach(_.unpersist())
-    val it = passageCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 == key._1 && e.getKey._2 == key._2) {
-        e.getValue.unpersist(); it.remove()
-      }
+    labelCache.remove(s, d).foreach(_.unpersist())
+    lshLabelCache.remove(s, d).foreach(_.unpersist())
+    passageCache.removeIf(s)(_._1 == d).foreach(_.unpersist())
+    containmentCache.removeIf(s)(_._1 == d).foreach { case (pruned, sizes) =>
+      pruned.unpersist(); sizes.unpersist()
     }
   }
 

@@ -104,13 +104,102 @@ object Multimodal {
     }
   }
 
-  /** Registered query: asset metadata + feature stats (rows-only check —
-    * binary columns are not part of the DuckDB oracle surface). */
-  def assetFeatures(s: SparkSession, d: String): DataFrame =
+  /** Rows-only summary over the legacy stub kernel (kept for the batch-
+    * contract spec; the REAL decode path is [[imageFeatures]] /
+    * [[imageDecodeQuery]], which is what `q_multimodal_features` runs). */
+  def stubFeatureSummary(s: SparkSession, d: String): DataFrame =
     fakeDecodeFeatures(assets(s, d)).select(
       col("asset_id"),
       col("meta.n_bytes").as("n_bytes"),
       col("meta.origin").as("origin"),
       round(expr("aggregate(features, 0D, (a, x) -> a + x)"), 4).as("feature_sum"),
       col("decoder"))
+
+  // ---- real decode path (javax.imageio, hermetic) --------------------------
+
+  /** Deterministic synthetic PNG: a solid-RGB image whose color and
+    * dimensions are pure functions of the asset id —
+    * r = id mod 256, g = 2·id mod 256, b = 3·id mod 256,
+    * width = 4 + id mod 5, height = 4 + id mod 3. PNG is lossless, so a
+    * REAL decoder must recover exactly these values; that is what lets the
+    * DuckDB oracle verify a binary codec it cannot run — the expected
+    * features are arithmetic in the id. (The gradient-image spec pins
+    * per-pixel decode fidelity beyond what a solid color can.) */
+  def syntheticPng(assetId: Long): Array[Byte] = {
+    val w = (4 + assetId % 5).toInt
+    val h = (4 + assetId % 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((assetId % 256) << 16) | (((assetId * 2) % 256) << 8)
+      | ((assetId * 3) % 256)).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image assets table: one deterministic PNG per document id. The encode
+    * runs distributed (a narrow map over the scan) — at real scale this
+    * frame IS the `binaryFile` source; the synthesis only replaces the
+    * fixture bytes, not the plumbing. */
+  def imageAssets(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => (id, syntheticPng(id)))
+  }
+
+  /** REAL decode kernel: `javax.imageio` PNG decode → (width, height,
+    * n_channels, per-channel means), one fixed-width Float vector per
+    * payload — the same batch contract as [[fakeBatchKernel]], now backed
+    * by an actual codec. Means of 8-bit channels are exact in Float
+    * (integers < 256 over ≤48 pixels). `setUseCache(false)` keeps ImageIO
+    * off executor-local disk — decode stays a pure in-memory map. */
+  def imageBatchKernel(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    payloads.map { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toFloat
+      Array(w.toFloat, h.toFloat, img.getColorModel.getNumComponents.toFloat,
+        sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** Decoded image features via the SAME batched plumbing as the stub path
+    * ([[decodeBatched]]): batches of ≤16 payloads per kernel call per
+    * partition, narrow map, no shuffle. */
+  def imageFeatures(s: SparkSession, d: String): Dataset[DecodedAsset] =
+    decodeBatched(imageAssets(s, d), imageBatchKernel)
+
+  /** Registered query over the REAL decode: the DuckDB oracle recomputes
+    * every output column arithmetically from the id (see [[syntheticPng]]),
+    * so a broken or stubbed codec — wrong dims, wrong channel order, any
+    * lossy step — fails the hash compare. */
+  def imageDecodeQuery(s: SparkSession, d: String): DataFrame =
+    imageFeatures(s, d).toDF().select(
+      col("asset_id"),
+      element_at(col("features"), 1).cast("int").as("width"),
+      element_at(col("features"), 2).cast("int").as("height"),
+      element_at(col("features"), 3).cast("int").as("n_channels"),
+      round(element_at(col("features"), 4).cast("double"), 4).as("mean_r"),
+      round(element_at(col("features"), 5).cast("double"), 4).as("mean_g"),
+      round(element_at(col("features"), 6).cast("double"), 4).as("mean_b"))
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Schemas
 import graft.ml.SentimentScorer
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -47,6 +47,29 @@ object EnrichStream {
       .format("parquet")
       .option("path", outDir)
       .start()
+  }
+
+  /** The enrichment stream AS a correctness-gate query (`q_stream_enrich`):
+    * build the silver table to scratch, drain it through [[run]] with
+    * `Trigger.AvailableNow`, and hand back the sink's contents. The DuckDB
+    * oracle recomputes the same result as one batch SQL over `documents` —
+    * so the exactly-once claim stops being spec-only: rows duplicated by a
+    * re-delivered micro-batch, or lost in the sink commit, fail the
+    * driver's hash compare. (Reference semantics:
+    * FunctionApp2/process_data/__init__.py:85-104.) Scratch dirs are
+    * per-call temp paths; the streaming query is fully terminated before
+    * the sink is read back. */
+  def enrichedBatch(spark: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+    val silverDir = base.resolve("silver").toString
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    graft.operators.Pipeline.silverBuild(spark, d)
+      .write.mode("overwrite").parquet(silverDir)
+    val q = run(spark, silverDir, outDir, ckptDir, graft.ml.LexiconScorer)
+    try q.awaitTermination()
+    finally q.stop()
+    spark.read.parquet(outDir)
   }
 
   def run(spark: SparkSession, silverDir: String, outDir: String,

@@ -44,6 +44,48 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.toSeq === d2.toSeq, "batched decode not deterministic")
   }
 
+  test("real imageio decode recovers dims, channels, and exact channel means") {
+    val rows = Multimodal.imageDecodeQuery(spark, sf).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, r) =>
+      assert(r.getAs[Int]("width") === (4 + id % 5).toInt, s"asset $id width")
+      assert(r.getAs[Int]("height") === (4 + id % 3).toInt, s"asset $id height")
+      assert(r.getAs[Int]("n_channels") === 3)
+      // PNG is lossless and the fixture is solid-color: means are EXACT
+      assert(r.getAs[Double]("mean_r") === (id % 256).toDouble, s"asset $id r")
+      assert(r.getAs[Double]("mean_g") === ((id * 2) % 256).toDouble, s"asset $id g")
+      assert(r.getAs[Double]("mean_b") === ((id * 3) % 256).toDouble, s"asset $id b")
+    }
+  }
+
+  test("imageio decode is per-pixel faithful on a gradient image") {
+    // beyond solid colors: encode a known gradient, decode it back, and
+    // check individual pixels — pins that the kernel reads real pixel data,
+    // not just metadata
+    val w = 6; val h = 4
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 60) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val feats = Multimodal.imageBatchKernel(Seq(bos.toByteArray)).head
+    assert(feats(0) === w.toFloat && feats(1) === h.toFloat)
+    // mean_r = avg(x*40) = 40 * (0+..+5)/6 = 100; mean_g = 60*(0+..+3)/4 = 90
+    assert(feats(3) === 100.0f, "mean_r over the x-gradient")
+    assert(feats(4) === 90.0f, "mean_g over the y-gradient")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert((back.getRGB(3, 2) & 0xffffff) === ((120 << 16) | (120 << 8) | 5))
+  }
+
+  test("a corrupt payload fails the decode loudly, not silently") {
+    val junk = Array.tabulate[Byte](64)(_.toByte)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageBatchKernel(Seq(junk))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
   test("frame sampling slices the payload into n fixed-size frames") {
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf), frameBytes = 16, nFrames = 3)
       .select("frames").head().getSeq[Array[Byte]](0)
