@@ -318,18 +318,19 @@ object Corpus {
     * pathology the graph/containment artifacts hoist. At cluster scale
     * this is the staged feature table the scoring job reads. */
   @transient private lazy val dsirCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new SessionCache[String, DataFrame]()
 
   def dsirFeatureArtifact(s: SparkSession, d: String): DataFrame =
-    dsirCache.computeIfAbsent((System.identityHashCode(s), d), key =>
-      Tables.documents(s, key._2)
+    dsirCache.getOrCompute(s, d) {
+      Tables.documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(toks) - 2), " +
             "i -> substring(md5(concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 4))"))
           .as("feat"))
-        .persist())
+        .persist()
+    }
 
   def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val V = 65536L
@@ -629,7 +630,7 @@ object Corpus {
   }
 
   private val sourceShingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+    new SessionCache[(String, Int), DataFrame]()
 
   /** Distinct (source, shingle-hash) set — the corpus artifact under
     * [[sourceOverlap]]. Memoized per (session, dir, n) like the other
@@ -772,8 +773,8 @@ object Corpus {
   }
 
   def sourceShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
-    sourceShingleCache.computeIfAbsent((System.identityHashCode(s), d, n), key => {
-      val docs = Tables.documents(s, key._2)
+    sourceShingleCache.getOrCompute(s, (d, n)) {
+      val docs = Tables.documents(s, d)
       docs.select(col("source"), split(lower(col("text")), "\\s+").as("tokens"))
         // shorter than n tokens → no n-shingles (sequence(0, negative) is
         // DESCENDING and slice would throw — same guard as Dedup.shingles)
@@ -783,7 +784,7 @@ object Corpus {
             .as("sh")).as("shingle"))
         .distinct()
         .persist()
-    })
+    }
 
   /** Cross-source overlap matrix: for every source pair, how many distinct
     * word `n`-grams they share, and the shingle-set Jaccard — the corpus

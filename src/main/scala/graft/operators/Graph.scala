@@ -31,17 +31,17 @@ object Graph {
     * measured at sf0.1; 1.3 s with the build hoisted). At cluster scale
     * these are bucketed tables written by the ingest pass. */
   @transient private lazy val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame, DataFrame)]()
+    new SessionCache[String, (DataFrame, DataFrame, DataFrame)]()
 
   /** (normalized edges, nodes, distinct weighted pairs) — the third frame
     * is the pre-namespace (custkey, suppkey, w) aggregate, reused by
     * [[degreeHistogram]] so the fact⋈fact join runs once per corpus, not
     * once per graph query. */
   def graphArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    edgeCache.computeIfAbsent((System.identityHashCode(s), d), key => {
-      val pairs = Tables.lineitem(s, key._2)
+    edgeCache.getOrCompute(s, d) {
+      val pairs = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, key._2)
+        .join(Tables.orders(s, d)
           .select(col("o_orderkey").as("orderkey"), col("o_custkey")), Seq("orderkey"))
         .groupBy(col("o_custkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("w"))
@@ -66,7 +66,7 @@ object Graph {
         .persist()
       val nodes = edges.select(col("src").as("node")).distinct().persist()
       (norm, nodes, pairs)
-    })
+    }
 
   /** Weighted PageRank on the bipartite customer↔supplier graph induced by
     * orders⋈lineitem (edge weight = number of lineitems between the pair,
@@ -86,27 +86,105 @@ object Graph {
     // distinct nodes. Build memoized — see [[graphArtifacts]].
     val (norm, nodes, _) = graphArtifacts(s, d)
     val nN = nodes.agg(count(lit(1)).as("n"))
+    // Teleport constant via the DECIMAL string, not IEEE subtraction:
+    // 1.0-0.85 rounds to 0.15000000000000002 while an engine parsing the
+    // literal "0.15" gets 0.1499…944 — one ulp apart, which the documented
+    // bit-identical-arguments rationale for the ppm compare can't absorb.
+    // Both engines parse the same decimal literal; both get the same bits.
+    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
     var ranks = nodes.crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
       // The graph is undirected (both directions materialized), so every
       // node is the dst of at least one edge and the contribution aggregate
       // already covers ALL of |V| — no nodes-frame left join needed to
-      // resurrect zero-in-degree nodes. One keyed join + one aggregate per
-      // iteration is the whole loop body.
+      // resurrect zero-in-degree nodes, and no dangling mass exists to
+      // redistribute (see [[pageRankDirected]] for the general form). One
+      // keyed join + one aggregate per iteration is the whole loop body.
       ranks = norm
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("rank")).as("cin"))
         .crossJoin(broadcast(nN))
         .select(col("node"),
-          (lit(1.0 - damping) / col("n")
+          (lit(teleport) / col("n")
             + lit(damping) * col("cin")).as("rank"))
     }
     ranks.select(
       when(col("node") >= 0, concat(lit("c"), col("node")))
         .otherwise(concat(lit("s"), -(col("node") + 1))).as("node"),
       round(col("rank") * 1e6, 0).cast("long").as("rank_ppm"))
+  }
+
+  /** PageRank over an ARBITRARY directed weighted edge list — the general
+    * form [[pageRank]]'s bipartite fast path specializes. Two things the
+    * undirected shortcut can legitimately skip become load-bearing here:
+    *
+    *  - **Dangling mass.** A node with in-edges but no out-edges absorbs
+    *    rank and, untreated, leaks it from the system every iteration
+    *    (Σrank decays geometrically and the ranking order itself warps
+    *    toward teleport-only). The standard correction redistributes each
+    *    iteration's dangling mass uniformly: rank' = teleport/N +
+    *    d·(Σ_in p·rank + dangling/N). The dangling aggregate is ONE row —
+    *    computed in-plan from the ranks frame semi-joined against the
+    *    out-degree table, broadcast back. No driver-side `.collect()` of
+    *    row data; the loop stays fully declarative.
+    *  - **Zero-in-degree nodes.** In a directed graph a source node
+    *    receives no contributions, so the per-iteration aggregate loses it;
+    *    a left join from the persisted nodes frame resurrects it with
+    *    cin=0 (the teleport + dangling share is still owed to it).
+    *
+    * Each iteration shuffles |E| contribution rows keyed on dst plus a
+    * 1-row aggregate — the same volume bound as the fast path. Lineage is
+    * cut every `checkpointEvery` iterations (durable `checkpoint` when the
+    * context has a checkpoint dir — the cluster mode — else
+    * `localCheckpoint`): without the cut the self-referential plan doubles
+    * per iteration and the 100-iteration convergence run a real graph needs
+    * would OOM the driver on plan bytes alone.
+    *
+    * Returns (node, rank) as doubles — callers needing a hash-stable
+    * projection quantize exactly as [[pageRank]] does. Mass conservation
+    * (Σrank = 1 every iteration, dangling nodes included) is pinned by
+    * GraphSpec on a directed chain where the undirected shortcut would
+    * lose the tail node's entire rank. */
+  def pageRankDirected(edges: DataFrame, iters: Int = 5,
+                       damping: Double = 0.85,
+                       checkpointEvery: Int = 2): DataFrame = {
+    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+    val norm = e.select(col("src"), col("dst"),
+      (col("w") / sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))).as("p"))
+      .persist()
+    // out-degree table: nodes with NO out-edges are the dangling set
+    val hasOut = e.select(col("src").as("node")).distinct()
+    val dangling = nodes.join(hasOut, Seq("node"), "left_anti").persist()
+    val nN = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = norm
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("cin"))
+      val dMass = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nN))
+        .crossJoin(broadcast(dMass))
+        .select(col("node"),
+          (lit(teleport) / col("n")
+            + lit(damping) * (coalesce(col("cin"), lit(0.0))
+              + col("dmass") / col("n"))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = cut(ranks)
+    }
+    ranks
   }
 
   /** Degree distribution of the same customer↔supplier graph: per side, how

@@ -130,13 +130,13 @@ object IvfIndex {
     * change, call [[invalidateIndex]] (a persisted index needs an explicit
     * rebuild too). */
   @transient private lazy val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new SessionCache[String, (DataFrame, DataFrame)]()
 
   def index(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    indexCache.computeIfAbsent((System.identityHashCode(s), d), key => {
-      val (assigned, centroids) = buildIndex(Tables.embeddings(s, key._2))
+    indexCache.getOrCompute(s, d) {
+      val (assigned, centroids) = buildIndex(Tables.embeddings(s, d))
       (assigned.cache(), centroids.cache())
-    })
+    }
 
   /** Persist the built index to storage — the literal form of the
     * persisted-index contract the memoization simulates: two parquet tables
@@ -155,16 +155,10 @@ object IvfIndex {
 
   /** Drop the memoized index for a corpus dir (all sessions), unpersisting
     * its cached frames. */
-  def invalidateIndex(d: String): Unit = {
-    val it = indexCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._2 == d) {
-        scala.util.Try { e.getValue._1.unpersist(); e.getValue._2.unpersist() }
-        it.remove()
-      }
+  def invalidateIndex(d: String): Unit =
+    indexCache.removeIfAll(_ == d).foreach { case (assigned, centroids) =>
+      scala.util.Try { assigned.unpersist(); centroids.unpersist() }
     }
-  }
 
   /** Registered query: IVF top-5 for the first 5 vectors (rows-only — the
     * k-means cells are model state, not SQL; recall pinned in IvfSpec).

@@ -162,34 +162,28 @@ object Similarity {
     * in [[cosineNearDupsBucketed]] evaluated the 96-hyperplane projection
     * TWICE per query (both join sides re-derive from the scan). */
   @transient private lazy val rpSigCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), (DataFrame, DataFrame)]()
+    new SessionCache[(String, Int, Int), (DataFrame, DataFrame)]()
 
   def rpSigArtifacts(s: SparkSession, d: String,
                      tables: Int, bits: Int): (DataFrame, DataFrame) =
-    rpSigCache.computeIfAbsent((System.identityHashCode(s), d, tables, bits), key => {
-      val emb = Tables.embeddings(s, key._2)
+    rpSigCache.getOrCompute(s, (d, tables, bits)) {
+      val emb = Tables.embeddings(s, d)
       val sigs = emb.select(
         col("vec_id"),
-        posexplode(rpSignatures(col("embedding"), key._3, key._4)).as(Seq("t", "sig")))
+        posexplode(rpSignatures(col("embedding"), tables, bits)).as(Seq("t", "sig")))
         .persist()
       val normed = emb
         .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
         .persist()
       (sigs, normed)
-    })
+    }
 
   /** Drop the memoized signature artifacts for a corpus dir (all sessions
     * and parameterizations) after the corpus is replaced. */
-  def dropSigArtifacts(d: String): Unit = {
-    val it = rpSigCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._2 == d) {
-        e.getValue._1.unpersist(); e.getValue._2.unpersist()
-        it.remove()
-      }
+  def dropSigArtifacts(d: String): Unit =
+    rpSigCache.removeIfAll(_._1 == d).foreach { case (sigs, normed) =>
+      scala.util.Try { sigs.unpersist(); normed.unpersist() }
     }
-  }
 
   /** Default LSH parameterization for the cosine near-dup path. Chosen by a
     * measured sweep (recall vs exact baseline / wall time at test scale):

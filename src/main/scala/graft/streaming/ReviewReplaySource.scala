@@ -22,19 +22,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * at-least-once timer loop lacks.
   *
   * Semantics:
-  *  - The stream replays a deterministic synthetic review feed (the REST
-  *    endpoint is unreachable in this environment; the generator stands in
-  *    for the HTTP page fetch, everything around it is the real contract).
+  *  - With an `endpoint` option the stream fetches each partition slice as
+  *    a LITERAL HTTP page request (`GET endpoint?offset=N&limit=M`,
+  *    envelope `{"result": [...]}` — the reference's response shape) with
+  *    bounded-retry exponential backoff; a non-200 after the retry budget
+  *    aborts the task (M2: no silent short reads). Without `endpoint` the
+  *    deterministic in-memory generator produces the identical feed — both
+  *    paths share every offset/admission/partitioning mechanism, so the
+  *    specs can pin them against each other.
   *  - Offsets are row indices; each micro-batch admits `rowsPerBatch` rows
   *    (the REST page size) up to `maxRows`. Offsets live in the checkpoint,
   *    so a restarted query resumes EXACTLY where it stopped — the
   *    exactly-once upgrade over the reference's overlap-window refetch.
   *  - `planInputPartitions` splits each batch range into `numPartitions`
-  *    contiguous slices — batch generation fans out across executors; at a
-  *    real REST endpoint each slice is an independent page request.
+  *    contiguous slices — each slice is an independent page request, so
+  *    page fetches fan out across executors.
   *
   * Usage: `spark.readStream.format("review-replay")
-  *   .option("rowsPerBatch", 10).option("maxRows", 100).load()`.
+  *   .option("rowsPerBatch", 10).option("maxRows", 100)
+  *   .option("endpoint", "http://host/reviews")  // omit for in-memory
+  *   .load()`.
   */
 class ReviewReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "review-replay"
@@ -79,10 +86,14 @@ private class ReviewReplayTable extends Table with SupportsRead {
     val rowsPerBatch = options.getLong("rowsPerBatch", 10L)
     val maxRows = options.getLong("maxRows", 100L)
     val numPartitions = options.getInt("numPartitions", 2)
+    val endpoint = Option(options.get("endpoint")).filter(_.nonEmpty)
+    val maxAttempts = options.getInt("httpMaxAttempts", 4)
+    val backoffMs = options.getLong("httpBackoffMs", 50L)
     () => new Scan {
       override def readSchema(): StructType = ReviewReplaySource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ReviewReplayStream(rowsPerBatch, maxRows, numPartitions)
+        new ReviewReplayStream(rowsPerBatch, maxRows, numPartitions,
+          endpoint, maxAttempts, backoffMs)
     }
   }
 }
@@ -93,7 +104,8 @@ private[streaming] case class ReplayOffset(index: Long) extends Offset {
 }
 
 private[streaming] class ReviewReplayStream(
-    rowsPerBatch: Long, maxRows: Long, numPartitions: Int)
+    rowsPerBatch: Long, maxRows: Long, numPartitions: Int,
+    endpoint: Option[String] = None, maxAttempts: Int = 4, backoffMs: Long = 50L)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = ReplayOffset(0L)
@@ -123,7 +135,10 @@ private[streaming] class ReviewReplayStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = endpoint match {
+    case Some(url) => new HttpReplayReaderFactory(url, maxAttempts, backoffMs)
+    case None      => ReplayReaderFactory
+  }
 
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -131,6 +146,89 @@ private[streaming] class ReviewReplayStream(
 }
 
 private[streaming] case class ReplayInputPartition(from: Long, to: Long) extends InputPartition
+
+/** HTTP page-fetch reader (S1 literal parity with
+  * FunctionApp1/hotel_reviews/__init__.py:35-37): each partition slice is
+  * one `GET endpoint?offset=from&limit=(to-from)` against the review feed.
+  * Transient failures retry with exponential backoff (`backoffMs · 2^k`);
+  * exhausting `maxAttempts` throws — the task (and with it the micro-batch)
+  * aborts rather than emitting a short page, the same strictness contract
+  * as the batched RPC scorer (M2). The envelope is validated: a missing
+  * `result` array or a page whose size differs from the request is a
+  * poisoned response, not data. */
+private[streaming] class HttpReplayReaderFactory(
+    endpoint: String, maxAttempts: Int, backoffMs: Long)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ReplayInputPartition]
+    new PartitionReader[InternalRow] {
+      private var rows: Array[InternalRow] = _
+      private var i = -1
+      override def next(): Boolean = {
+        if (rows == null)
+          rows = ReviewFeedClient.fetchPage(endpoint, p.from, p.to - p.from,
+            maxAttempts, backoffMs)
+        i += 1
+        i < rows.length
+      }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Minimal HTTP client for the review feed: JDK `HttpURLConnection` (no
+  * extra dependency), Jackson (shipped with Spark) for the envelope. */
+private[streaming] object ReviewFeedClient {
+  def fetchPage(endpoint: String, offset: Long, limit: Long,
+                maxAttempts: Int, backoffMs: Long): Array[InternalRow] = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        return parsePage(httpGet(s"$endpoint?offset=$offset&limit=$limit"), limit)
+      } catch {
+        case e: Exception =>
+          lastErr = e
+          if (attempt < maxAttempts)
+            Thread.sleep(backoffMs << math.min(attempt - 1, 16))
+      }
+    }
+    throw new IllegalStateException(
+      s"review feed fetch failed after $maxAttempts attempts: ${lastErr.getMessage}",
+      lastErr)
+  }
+
+  private def httpGet(url: String): String = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(15000)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200) throw new java.io.IOException(s"HTTP $code from $url")
+      new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally conn.disconnect()
+  }
+
+  private def parsePage(body: String, expected: Long): Array[InternalRow] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val result = root.get("result")
+    require(result != null && result.isArray,
+      "review feed envelope missing the 'result' array")
+    require(result.size().toLong == expected,
+      s"review feed page size ${result.size()} != requested $expected")
+    Array.tabulate(result.size()) { j =>
+      val r = result.get(j)
+      InternalRow(r.get("review_id").asLong(), r.get("hotel_id").asLong(),
+        UTF8String.fromString(r.get("languagecode").asText()),
+        r.get("average_score").asDouble(),
+        UTF8String.fromString(r.get("text").asText()))
+    }
+  }
+}
 
 private[streaming] object ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

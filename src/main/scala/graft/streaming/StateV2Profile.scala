@@ -66,22 +66,34 @@ object StateV2Profile {
                   checkpointDir: String): StreamingQuery = {
     import spark.implicits._
     // v2 state requires the RocksDB provider; recorded in the checkpoint at
-    // first start, so the setting travels with the query from then on
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // first start, so the setting travels with the query from then on. The
+    // session conf is restored once the query starts — the checkpoint owns
+    // the provider from here on, and a later streaming query on the same
+    // session must not silently inherit RocksDB (round-6 ADVICE).
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val events = EventsStream.readEvents(spark, srcDir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev]
-    events
-      .groupByKey(_.user_id)
-      .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode("update")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Profile], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+    try {
+      val events = EventsStream.readEvents(spark, srcDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+      events
+        .groupByKey(_.user_id)
+        .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: Dataset[Profile], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(confKey, p)
+        case None    => spark.conf.unset(confKey)
       }
-      .start()
+    }
   }
 }

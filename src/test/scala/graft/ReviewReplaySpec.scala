@@ -56,6 +56,73 @@ class ReviewReplaySpec extends SparkSpec {
     assert(byId(1000003L) === "negative")
   }
 
+  test("S1: HTTP fetch path matches the in-memory feed and survives transient 503s") {
+    val stub = graft.streaming.ReviewFeedStub.start(failFirst = 2)
+    try {
+      val out = tmp("replay-http-out")
+      val ckpt = tmp("replay-http-ckpt")
+      val q = spark.readStream.format("review-replay")
+        .option("rowsPerBatch", 10).option("maxRows", 35).option("numPartitions", 3)
+        .option("endpoint", stub.endpoint)
+        .option("httpMaxAttempts", 4).option("httpBackoffMs", 10)
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("review_id") -> r).toMap
+      assert(got.size === 35, "all rows must arrive over HTTP despite the 503s")
+      // the server really was hit, and more times than pages (the retries)
+      assert(stub.requestCount > 2, s"only ${stub.requestCount} requests — retries never reached the server")
+      // HTTP rows are byte-identical to the pure generator
+      (0L until 35L).foreach { i =>
+        val e = graft.streaming.ReviewReplaySource.row(i)
+        val r = got(e._1)
+        assert(r.getAs[Long]("hotel_id") === e._2 &&
+          r.getAs[String]("languagecode") === e._3 &&
+          r.getAs[Double]("average_score") === e._4 &&
+          r.getAs[String]("text") === e._5, s"row $i drifted across transports")
+      }
+    } finally stub.stop()
+  }
+
+  test("S1: a permanently failing endpoint aborts the stream, never a short read") {
+    val stub = graft.streaming.ReviewFeedStub.start(failFirst = Int.MaxValue)
+    try {
+      val out = tmp("replay-fail-out")
+      val ckpt = tmp("replay-fail-ckpt")
+      val q = spark.readStream.format("review-replay")
+        .option("rowsPerBatch", 5).option("maxRows", 10)
+        .option("endpoint", stub.endpoint)
+        .option("httpMaxAttempts", 2).option("httpBackoffMs", 5)
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      q.stop()
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("review feed fetch failed")),
+        s"unexpected failure chain: ${chain(e)}")
+      val emitted = Option(new java.io.File(out).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      assert(emitted === 0, "a failed fetch must not emit rows")
+    } finally stub.stop()
+  }
+
   test("S1: restart from checkpoint resumes exactly-once (no refetch overlap)") {
     val out = tmp("replay-out2")
     val ckpt = tmp("replay-ckpt2")

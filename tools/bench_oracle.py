@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Cross-engine bench column (dev harness, NOT part of the engine): time
+each oracle's DuckDB execution over the same parquet tables the Spark bench
+reads, so BASELINE.md can carry measured Spark/DuckDB ratios instead of a
+self-referential gate.
+
+Method: per query, one untimed warmup execution then best-of-`reps` timed
+executions (fetchall forced — DuckDB is lazy until materialization).
+DuckDB here is the single-node reference point: an embedded OLAP engine
+with no JVM/codegen overhead, which makes it a demanding baseline for
+scan/agg shapes and an inapplicable one for queries whose oracle is a
+degenerate recomputation (those are labeled by the caller, not here).
+
+Usage: python3 tools/bench_oracle.py <sfDir> <verifyOutDir> [reps] [> out.json]
+Output: one JSON object {"sf_dir":…, "queries": {name: best_sec}, "errors": {...}}
+"""
+import json, sys, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir, reps=3):
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    times, errors = {}, {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            con.sql(sql).fetchall()  # warmup (I/O cache, catalog)
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
+        except Exception as e:
+            errors[name] = str(e).split("\n")[0][:200]
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "n": len(times),
+                      "total_sec": round(sum(times.values()), 2),
+                      "queries": times, "errors": errors}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
