@@ -130,6 +130,9 @@ object SparkEntry {
     "q_label_coherence" -> (Similarity.labelCoherence _),
     "q_ann_recall" -> ((s, d) => Similarity.annRecallBound(s, d)),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_emb_dim_stats" -> (Embeddings.dimStats _),
+    "q_emb_whiten" -> (Embeddings.whitenedNorms _),
+    "q_emb_pca" -> (Embeddings.pcaBound _),
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
@@ -894,6 +897,32 @@ object SparkEntry {
         |CAST(row_number() OVER (PARTITION BY query_id
         |ORDER BY raw_cos DESC, cand_id ASC) AS INT) AS rank FROM scored)
         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    // per-dimension whitening statistics: double accumulation on both
+    // sides, 6dp rounding absorbs summation-order noise
+    "q_emb_dim_stats" ->
+      """WITH x AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |CAST(embedding[i] AS DOUBLE) AS x
+        |FROM embeddings, generate_series(1, 64) AS t(i))
+        |SELECT dim, count(*) AS n, round(avg(x), 6) AS mean,
+        |round(var_pop(x), 6) AS variance,
+        |round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+        |FROM x GROUP BY dim""".stripMargin,
+    // whitened L2 norm per vector — the center+scale transform end to end;
+    // scalar-per-row keeps the 4dp compare off array-element boundaries
+    "q_emb_whiten" ->
+      """WITH x AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |CAST(embedding[i] AS DOUBLE) AS x
+        |FROM embeddings, generate_series(1, 64) AS t(i)),
+        |stats AS (SELECT dim, avg(x) AS mu, var_pop(x) AS v FROM x GROUP BY dim)
+        |SELECT vec_id, round(sqrt(sum((x - mu) * (x - mu) / (v + 1e-9))), 4) AS whitened_norm
+        |FROM x JOIN stats USING (dim) GROUP BY vec_id""".stripMargin,
+    // bound oracle: the eigenpair is model state, but dimension count,
+    // unit norm, and eigenvalue dominance over max per-dim variance are
+    // pinned invariants (EmbeddingsSpec carries the exact eigen math)
+    "q_emb_pca" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(64 AS INT) AS n_dims,
+        |CAST(1 AS INT) AS unit_norm, CAST(1 AS INT) AS lambda_dominates
+        |FROM embeddings""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
         |FROM embeddings WHERE vec_id < 5),
