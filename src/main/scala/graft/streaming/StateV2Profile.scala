@@ -31,32 +31,36 @@ object StateV2Profile {
 
   class ProfileProcessor extends StatefulProcessor[Long, Ev, Profile] {
     @transient private var counts: ValueState[Counts] = _
-    @transient private var recent: ListState[Long] = _
+    @transient private var recent: ListState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       // TTL NONE: the drain-replay tests run batches arbitrarily far apart
       // in processing time; production would pass TTLConfig(Duration) per
       // family (the v2 upgrade over one blob-wide GroupState timeout)
       counts = getHandle.getValueState[Counts]("counts", Encoders.product[Counts], TTLConfig.NONE)
-      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+      // (event_id, cents) pairs, NOT bare cents: "newest K" is defined by
+      // event id, and neither micro-batch boundaries nor file delivery
+      // order are event-ordered (the file source breaks ties on identical
+      // modification times arbitrarily — observed as a 1-in-3 flake when
+      // the capped list trusted arrival order across batches). Keeping the
+      // ordering key in state makes the result a pure function of the
+      // event SET, the only contract that survives redelivery at scale.
+      recent = getHandle.getListState[(Long, Long)]("recent",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
     }
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
                                  timers: TimerValues): Iterator[Profile] = {
-      // sort the micro-batch's rows per key: iterator order is partition
-      // order, not event order, and the capped recent-list must be
-      // deterministic under any partitioning
-      val evs = rows.toSeq.sortBy(_.event_id)
+      val evs = rows.toSeq
       val prev = Option(counts.get()).getOrElse(Counts(0L, 0L))
       val cents = evs.filter(_.event_type == "purchase")
-        .map(e => math.floor(e.value * 100).toLong)
-      counts.update(Counts(prev.n_events + evs.length, prev.purchase_cents + cents.sum))
-      cents.foreach(recent.appendValue)
-      val kept = recent.get().toSeq.takeRight(RecentK)
+        .map(e => (e.event_id, math.floor(e.value * 100).toLong))
+      counts.update(Counts(prev.n_events + evs.length, prev.purchase_cents + cents.map(_._2).sum))
+      val kept = (recent.get().toSeq ++ cents).sortBy(_._1).takeRight(RecentK)
       recent.clear()
       kept.foreach(recent.appendValue)
       val now = counts.get()
-      Iterator(Profile(user, now.n_events, now.purchase_cents, kept))
+      Iterator(Profile(user, now.n_events, now.purchase_cents, kept.map(_._2)))
     }
   }
 

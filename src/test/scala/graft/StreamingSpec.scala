@@ -73,10 +73,10 @@ class StreamingSpec extends SparkSpec {
       val (n, cents, recent) = finalRows(u)
       assert(n == rows.length.toLong, s"n_events user $u")
       assert(cents == purchases.map(_._2).sum, s"cents user $u")
-      // the capped recent list is the tail of the batch-ordered purchases
-      // PROVIDED every batch's rows arrived in event order across batches —
-      // the range partitioning makes batch boundaries time-ordered, and
-      // within a batch the processor sorts, so the tail property holds
+      // the capped recent list is the K largest event ids' cents in id
+      // order — a pure function of the event SET (the processor keeps the
+      // ordering key in state), so this holds under ANY file delivery
+      // order or micro-batch slicing
       assert(recent == purchases.map(_._2).takeRight(streaming.StateV2Profile.RecentK).toList,
         s"recent list user $u")
     }
