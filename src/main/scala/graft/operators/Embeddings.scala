@@ -27,7 +27,10 @@ object Embeddings {
     * statistics table. Full DuckDB oracle (double accumulation on both
     * sides; 6dp rounding absorbs summation-order noise). */
   def dimStats(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    dimStatsOf(Tables.embeddings(s, d))
+
+  def dimStatsOf(emb: DataFrame): DataFrame =
+    emb
       .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("dim"), col("xf").cast("double").as("x"))
       .groupBy(col("dim"))
@@ -44,8 +47,11 @@ object Embeddings {
     * rounding has a measurably higher boundary-flip risk at 4dp). The
     * stats frame is 64 rows — Spark broadcasts it onto the scan; the only
     * wide stage is the stats build itself. */
-  def whitenedNorms(s: SparkSession, d: String): DataFrame = {
-    val x = Tables.embeddings(s, d)
+  def whitenedNorms(s: SparkSession, d: String): DataFrame =
+    whitenedNormsOf(Tables.embeddings(s, d))
+
+  def whitenedNormsOf(emb: DataFrame): DataFrame = {
+    val x = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
     val stats = x.groupBy(col("dim"))

@@ -152,4 +152,39 @@ class PartitionInvarianceSpec extends SparkSpec {
       variants(docs, "doc_id").map(Corpus.upsampleBalancedFrame),
       "balanced upsample rows")
   }
+
+  test("embedding dim stats and whitened norms are partitioning-invariant (round 7)") {
+    val emb = Tables.embeddings(spark, sf)
+    assertInvariant(
+      variants(emb, "vec_id").map(operators.Embeddings.dimStatsOf),
+      "embedding dim stats")
+    assertInvariant(
+      variants(emb, "vec_id").map(operators.Embeddings.whitenedNormsOf),
+      "whitened norms")
+  }
+
+  test("batched image decode emits the same features at any batch size and partitioning") {
+    import spark.implicits._
+    val assets = operators.Multimodal.imageAssets(spark, sf)
+    val frames = Seq(1, 5, 16).map { bs =>
+      operators.Multimodal.decodeBatched(
+        assets.repartition(bs % 3 + 1), operators.Multimodal.imageBatchKernel, bs).toDF()
+    }
+    assertInvariant(frames, "decoded image features")
+  }
+
+  test("directed pagerank is partitioning-invariant at 1e-9 quantization (round 7)") {
+    import spark.implicits._
+    // a graph with dangling nodes AND a cycle; ranks quantized to absorb
+    // summation-order noise (per-dst contribution sums associate
+    // differently under different partitionings)
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 1.0), (3L, 4L, 1.0),
+      (5L, 4L, 1.0), (1L, 4L, 3.0)).toDF("src", "dst", "w")
+    assertInvariant(
+      variants(edges, "src").map(e =>
+        operators.Graph.pageRankDirected(e, iters = 5)
+          .select(col("node"), round(col("rank"), 9).as("rank_q"))),
+      "directed pagerank ranks")
+  }
 }
