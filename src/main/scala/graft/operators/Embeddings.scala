@@ -70,7 +70,17 @@ object Embeddings {
     * the ONE place the embedding layer drops to an imperative
     * per-partition loop: a d² accumulator has no declarative equivalent
     * that avoids a d²-wide explode. */
-  def covarianceModel(s: SparkSession, d: String): (Long, Array[Double], Array[Double]) = {
+  /** Memoized per (session, corpus) under the same persisted-artifact
+    * contract as the IVF index and shingle frames: the covariance is a
+    * corpus BUILD (one pass), the eigen step and bound query are the cheap
+    * reads. */
+  @transient private lazy val covCache =
+    new SessionCache[String, (Long, Array[Double], Array[Double])]()
+
+  def covarianceModel(s: SparkSession, d: String): (Long, Array[Double], Array[Double]) =
+    covCache.getOrCompute(s, d) { buildCovarianceModel(s, d) }
+
+  private def buildCovarianceModel(s: SparkSession, d: String): (Long, Array[Double], Array[Double]) = {
     import s.implicits._
     val vecs = Tables.embeddings(s, d).select(col("embedding")).as[Array[Float]]
     val dim = 64
