@@ -318,7 +318,7 @@ object Corpus {
     * pathology the graph/containment artifacts hoist. At cluster scale
     * this is the staged feature table the scoring job reads. */
   @transient private lazy val dsirCache =
-    new SessionCache[String, DataFrame]()
+    new SessionCache[String, DataFrame](_.unpersist())
 
   def dsirFeatureArtifact(s: SparkSession, d: String): DataFrame =
     dsirCache.getOrCompute(s, d) {
@@ -630,7 +630,7 @@ object Corpus {
   }
 
   private val sourceShingleCache =
-    new SessionCache[(String, Int), DataFrame]()
+    new SessionCache[(String, Int), DataFrame](_.unpersist())
 
   /** Distinct (source, shingle-hash) set — the corpus artifact under
     * [[sourceOverlap]]. Memoized per (session, dir, n) like the other

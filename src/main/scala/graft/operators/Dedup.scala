@@ -121,7 +121,7 @@ object Dedup {
     * never served frames bound to a dead context. (Round-3 verdict: the
     * unmemoized build re-ran inside every timed query — 44.7 s driver-side.) */
   @transient private lazy val shingleCache =
-    new SessionCache[String, (DataFrame, DataFrame)]()
+    new SessionCache[String, (DataFrame, DataFrame)]({ case (sh, sig) => sh.unpersist(); sig.unpersist() })
 
   def shingleArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
     shingleCache.getOrCompute(s, d) {
@@ -135,7 +135,7 @@ object Dedup {
     * [[shingleArtifacts]] because the minhash signatures that ride the
     * 3-gram frame have no analog here. */
   @transient private lazy val passageCache =
-    new SessionCache[(String, Int), DataFrame]()
+    new SessionCache[(String, Int), DataFrame](_.unpersist())
 
   def passageShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
     passageCache.getOrCompute(s, (d, n)) {
@@ -302,7 +302,7 @@ object Dedup {
     * query pays only the candidate self-join and the per-pair aggregation,
     * the same split as the minhash and IVF artifacts. */
   @transient private lazy val containmentCache =
-    new SessionCache[(String, Long), (DataFrame, DataFrame)]()
+    new SessionCache[(String, Long), (DataFrame, DataFrame)]({ case (pruned, sizes) => pruned.unpersist(); sizes.unpersist() })
 
   def containmentArtifacts(s: SparkSession, d: String,
                            maxShingleDf: Long = 50): (DataFrame, DataFrame) =
@@ -429,13 +429,10 @@ object Dedup {
     * every doc that appears in at least one pair; the canonical doc of a
     * cluster is its min id. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    // Iterative plans need their lineage cut each round or the DAG doubles.
-    // With a configured checkpoint dir the cut is durable (survives executor
-    // loss — the cluster-scale mode); otherwise localCheckpoint keeps the
-    // local/test path dependency-free at the cost of restart-on-loss.
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    // Iterative plans need their lineage cut each round or the DAG doubles
+    // (shared policy: Iterative.cutLineage — durable checkpoint when a
+    // checkpoint dir is configured, localCheckpoint otherwise).
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = cut(edges.select(col("doc_a").as("doc_id"))
@@ -473,7 +470,7 @@ object Dedup {
     * re-running the iterative loop. Keyed on the session identity too, so a
     * restarted SparkSession is never served frames bound to a dead context. */
   @transient private lazy val labelCache =
-    new SessionCache[String, DataFrame]()
+    new SessionCache[String, DataFrame](_.unpersist())
 
   def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d) {
@@ -492,7 +489,7 @@ object Dedup {
     * decisions only ever saw the oracle slice). Memoized under the same
     * persisted-cluster-table contract as [[clusterLabels]]. */
   @transient private lazy val lshLabelCache =
-    new SessionCache[String, DataFrame]()
+    new SessionCache[String, DataFrame](_.unpersist())
 
   def clusterLabelsLsh(s: SparkSession, d: String): DataFrame =
     lshLabelCache.getOrCompute(s, d) {

@@ -101,12 +101,13 @@ object Embeddings {
         }
       }
       if (n == 0) Iterator.empty else Iterator((n, sums, gram))
-    }.reduce { (a, b) =>
+    }.collect() // one model-sized row per non-empty partition
+    require(acc.nonEmpty, s"no embeddings in $d — cannot build a covariance model")
+    val (n, sums, gram) = acc.reduce { (a, b) =>
       (a._1 + b._1,
         a._2.zip(b._2).map { case (x, y) => x + y },
         a._3.zip(b._3).map { case (x, y) => x + y })
     }
-    val (n, sums, gram) = acc
     val mean = sums.map(_ / n)
     val cov = Array.tabulate(dim * dim) { k =>
       val i = k / dim; val j = k % dim

@@ -31,7 +31,7 @@ object Graph {
     * measured at sf0.1; 1.3 s with the build hoisted). At cluster scale
     * these are bucketed tables written by the ingest pass. */
   @transient private lazy val edgeCache =
-    new SessionCache[String, (DataFrame, DataFrame, DataFrame)]()
+    new SessionCache[String, (DataFrame, DataFrame, DataFrame)]({ case (norm, nodes, pairs) => norm.unpersist(); nodes.unpersist(); pairs.unpersist() })
 
   /** (normalized edges, nodes, distinct weighted pairs) — the third frame
     * is the pre-namespace (custkey, suppkey, w) aggregate, reused by
@@ -86,12 +86,9 @@ object Graph {
     // distinct nodes. Build memoized — see [[graphArtifacts]].
     val (norm, nodes, _) = graphArtifacts(s, d)
     val nN = nodes.agg(count(lit(1)).as("n"))
-    // Teleport constant via the DECIMAL string, not IEEE subtraction:
-    // 1.0-0.85 rounds to 0.15000000000000002 while an engine parsing the
-    // literal "0.15" gets 0.1499…944 — one ulp apart, which the documented
-    // bit-identical-arguments rationale for the ppm compare can't absorb.
-    // Both engines parse the same decimal literal; both get the same bits.
-    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
+    // see Iterative.teleport: decimal-string constant, identical bits to
+    // the oracle's 0.15 literal
+    val teleport = Iterative.teleport(damping)
     var ranks = nodes.crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iters) {
@@ -150,10 +147,7 @@ object Graph {
   def pageRankDirected(edges: DataFrame, iters: Int = 5,
                        damping: Double = 0.85,
                        checkpointEvery: Int = 2): DataFrame = {
-    val teleport = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+    val teleport = Iterative.teleport(damping)
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().persist()
@@ -182,9 +176,17 @@ object Graph {
           (lit(teleport) / col("n")
             + lit(damping) * (coalesce(col("cin"), lit(0.0))
               + col("dmass") / col("n"))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = cut(ranks)
+      if (i % checkpointEvery == 0 && i < iters) ranks = Iterative.cutLineage(ranks)
     }
-    ranks
+    // materialize the final ranks off the helper frames' lineage, then
+    // release them — per-call persists must not accumulate in storage
+    // memory across repeated invocations (unlike the memoized artifact
+    // caches, these frames have no session-level eviction hook)
+    val out = Iterative.cutLineage(ranks)
+    norm.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    out
   }
 
   /** Degree distribution of the same customer↔supplier graph: per side, how

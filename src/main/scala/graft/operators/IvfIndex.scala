@@ -130,7 +130,7 @@ object IvfIndex {
     * change, call [[invalidateIndex]] (a persisted index needs an explicit
     * rebuild too). */
   @transient private lazy val indexCache =
-    new SessionCache[String, (DataFrame, DataFrame)]()
+    new SessionCache[String, (DataFrame, DataFrame)]({ case (assigned, centroids) => assigned.unpersist(); centroids.unpersist() })
 
   def index(s: SparkSession, d: String): (DataFrame, DataFrame) =
     indexCache.getOrCompute(s, d) {

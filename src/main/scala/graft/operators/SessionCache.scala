@@ -7,21 +7,39 @@ import org.apache.spark.sql.SparkSession
 /** Session-scoped memo cache for persisted corpus artifacts (shingle
   * frames, IVF indexes, graph edge builds, …).
   *
-  * Entries are keyed by the session's stable `sessionUUID` — not by
+  * Entries are keyed by a per-session UUID — not by
   * `System.identityHashCode`, which can be recycled after GC and would hand
-  * a new session a dead session's persisted plans. Each entry additionally
-  * holds a weak reference to its owning session, and every access sweeps
-  * entries whose session has been collected or whose SparkContext is
-  * stopped, so caches cannot grow without bound in a long-lived service
-  * that cycles sessions (the round-6 ADVICE leak).
+  * a new session a dead session's persisted plans. Lifecycle, honestly
+  * stated:
+  *
+  *  - **Stopped contexts**: every access sweeps entries whose
+  *    SparkContext is stopped (or whose session was GC'd) — a restarted
+  *    application never accumulates dead entries.
+  *  - **Cycled sessions on a LIVE context** (`newSession()` per job in a
+  *    long-lived service): a DataFrame value strongly references its
+  *    session, so the weak reference cannot clear while the entry exists —
+  *    automatic sweeping is impossible by construction for DataFrame
+  *    values. The supported path is the explicit invalidation hook:
+  *    [[releaseSession]] drops the finished session's entries from EVERY
+  *    registered cache and hands them to a per-cache release callback
+  *    (unpersist). This is the "explicit invalidation hook when a session
+  *    stops" half of the round-6 ADVICE; the weak-ref sweep is the other.
   *
   * The values are usually `.persist()`-ed DataFrames: once the owning
   * session/context is stopped its cached blocks are already released, so
-  * the sweep only needs to drop the map entry, never unpersist.
+  * the stopped-context sweep only drops the map entry, never unpersists.
   */
-private[graft] final class SessionCache[K, V] {
+private[graft] final class SessionCache[K, V](
+    release: V => Unit = (_: V) => ()) {
   private val map =
     new ConcurrentHashMap[(String, K), (WeakReference[SparkSession], V)]()
+
+  SessionCache.register(this)
+
+  /** Drop every entry of this session and run the release callback on each
+    * value (part of the global [[SessionCache.releaseSession]] hook). */
+  private[graft] def releaseAll(s: SparkSession): Unit =
+    removeIf(s)(_ => true).foreach(v => scala.util.Try(release(v)))
 
   // Stable per-session identifier: a UUID minted on first sight, held in a
   // weak identity map (SparkSession doesn't override equals). Unlike
@@ -86,4 +104,26 @@ private[graft] final class SessionCache[K, V] {
 
   /** Visible for tests: live entry count after a sweep. */
   private[graft] def size: Int = { sweep(); map.size() }
+}
+
+object SessionCache {
+  // Registry of every cache instance (they are all object-level lazy vals —
+  // a bounded, static population), so a long-lived service can release one
+  // finished session's artifacts across ALL operator caches with one call.
+  private val registry =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SessionCache[_, _]]())
+
+  private def register(c: SessionCache[_, _]): Unit = registry.add(c)
+
+  /** The explicit end-of-session invalidation hook: drop (and release —
+    * unpersist, by each cache's callback) every memoized artifact owned by
+    * `s` in every cache. Call this when a long-lived service is done with
+    * a session created via `newSession()` on a shared context; stopped
+    * contexts are swept automatically, cycled-but-live sessions cannot be
+    * (their DataFrames pin the session — see the class scaladoc). */
+  def releaseSession(s: SparkSession): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) it.next().releaseAll(s)
+  }
 }

@@ -162,7 +162,7 @@ object Similarity {
     * in [[cosineNearDupsBucketed]] evaluated the 96-hyperplane projection
     * TWICE per query (both join sides re-derive from the scan). */
   @transient private lazy val rpSigCache =
-    new SessionCache[(String, Int, Int), (DataFrame, DataFrame)]()
+    new SessionCache[(String, Int, Int), (DataFrame, DataFrame)]({ case (sigs, normed) => sigs.unpersist(); normed.unpersist() })
 
   def rpSigArtifacts(s: SparkSession, d: String,
                      tables: Int, bits: Int): (DataFrame, DataFrame) =

@@ -180,6 +180,15 @@ private[streaming] class HttpReplayReaderFactory(
 /** Minimal HTTP client for the review feed: JDK `HttpURLConnection` (no
   * extra dependency), Jackson (shipped with Spark) for the envelope. */
 private[streaming] object ReviewFeedClient {
+  /** Retries cover TRANSPORT failures only (`IOException`: non-200, connect
+    * or read timeouts). A malformed envelope or wrong-size page is a
+    * poisoned RESPONSE — `parsePage`'s `IllegalArgumentException` aborts
+    * the task immediately, no retry (M2 strictness: backoff cannot repair
+    * bad data). Task-kill interrupts propagate untouched so `query.stop()`
+    * never waits out a backoff ladder; individual sleeps are capped at
+    * [[MaxBackoffSleepMs]] regardless of attempt count. */
+  private val MaxBackoffSleepMs = 10000L
+
   def fetchPage(endpoint: String, offset: Long, limit: Long,
                 maxAttempts: Int, backoffMs: Long): Array[InternalRow] = {
     var attempt = 0
@@ -189,10 +198,11 @@ private[streaming] object ReviewFeedClient {
       try {
         return parsePage(httpGet(s"$endpoint?offset=$offset&limit=$limit"), limit)
       } catch {
-        case e: Exception =>
+        case e: java.io.IOException =>
           lastErr = e
           if (attempt < maxAttempts)
-            Thread.sleep(backoffMs << math.min(attempt - 1, 16))
+            Thread.sleep(math.min(backoffMs << math.min(attempt - 1, 16),
+              MaxBackoffSleepMs))
       }
     }
     throw new IllegalStateException(

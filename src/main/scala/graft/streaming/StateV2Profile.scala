@@ -56,7 +56,12 @@ object StateV2Profile {
       val cents = evs.filter(_.event_type == "purchase")
         .map(e => (e.event_id, math.floor(e.value * 100).toLong))
       counts.update(Counts(prev.n_events + evs.length, prev.purchase_cents + cents.map(_._2).sum))
-      val kept = (recent.get().toSeq ++ cents).sortBy(_._1).takeRight(RecentK)
+      // id-dedup before the cap: a redelivered event must not occupy two of
+      // the K slots and evict a distinct older purchase. (The running
+      // totals above still assume the source's exactly-once admission —
+      // deduping them would mean unbounded id state; the file source's
+      // checkpointed file tracking is what carries that contract.)
+      val kept = (recent.get().toSeq ++ cents).distinctBy(_._1).sortBy(_._1).takeRight(RecentK)
       recent.clear()
       kept.foreach(recent.appendValue)
       val now = counts.get()

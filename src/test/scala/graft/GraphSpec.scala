@@ -28,7 +28,7 @@ class GraphSpec extends SparkSpec {
 
   test("directed pagerank matches the hand-rolled recomputation") {
     val d = 0.85
-    val t = (BigDecimal(1) - BigDecimal(d.toString)).toDouble
+    val t = graft.operators.Iterative.teleport(d)
     val n = 3.0
     var r = Map(1L -> 1.0 / n, 2L -> 1.0 / n, 3L -> 1.0 / n)
     for (_ <- 1 to 5) {
@@ -75,5 +75,20 @@ class GraphSpec extends SparkSpec {
     assert(cache.size === 1)
     cache.removeIfAll(_ => true)
     assert(cache.size === 0)
+  }
+
+  test("releaseSession evicts one session's entries everywhere and runs the release callback") {
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cache = new SessionCache[String, String](v => released += v)
+    val s2 = spark.newSession()
+    cache.getOrCompute(spark, "k")("mine")
+    cache.getOrCompute(s2, "k")("theirs")
+    // a real operator cache participates in the same global hook
+    val artifactBefore = graft.operators.Dedup.shingleArtifacts(s2, sf)._1
+    SessionCache.releaseSession(s2)
+    assert(released.toSeq === Seq("theirs"), "only the released session's value runs the callback")
+    assert(cache.size === 1, "the other session's entry survives")
+    val artifactAfter = graft.operators.Dedup.shingleArtifacts(s2, sf)._1
+    assert(!(artifactAfter eq artifactBefore), "released artifact must rebuild on next access")
   }
 }
