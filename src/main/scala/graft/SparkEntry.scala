@@ -117,6 +117,8 @@ object SparkEntry {
     "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
     "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
     "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
+    "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceNearDups(s, d)),
     // -- similarity search (D3) -------------------------------------------
     "q_ann_brute" -> (Similarity.annBruteForce _),
     "q_ann_lsh" -> ((s, d) => {
@@ -769,6 +771,18 @@ object SparkEntry {
         |SELECT len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
         |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
         |FROM documents)) GROUP BY sentiment""".stripMargin,
+    // character-level near-dup: both engines run the identical classic
+    // Levenshtein DP; the 0.25 relative threshold is exact in double and
+    // decimal alike, so the compare is integer-exact. Spark's banded form
+    // (cap = 0.25·max len) returns -1 past the cap, which the relative
+    // filter discards — identical admissions to DuckDB's unbanded DP
+    "q_edit_distance" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS l
+        |FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(levenshtein(a.text, b.text) AS INT) AS lev
+        |FROM t a, t b WHERE a.doc_id < b.doc_id
+        |AND levenshtein(a.text, b.text) <= 0.25 * greatest(a.l, b.l)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |SELECT doc_id, lang, source, n_chars,
@@ -2103,6 +2117,7 @@ object SparkEntry {
     "q_cosine_near_dup_lsh" -> "bucketed candidate subset of the exact pair set; recall pinned vs exact in SimilaritySpec",
     "q_near_dup_minhash" -> "banding emits a verified SUBSET of true pairs; recall tiers oracled in q_minhash_recall; DedupSpec",
     "q_near_dup_simhash" -> "Hamming-ball candidates are signature state; agreement with exact pinned in DedupSpec",
+    "q_edit_distance_scale" -> "banded-candidate prefilter emits a verified SUBSET of the exact relative-threshold pairs; precision/recall pinned vs the oracled q_edit_distance in DedupSpec",
     "q_near_dup_ml" -> "ML-embedding candidate path; overlap with exact pairs pinned in DedupSpec",
     "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
     "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",

@@ -407,6 +407,71 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a BOUNDED doc slice —
+    * the exact correctness baseline for character-level dedup, the measure
+    * that catches what token-set measures miss (transposed words score
+    * identical shingle sets; a character-level threshold separates true
+    * small edits from full rewrites of similar length). The relative
+    * threshold lev ≤ `relThreshold`·max(len) is the standard form: an
+    * absolute bound would pass short unrelated texts and fail long
+    * near-dups. Both engines implement the identical classic DP (unit-cost
+    * insert/delete/substitute), and the threshold product is a multiple of
+    * 0.25 — exact in double and decimal alike — so the DuckDB compare is
+    * integer-exact. The in-plan `levenshtein(_, _, cap)` banded form bounds
+    * the DP cost per pair at the corpus-wide maximum admissible distance
+    * (returns −1 past the cap, which the relative filter then discards
+    * correctly since cap ≥ every per-pair threshold). All-pairs BY DESIGN
+    * bounded by `maxDocId` — the unbounded scale path is
+    * [[editDistanceNearDups]]. */
+  def editDistancePairs(s: SparkSession, d: String, maxDocId: Long = 300,
+                        relThreshold: Double = 0.25): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb"))
+    // cap = relThreshold * longest doc in the slice — a 1-row aggregate
+    // (model-sized driver value, the centroid pattern; the function's
+    // threshold parameter is a literal int): the banded DP never pays more
+    // than the largest admissible distance
+    val cap = docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int"))
+      .head().getInt(0)
+    a.crossJoin(broadcast(b))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), cap))
+      .filter(col("lev") >= 0 &&
+        col("lev") <= greatest(col("la"), col("lb")) * lit(relThreshold))
+      .select(col("doc_a"), col("doc_b"), col("lev"))
+  }
+
+  /** Edit-distance dedup at corpus scale: the banded minhash candidates
+    * (memoized shingle/signature artifacts) prefilter to docs sharing a
+    * signature band — a tiny-edit pair shares nearly all its shingles, so
+    * banding recall on the lev≤25% population is effectively the high-
+    * jaccard tier's (≥98% at (8,4) banding) — then a length lower bound
+    * (|la−lb| ≤ lev by definition) and the banded exact DP verify each
+    * candidate. Join volume is candidate-proportional; the DP runs on
+    * candidates only, never n². Precision is exact (every emitted pair is
+    * verified); recall rides the banding and is spec-pinned against the
+    * bounded baseline — the same contract split as
+    * [[nearDupPairs]]/[[minhashCandidateRecall]]. */
+  def editDistanceNearDups(s: SparkSession, d: String,
+                           relThreshold: Double = 0.25): DataFrame = {
+    val (_, sig) = shingleArtifacts(s, d)
+    val cand = bandedCandidates(sig)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val cap = docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int"))
+      .head().getInt(0)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb")), Seq("doc_b"))
+      .filter(abs(col("la") - col("lb")) <= greatest(col("la"), col("lb")) * lit(relThreshold))
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), cap))
+      .filter(col("lev") >= 0 &&
+        col("lev") <= greatest(col("la"), col("lb")) * lit(relThreshold))
+      .select(col("doc_a"), col("doc_b"), col("lev"))
+  }
+
   /** [[minhashCandidateRecall]] in the driver-checkable bound form (the
     * `q_ann_recall` pattern): the exact side — tier membership and true-pair
     * counts from the full-precision shingle join — is recomputed verbatim by

@@ -213,6 +213,48 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(Dedup.incrementalDedupFrames(incoming, existing).count() === 0)
   }
 
+  test("edit-distance pairs match a driver DP recomputation on a small slice") {
+    val got = Dedup.editDistancePairs(spark, sf, maxDocId = 60).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("lev")).toMap
+    // independent classic Levenshtein, driver-side
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      d = lev(ta, tb) if d <= 0.25 * math.max(ta.length, tb.length)
+    } yield (ia, ib) -> d).toMap
+    assert(got === expected)
+  }
+
+  test("edit-distance scale path: exact precision, high recall vs the bounded baseline") {
+    val exact = Dedup.editDistancePairs(spark, sf, maxDocId = 1000000L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("lev")).toMap
+    val scale = Dedup.editDistanceNearDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("lev")).toMap
+    assert(exact.nonEmpty, "planted near-dups must produce relative-threshold pairs")
+    // every emitted pair is a true pair with the exact distance (precision 1)
+    scale.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"scale path emitted a wrong pair/distance $k -> $v")
+    }
+    // tiny-edit pairs share nearly all shingles — banding recall ≥ 90%
+    assert(scale.size >= math.ceil(exact.size * 0.9).toInt,
+      s"recall ${scale.size}/${exact.size} below the banding bound")
+  }
+
   test("D1 incremental: plan probes ONE reused bloom subquery, anti-join broadcasts") {
     val docs = Tables.documents(spark, sf)
     val plan = Dedup.incrementalDedupFrames(
