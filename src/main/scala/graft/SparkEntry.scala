@@ -135,6 +135,7 @@ object SparkEntry {
     "q_emb_dim_stats" -> (Embeddings.dimStats _),
     "q_emb_whiten" -> (Embeddings.whitenedNorms _),
     "q_emb_pca" -> (Embeddings.pcaBound _),
+    "q_emb_outliers" -> (Embeddings.mahalanobisBound _),
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
@@ -937,6 +938,12 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(64 AS INT) AS n_dims,
         |CAST(1 AS INT) AS unit_norm, CAST(1 AS INT) AS lambda_dominates
         |FROM embeddings""".stripMargin,
+    // exact population identity: mean Mahalanobis² under the sample's own
+    // population covariance is EXACTLY d (trace(C⁻¹C) = 64) — any drift in
+    // the covariance build, the inversion, or the scoring loop breaks it
+    "q_emb_outliers" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |CAST(64.0 AS DOUBLE) AS avg_m2 FROM embeddings""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
         |FROM embeddings WHERE vec_id < 5),

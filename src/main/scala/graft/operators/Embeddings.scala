@@ -188,6 +188,94 @@ object Embeddings {
     (vec.map(_ / nrm), lambda)
   }
 
+  /** Inverse of the covariance by Gauss–Jordan with partial pivoting —
+    * driver math on the d×d model, like the Jacobi step. A tiny ridge
+    * (εI) keeps a numerically singular covariance (duplicated dims,
+    * n < d) invertible without visibly perturbing well-conditioned ones. */
+  def invertCovariance(cov: Array[Double], dim: Int = 64,
+                       ridge: Double = 1e-9): Array[Double] = {
+    val a = Array.tabulate(dim, dim)((i, j) =>
+      cov(i * dim + j) + (if (i == j) ridge else 0.0))
+    val inv = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var col = 0
+    while (col < dim) {
+      var pivot = col
+      var r = col + 1
+      while (r < dim) { if (math.abs(a(r)(col)) > math.abs(a(pivot)(col))) pivot = r; r += 1 }
+      require(math.abs(a(pivot)(col)) > 1e-18, s"covariance not invertible at column $col")
+      if (pivot != col) {
+        val t = a(pivot); a(pivot) = a(col); a(col) = t
+        val ti = inv(pivot); inv(pivot) = inv(col); inv(col) = ti
+      }
+      val p = a(col)(col)
+      var j = 0
+      while (j < dim) { a(col)(j) /= p; inv(col)(j) /= p; j += 1 }
+      r = 0
+      while (r < dim) {
+        if (r != col) {
+          val f = a(r)(col)
+          if (f != 0.0) {
+            var k = 0
+            while (k < dim) { a(r)(k) -= f * a(col)(k); inv(r)(k) -= f * inv(col)(k); k += 1 }
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val flat = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) { System.arraycopy(inv(i), 0, flat, i * dim, dim); i += 1 }
+    flat
+  }
+
+  /** Per-vector squared Mahalanobis distance m² = (x−μ)ᵀ C⁻¹ (x−μ) — the
+    * embedding-space outlier score (rogue vectors, encoder glitches,
+    * mislabeled modality) a training-data pipeline filters on before
+    * contrastive sampling. The model (μ, C⁻¹) is built once per corpus
+    * (memoized covariance + driver inversion) and broadcast; scoring is a
+    * narrow typed map — zero shuffle at any corpus size. */
+  def mahalanobis(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Double)] = {
+    import s.implicits._
+    val (_, mean, cov) = covarianceModel(s, d)
+    val inv = invertCovariance(cov)
+    val bMean = s.sparkContext.broadcast(mean)
+    val bInv = s.sparkContext.broadcast(inv)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mu = bMean.value; val a = bInv.value
+        val dim = mu.length
+        val xc = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { xc(i) = v(i).toDouble - mu(i); i += 1 }
+        var m2 = 0.0
+        i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += a(i * dim + j) * xc(j); j += 1 }
+          m2 += xc(i) * acc
+          i += 1
+        }
+        (id, m2)
+      }
+  }
+
+  /** Registered bound query: the per-vector scores are model state SQL
+    * cannot re-derive, but the POPULATION IDENTITY is exact — with the
+    * population covariance of the same sample, mean(m²) = d algebraically
+    * (trace(C⁻¹·C) = d), so the oracle pins n and the literal 64.0, and
+    * any drift in the covariance build, the inversion, or the scoring loop
+    * breaks the identity and reds the row. EmbeddingsSpec pins the
+    * per-vector path. */
+  def mahalanobisBound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mahalanobis(s, d).toDF("vec_id", "m2")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("m2")), 4).as("avg_m2"))
+  }
+
   /** Registered bound query (the `q_ann_recall` pattern): the eigenpair
     * itself is model state SQL cannot re-derive, but three of its
     * invariants are checkable — the dimension count, the unit norm of v,

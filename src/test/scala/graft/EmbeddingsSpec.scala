@@ -69,6 +69,27 @@ class EmbeddingsSpec extends SparkSpec {
     assert(lambda >= maxDiag - 1e-9)
   }
 
+  test("covariance inverse is a true inverse: C * C^-1 = I") {
+    val (_, _, cov) = Embeddings.covarianceModel(spark, sf)
+    val inv = Embeddings.invertCovariance(cov)
+    for (i <- 0 until 64; j <- Seq(0, 17, 63)) {
+      val e = (0 until 64).map(k => cov(i * 64 + k) * inv(k * 64 + j)).sum
+      val expected = if (i == j) 1.0 else 0.0
+      assert(math.abs(e - expected) < 1e-6, s"(C*Cinv)($i,$j) = $e")
+    }
+  }
+
+  test("mahalanobis: all scores nonnegative, mean exactly d (population identity)") {
+    val scores = Embeddings.mahalanobis(spark, sf).collect()
+    assert(scores.length === vectors.length)
+    assert(scores.forall(_._2 >= 0.0), "a squared Mahalanobis distance went negative")
+    val mean = scores.map(_._2).sum / scores.length
+    // trace(C^-1 C) = d exactly; the 1e-9 ridge perturbs at ~1e-6
+    assert(math.abs(mean - 64.0) < 1e-4, s"population identity broken: mean m2 = $mean")
+    // the score separates: the max must clearly exceed the mean
+    assert(scores.map(_._2).max > mean, "no outlier signal at all")
+  }
+
   test("pca bound query emits the pinned invariants") {
     val row = Embeddings.pcaBound(spark, sf).head()
     assert(row.getAs[Long]("n_vectors") === vectors.length.toLong)
