@@ -26,16 +26,24 @@ object Tables {
     * exact, and identical to DuckDB's ns→µs truncation. MICROS reads
     * natively as TimestampNTZ; normalize to TimestampType so downstream
     * window/watermark ops see one type regardless of generation. The schema
-    * probe keys the branch off what the footer actually declares. */
+    * probe keys the branch off what the footer actually declares.
+    *
+    * The NTZ→TZ step must NOT be a bare cast: that interprets the wall
+    * clock in the SESSION timezone, and the generator wrote UTC instants —
+    * correct only while every entrypoint pins UTC. Pre-shifting the NTZ
+    * wall clock from UTC into the session zone first makes the subsequent
+    * cast land on the UTC instant under ANY session timezone (identity
+    * when the session is UTC, so gate behavior is unchanged). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        raw.withColumn("ts", expr(
+          "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -435,9 +435,11 @@ object Dedup {
     // lever: the banded DP is O(len·cap) per pair, so capping at 60 cut
     // the sf0.1 query 13.3 s → ~3 s. The 1-row max-length aggregate is a
     // model-sized driver value (the centroid pattern; the function's
-    // threshold parameter is a literal int).
-    val cap = math.min(maxDist,
-      docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int")).head().getInt(0))
+    // threshold parameter is a literal int). max(len) is NULL on an empty
+    // slice — cap 0 then; every downstream join is empty anyway, so the
+    // result is the correctly-typed empty frame, not an NPE.
+    val capRow = docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int")).head()
+    val cap = if (capRow.isNullAt(0)) 0 else math.min(maxDist, capRow.getInt(0))
     a.crossJoin(broadcast(b))
       .filter(col("doc_a") < col("doc_b"))
       // exact prefilter, not an approximation: |la−lb| ≤ lev always, so a
@@ -468,8 +470,9 @@ object Dedup {
     val cand = bandedCandidates(sig)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val cap = math.min(maxDist,
-      docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int")).head().getInt(0))
+    // same empty-corpus guard as the bounded baseline above
+    val capRow = docs.agg(ceil(max(col("len")) * lit(relThreshold)).cast("int")).head()
+    val cap = if (capRow.isNullAt(0)) 0 else math.min(maxDist, capRow.getInt(0))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb")), Seq("doc_b"))

@@ -31,8 +31,25 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] final class SessionCache[K, V](
     release: V => Unit = (_: V) => ()) {
-  private val map =
-    new ConcurrentHashMap[(String, K), (WeakReference[SparkSession], V)]()
+
+  /** Value cell. `computeIfAbsent` inserts this cheaply; the build runs on
+    * first [[force]] OUTSIDE the map's bin lock. CHM's mapping functions
+    * must be short and non-reentrant — a full Spark corpus build inside one
+    * would serialize unrelated keys that collide on the bin for the whole
+    * build and deadlock any recursive compute into the same cache. `lazy
+    * val` gives per-cell synchronization instead: concurrent callers of the
+    * SAME key block on the cell; a failed build leaves the lazy val
+    * uninitialized, so the next caller retries. */
+  private final class Cell(s: SparkSession, f: () => V) {
+    val session = new WeakReference(s)
+    @volatile private var computed = false
+    lazy val force: V = { val v = f(); computed = true; v }
+    /** The value iff a build ever completed — eviction/release paths must
+      * not run a build just to tear its result down. */
+    def peek: Option[V] = if (computed) Some(force) else None
+  }
+
+  private val map = new ConcurrentHashMap[(String, K), Cell]()
 
   SessionCache.register(this)
 
@@ -55,12 +72,13 @@ private[graft] final class SessionCache[K, V](
 
   def getOrCompute(s: SparkSession, k: K)(f: => V): V = {
     sweep()
-    map.computeIfAbsent((sessionKey(s), k), _ => (new WeakReference(s), f))._2
+    map.computeIfAbsent((sessionKey(s), k), _ => new Cell(s, () => f)).force
   }
 
-  /** Drop one entry; returns the evicted value so callers can unpersist. */
+  /** Drop one entry; returns the evicted value (if ever built) so callers
+    * can unpersist. */
   def remove(s: SparkSession, k: K): Option[V] =
-    Option(map.remove((sessionKey(s), k))).map(_._2)
+    Option(map.remove((sessionKey(s), k))).flatMap(_.peek)
 
   /** Drop every entry of this session whose key matches; returns the
     * evicted values (invalidation hook for corpus replacement). */
@@ -71,7 +89,7 @@ private[graft] final class SessionCache[K, V](
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 == sk && pred(e.getKey._2)) {
-        out += e.getValue._2
+        out ++= e.getValue.peek
         it.remove()
       }
     }
@@ -87,7 +105,7 @@ private[graft] final class SessionCache[K, V](
     while (it.hasNext) {
       val e = it.next()
       if (pred(e.getKey._2)) {
-        out += e.getValue._2
+        out ++= e.getValue.peek
         it.remove()
       }
     }
@@ -97,7 +115,7 @@ private[graft] final class SessionCache[K, V](
   private def sweep(): Unit = {
     val it = map.entrySet().iterator()
     while (it.hasNext) {
-      val sess = it.next().getValue._1.get()
+      val sess = it.next().getValue.session.get()
       if (sess == null || sess.sparkContext.isStopped) it.remove()
     }
   }
