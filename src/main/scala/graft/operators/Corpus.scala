@@ -501,12 +501,48 @@ object Corpus {
       }
   }
 
-  /** Registered (rows-only — bin layout is partition-deterministic but not
-    * SQL-expressible; invariants pinned in CorpusSpec): per-bin occupancy. */
+  /** Registered (rows-only companion kept for inspection): per-bin
+    * occupancy of the 512-token packing. */
   def packQuery(s: SparkSession, d: String): DataFrame =
     packSequences(Tables.documents(s, d), budget = 512).toDF()
       .groupBy(col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+
+  /** [[packSequences]] promoted to a bound oracle (round-7 VERDICT ask #4):
+    * bin ids encode Spark's hash partitioning, so the layout itself is not
+    * SQL-expressible — the gate payload is the layout's conservation laws
+    * instead, each exactly recomputable or deterministically pinnable by
+    * the oracle: doc/token totals (DuckDB recomputes
+    * [[TextAnalysis.tokenCount]] verbatim), conservation (every doc packed
+    * exactly once, token mass preserved through packing), no-overflow (a
+    * bin exceeds the budget only as a single oversized doc — the next-fit
+    * contract), and the bin-count bounds (≥ the token-volume lower bound
+    * ⌈Σn/B⌉ since no bin can hold more than B except singletons — which
+    * hold ≥B themselves — and ≤ one bin per doc). Per-bin layout stays
+    * pinned by CorpusSpec. */
+  def packGate(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    val bins = packSequences(Tables.documents(s, d), budget).toDF()
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("bin_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    val packedAgg = bins.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("bin_docs")).as("docs_packed"),
+      sum(col("bin_tokens")).as("tokens_packed"),
+      sum(when(col("bin_tokens") > budget && col("bin_docs") > 1, 1L)
+        .otherwise(0L)).as("overflow_bins"))
+    val raw = Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"))
+    packedAgg.crossJoin(broadcast(raw)).select(
+      col("n_docs"),
+      col("total_tokens"),
+      (col("docs_packed") === col("n_docs") &&
+        col("tokens_packed") === col("total_tokens")).cast("int")
+        .as("conservation_ok"),
+      (col("overflow_bins") === 0).cast("int").as("no_overflow"),
+      (col("n_bins") >= ceil(col("total_tokens") / lit(budget.toDouble)) &&
+        col("n_bins") <= col("n_docs")).cast("int").as("bins_in_bound"))
+  }
 
   // ------------------------------------------------------- Sharded export
 

@@ -483,6 +483,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("lev"))
   }
 
+  /** [[editDistanceNearDups]] in the driver-checkable bound form (the
+    * minhash-recall promotion pattern, round-7 VERDICT ask #4). The scale
+    * path's emitted SET is banding-dependent (not SQL-recomputable), so the
+    * payload is the exact side plus flags: the true pair count and lev
+    * checksum on the bounded slice (doc_id < `sliceMax` — DuckDB recomputes
+    * both with its unbanded levenshtein, the `q_edit_distance` oracle
+    * shape) and two in-bound flags the oracle pins at 1 — precision (every
+    * scale-path pair inside the slice appears in the exact baseline WITH
+    * the same distance; the banded DP is exact on admitted pairs, so any
+    * mismatch is a wiring bug) and recall (matched ≥ `recallBound` of the
+    * slice's true pairs; DedupSpec measures ≥0.9 — tiny-edit pairs share
+    * nearly all shingles — so 0.75 holds with slack). */
+  def editDistanceScaleBound(s: SparkSession, d: String, sliceMax: Long = 300,
+                             recallBound: Double = 0.75): DataFrame = {
+    val truePairs = editDistancePairs(s, d, maxDocId = sliceMax)
+    val scaleSlice = editDistanceNearDups(s, d)
+      .filter(col("doc_a") < sliceMax && col("doc_b") < sliceMax)
+      .withColumnRenamed("lev", "lev_sc")
+    // coalesce(…, 0): an empty join (a slice with no true pairs — the
+    // sf0.1 generation plants its near-dups outside doc_id<300) must
+    // degrade to the oracle's zeros-and-ones row, not an all-NULL sum row
+    truePairs.join(scaleSlice, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("lev").isNotNull, 1L).otherwise(0L)), lit(0L)).as("nt"),
+        coalesce(sum(when(col("lev").isNotNull, col("lev").cast("long"))
+          .otherwise(0L)), lit(0L)).as("ls"),
+        coalesce(sum(when(col("lev_sc").isNotNull &&
+          (col("lev").isNull || col("lev") =!= col("lev_sc")), 1L)
+          .otherwise(0L)), lit(0L)).as("bad"),
+        coalesce(sum(when(col("lev").isNotNull && col("lev") === col("lev_sc"), 1L)
+          .otherwise(0L)), lit(0L)).as("matched"))
+      .select(
+        col("nt").as("n_true_slice"),
+        col("ls").as("lev_sum_slice"),
+        (col("bad") === 0).cast("int").as("precision_ok"),
+        (col("matched") >= ceil(col("nt") * lit(recallBound))).cast("int")
+          .as("recall_ok"))
+  }
+
   /** [[minhashCandidateRecall]] in the driver-checkable bound form (the
     * `q_ann_recall` pattern): the exact side — tier membership and true-pair
     * counts from the full-precision shingle join — is recomputed verbatim by
