@@ -262,6 +262,7 @@ object SparkEntry {
     // results via Structured Streaming (AvailableNow), hash-compared
     // against the one-batch SQL equivalent — exactly-once, driver-checked
     "q_stream_enrich" -> (streaming.EnrichStream.enrichedBatch _),
+    "q_stream_interval_join" -> (streaming.EventsStream.intervalJoinOuterGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -766,6 +767,21 @@ object SparkEntry {
         |len(regexp_extract_all(lower(concat_ws('. ', source, text)), '\b(fast|good|great)\b')) AS p,
         |len(regexp_extract_all(lower(concat_ws('. ', source, text)), '\b(slow|bad|poor)\b')) AS n
         |FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+    // LEFT OUTER stream-stream interval join, drained with a sentinel
+    // closing the watermark tail: the streamed result must equal this full
+    // batch left join — a row held past the sentinel horizon, emitted
+    // twice, or null-padded despite a match all change the hash
+    "q_stream_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        |FROM events WHERE event_type = 'view')
+        |SELECT purchase_id, p.user_id, view_id,
+        |CAST(floor(epoch(p_ts)) AS BIGINT) AS p_s,
+        |CAST(floor(epoch(v_ts)) AS BIGINT) AS v_s
+        |FROM p LEFT JOIN v ON p.user_id = v.v_user
+        |AND v.v_ts <= p.p_ts
+        |AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR""".stripMargin,
     "q_sentiment_dist" ->
       """SELECT sentiment, count(*) AS n_docs FROM (
         |SELECT CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'

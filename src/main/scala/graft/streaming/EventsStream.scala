@@ -119,6 +119,83 @@ object EventsStream {
       .select(col("purchase_id"), col("user_id"), col("view_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** Events staged to a streaming-source scratch dir, memoized per
+    * (session, corpus dir) with a delete-on-release callback (the
+    * [[EnrichStream]] silver-stage contract): range-partitioned by time so
+    * the file replay advances the watermark across micro-batches, plus one
+    * sentinel purchase/view pair at max(ts)+2h appended as a LATER file.
+    * The sentinel advances BOTH legs' watermarks past every real
+    * purchase's join window, so an AvailableNow drain of the outer join
+    * holds nothing back (the no-data flush batch emits the tail). */
+  @transient private lazy val eventsStage =
+    new graft.operators.SessionCache[String, String](
+      dir => deleteRecursively(new java.io.File(dir)))
+
+  /** Corpus-replacement invalidation hook for the staged event files. */
+  def invalidateEventsStage(d: String): Unit =
+    eventsStage.removeIfAll(_ == d)
+      .foreach(dir => deleteRecursively(new java.io.File(dir)))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  private def stageEvents(spark: SparkSession, d: String): String =
+    eventsStage.getOrCompute(spark, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-events-src").toString
+      val ev = graft.Tables.events(spark, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(dir)
+      // sentinel pair: negative ids, a user that exists on neither side of
+      // the real data, both rows at the same far-future instant so they
+      // match each other (inner emission, filtered from the payload) while
+      // pushing each leg's watermark past the real tail. Built in-plan off
+      // the 1-row max aggregate; appended after the real files so the file
+      // source replays it last.
+      val far = ev.agg((max(col("ts")) + expr("INTERVAL 2 HOURS")).as("fts"))
+      far.select(explode(array(
+        struct(lit(-1L).as("event_id"), col("fts").as("ts"),
+          lit(-999L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+        struct(lit(-2L).as("event_id"), col("fts").as("ts"),
+          lit(-999L).as("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")))).as("e"))
+        .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
+          col("e.event_type"), col("e.value"), col("e.props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      dir
+    }
+
+  /** The LEFT OUTER stream-stream interval join AS a correctness-gate
+    * query (`q_stream_interval_join` — the `q_stream_enrich` scratch-dir
+    * pattern applied to the hardest streaming semantics). With the
+    * sentinel closing the watermark tail, the drained stream must equal
+    * the full BATCH left interval join — null-padded purchases included —
+    * which is exactly what the DuckDB oracle recomputes; a row held too
+    * long, emitted twice across micro-batches, or null-padded despite a
+    * match fails the hash. Timestamps ship as epoch seconds (the
+    * `q_attribution` convention) to keep the hashed payload
+    * engine-neutral. */
+  def intervalJoinOuterGate(spark: SparkSession, d: String): DataFrame = {
+    val srcDir = stageEvents(spark, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-ssj-gate")
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    val q = runIntervalJoinOuter(spark, srcDir, outDir, ckptDir)
+    try q.awaitTermination()
+    finally q.stop()
+    val result = spark.read.parquet(outDir)
+      .filter(col("purchase_id") >= 0)
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        unix_timestamp(col("p_ts")).as("p_s"),
+        unix_timestamp(col("v_ts")).as("v_s"))
+      .localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
+  }
+
   /** Streaming LEFT OUTER interval join to a sink, AvailableNow. */
   def runIntervalJoinOuter(spark: SparkSession, srcDir: String, outDir: String,
                            checkpointDir: String): StreamingQuery =
