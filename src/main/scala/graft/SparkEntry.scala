@@ -773,9 +773,9 @@ object SparkEntry {
     // twice, or null-padded despite a match all change the hash
     "q_stream_interval_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
-        |FROM events WHERE event_type = 'purchase'),
+        |FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0),
         |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
-        |FROM events WHERE event_type = 'view')
+        |FROM events WHERE event_type = 'view' AND user_id % 10 = 0)
         |SELECT purchase_id, p.user_id, view_id,
         |CAST(floor(epoch(p_ts)) AS BIGINT) AS p_s,
         |CAST(floor(epoch(v_ts)) AS BIGINT) AS v_s

@@ -98,6 +98,12 @@ object Graph {
       // resurrect zero-in-degree nodes, and no dangling mass exists to
       // redistribute (see [[pageRankDirected]] for the general form). One
       // keyed join + one aggregate per iteration is the whole loop body.
+      // NOT a broadcast join: the persisted norm frame already carries the
+      // src partitioning from its normalization window, so this join only
+      // shuffles the |V|-row ranks side (~15k rows) — broadcasting ranks
+      // instead was measured SLOWER (5.35 s vs 4.8 s at sf0.1: five
+      // sequential driver collect+rebroadcast rounds replace five cheap
+      // exchanges and buy nothing, since the edge side never moved).
       ranks = norm
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -162,6 +168,8 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (i <- 1 to iters) {
+      // same join shape as [[pageRank]]: the persisted norm keeps its src
+      // partitioning, so only the |V|-row ranks side exchanges
       val contrib = norm
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -210,7 +218,16 @@ object Graph {
       .select(col("k").as("src"), (col("k") + 1).as("dst"), lit(1.0).as("w"))
     val hub = n.filter(col("k").between(5, 9))
       .select(col("k").as("src"), lit(0).as("dst"), lit(2.0).as("w"))
-    val ranks = pageRankDirected(chain.unionByName(hub), iters = 5)
+    // checkpointEvery = 1: each directed iteration references the previous
+    // ranks frame from TWO branches (the contribution join and the
+    // dangling-mass broadcast), so uncut lineage re-derives leaves ~3^i
+    // times — measured 22.6 s for 5 iterations on this 25-node graph with
+    // cuts disabled vs ~2 s cutting every iteration (the default
+    // every-2 cadence, one uncut doubling per pair, measured 4.0 s).
+    // Large-graph runs amortize differently (each cut materializes |V|
+    // rows); at 25 nodes the cut is the cheap side of the trade.
+    val ranks = pageRankDirected(chain.unionByName(hub), iters = 5,
+      checkpointEvery = 1)
     val mass = ranks.agg(sum(col("rank")).as("m"))
     ranks.crossJoin(broadcast(mass))
       .select(col("node").cast("int").as("node"),
