@@ -101,10 +101,7 @@ object SparkEntry {
     "q_sentiment_dist" -> ((s, d) =>
       LexiconScorer.score(Tables.documents(s, d))
         .groupBy(col("sentiment")).agg(count(lit(1)).as("n_docs"))),
-    "q_sentiment_ml" -> ((s, d) =>
-      new MlSentimentScorer(s).score(
-        Tables.documents(s, d).select(col("doc_id").cast("string").as("record_id"), col("text")))
-        .select(col("record_id"), col("sentiment"), round(col("confidence"), 4).as("confidence"))),
+    "q_sentiment_ml" -> ((s, d) => MlSentimentScorer.mlGate(s, d)),
     // -- dedup (§2.11 D1/D2) ----------------------------------------------
     "q_dedup_exact" -> (Dedup.exactDedupDocs _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -789,6 +786,19 @@ object SparkEntry {
         |SELECT len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
         |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
         |FROM documents)) GROUP BY sentiment""".stripMargin,
+    // ML-scorer promotion (the minhash-recall bound pattern): doc count and
+    // the strong-lexicon subset size are exact (same regexp arithmetic as
+    // q_sentiment_dist); the model-state facts — label vocabulary, softmax
+    // range, lexicon agreement on the strong subset — pin as flags
+    "q_sentiment_ml" ->
+      """WITH t AS (SELECT
+        |len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
+        |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
+        |FROM documents)
+        |SELECT count(*) AS n_docs,
+        |CAST(sum(CASE WHEN p - n >= 2 OR n - p >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong,
+        |CAST(1 AS INT) AS labels_ok, CAST(1 AS INT) AS conf_ok,
+        |CAST(1 AS INT) AS agree_ok FROM t""".stripMargin,
     // character-level near-dup: both engines run the identical classic
     // Levenshtein DP; the 0.25 relative threshold is exact in double and
     // decimal alike, so the compare is integer-exact. Spark's banded form
@@ -2222,6 +2232,5 @@ object SparkEntry {
     "q_near_dup_ml" -> "ML-embedding candidate path; overlap with exact pairs pinned in DedupSpec",
     "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
     "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",
-    "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec",
-    "q_sentiment_ml" -> "trained LR output; determinism + holdout accuracy pinned in SentimentSpec")
+    "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec")
 }

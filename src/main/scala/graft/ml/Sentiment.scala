@@ -121,6 +121,57 @@ object MlSentimentScorer {
       decorate(loaded.transform(docs))
     }
   }
+  /** `q_sentiment_ml` in the driver-checkable bound form (the minhash-
+    * recall promotion pattern — the last non-LSH rows-only query). Per-doc
+    * LR predictions are deterministic (hermetic fixed-seed model) but not
+    * SQL-recomputable, so the payload is: the doc count and the size of
+    * the STRONG-LEXICON subset (docs whose positive/negative marker
+    * margin is ≥ 2 — both exactly recomputed by the oracle from the same
+    * regexp arithmetic as `q_sentiment_dist`), plus three flags the
+    * oracle pins at 1 — every emitted label in the 3-label vocabulary,
+    * every confidence in the 3-class max-softmax range (1/3, 1], and
+    * model↔lexicon agreement ≥ `agreeBound` on the strong subset. The
+    * model is trained on those marker words but real documents bury them
+    * in unrelated tokens the hashed-TF LR also weighs: measured agreement
+    * 0.764 / 0.789 / 0.801 at sf0.001 / 0.01 / 0.1. The gate bound is 0.6
+    * — comfortably under every measurement yet far above what a broken
+    * model can reach (random 3-class = 0.33, any constant label ≤ 0.55 of
+    * the strong subset); SentimentSpec pins the tighter measured rate.
+    * Per-doc output stays the API surface; determinism across fits is
+    * SentimentSpec's pin. */
+  def mlGate(s: SparkSession, d: String, agreeBound: Double = 0.6): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id").cast("string").as("record_id"), col("text"))
+    val scored = new MlSentimentScorer(s).score(docs)
+      .select(col("record_id"), col("sentiment"), col("confidence"))
+    val strong = docs
+      .withColumn("p", regexp_count(lower(col("text")),
+        lit(LexiconScorer.positiveWords.mkString("\\b(", "|", ")\\b"))))
+      .withColumn("n", regexp_count(lower(col("text")),
+        lit(LexiconScorer.negativeWords.mkString("\\b(", "|", ")\\b"))))
+      .select(col("record_id"),
+        when(col("p") - col("n") >= 2, "positive")
+          .when(col("n") - col("p") >= 2, "negative").as("strong_label"))
+      .filter(col("strong_label").isNotNull)
+    scored.join(strong, Seq("record_id"), "left")
+      .agg(
+        count(lit(1)).as("nd"),
+        sum(when(col("strong_label").isNotNull, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("strong_label").isNotNull &&
+          col("sentiment") === col("strong_label"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("sentiment").isin("positive", "negative", "neutral"), 1L)
+          .otherwise(0L)).as("valid"),
+        sum(when(col("confidence") > lit(1.0 / 3 - 1e-9) &&
+          col("confidence") <= lit(1.0 + 1e-9), 1L).otherwise(0L)).as("confok"))
+      .select(
+        col("nd").as("n_docs"),
+        col("ns").as("n_strong"),
+        (col("valid") === col("nd")).cast("int").as("labels_ok"),
+        (col("confok") === col("nd")).cast("int").as("conf_ok"),
+        (col("agree") >= ceil(col("ns") * lit(agreeBound))).cast("int")
+          .as("agree_ok"))
+  }
+
   /** The fit is deterministic (fixed corpus, fixed seed), so one trained
     * model serves every scorer instance in the JVM — scoring calls don't
     * each pay the training job. */

@@ -85,4 +85,34 @@ class SentimentSpec extends SparkSpec {
     val conf = out.select("confidence").head().getDouble(0)
     assert(conf > 0.0 && conf <= 1.0)
   }
+
+  test("M1 gate: strong-lexicon agreement holds with margin above the 0.6 bound") {
+    // the q_sentiment_ml gate ships agreeBound = 0.6; this spec pins the
+    // measured rate (0.764 at sf0.001, 0.789/0.801 at sf0.01/0.1) well
+    // above it — n_strong must be > 0 or the agreement flag pins nothing.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("string").as("record_id"), col("text"))
+    val scored = new MlSentimentScorer(spark).score(docs)
+      .select(col("record_id"), col("sentiment"))
+    val strong = docs
+      .withColumn("p", regexp_count(lower(col("text")), lit("\\b(fast|good|great)\\b")))
+      .withColumn("n", regexp_count(lower(col("text")), lit("\\b(slow|bad|poor)\\b")))
+      .select(col("record_id"),
+        when(col("p") - col("n") >= 2, "positive")
+          .when(col("n") - col("p") >= 2, "negative").as("sl"))
+      .filter(col("sl").isNotNull)
+    val j = scored.join(strong, Seq("record_id")).cache()
+    val ns = j.count()
+    val agree = j.filter(col("sentiment") === col("sl")).count()
+    j.unpersist()
+    info(s"strong=$ns agree=$agree rate=${agree.toDouble / ns}")
+    assert(ns > 0, "strong subset empty — flag vacuous")
+    assert(agree.toDouble / ns >= 0.7,
+      s"measured agreement $agree/$ns fell below the documented 0.76+ envelope")
+    val row = MlSentimentScorer.mlGate(spark, sf).collect().head
+    assert(row.getAs[Int]("labels_ok") == 1)
+    assert(row.getAs[Int]("conf_ok") == 1)
+    assert(row.getAs[Int]("agree_ok") == 1,
+      s"ML/lexicon agreement $agree/$ns under the 0.6 gate bound")
+  }
 }
