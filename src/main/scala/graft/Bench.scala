@@ -124,6 +124,7 @@ object Bench {
     // (session, dir), the silver-stage contract): q_stream_interval_join
     // must time the DRAIN, not the staging write
     warm("events-stream-stage")(streaming.EventsStream.stageEvents(spark, sfDir))
+    warm("events-replay-stage")(streaming.EventsStream.stageEventsReplay(spark, sfDir))
     // the embedding covariance is a corpus build (one Gram pass): the PCA
     // bound query and any whitening consumer read the memoized model
     warm("embedding-covariance-build")(

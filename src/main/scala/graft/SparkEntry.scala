@@ -260,6 +260,9 @@ object SparkEntry {
     // against the one-batch SQL equivalent — exactly-once, driver-checked
     "q_stream_enrich" -> (streaming.EnrichStream.enrichedBatch _),
     "q_stream_interval_join" -> (streaming.EventsStream.intervalJoinOuterGate _),
+    "q_stream_window_agg" -> (streaming.EventsStream.windowedAggGate _),
+    "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
+    "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -779,6 +782,37 @@ object SparkEntry {
         |FROM p LEFT JOIN v ON p.user_id = v.v_user
         |AND v.v_ts <= p.p_ts
         |AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR""".stripMargin,
+    // drained watermarked hourly windows must equal the one-batch GROUP BY:
+    // a window emitted before it closed (partial counts), emitted twice
+    // across micro-batches, or held past the sentinel all change the hash;
+    // LONG cents keep the cross-batch accumulation order out of the payload
+    "q_stream_window_agg" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+        |event_type, count(*) AS n_events,
+        |sum(CAST(floor(value * 100) AS BIGINT)) AS total_cents
+        |FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2""".stripMargin,
+    // drained streaming session windows must equal the batch
+    // gaps-and-islands recomputation (the q_session_windows oracle over the
+    // sampled users): a session split on a sub-gap pause, merged across a
+    // >=gap pause, or emitted with a partial count all change the hash
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_s FROM events WHERE user_id % 10 = 0),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_s, user_id,
+        |count(*) AS n_events FROM s GROUP BY user_id, sid""".stripMargin,
+    // the at-least-once replay stage re-delivers half the sampled users'
+    // events; the drained dedup must reduce that to exactly the events
+    // table — a duplicate surviving either path (late-drop or state hit),
+    // or a first arrival wrongly dropped, changes the hash
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |CAST(floor(value * 100) AS BIGINT) AS cents
+        |FROM events WHERE user_id % 10 = 0""".stripMargin,
     "q_sentiment_dist" ->
       """SELECT sentiment, count(*) AS n_docs FROM (
         |SELECT CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'

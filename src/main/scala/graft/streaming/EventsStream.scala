@@ -141,20 +141,24 @@ object EventsStream {
     f.delete()
   }
 
+  /** The 10%-user slice every streaming gate streams: the gates check
+    * OPERATOR SEMANTICS (hold/emit/dedup/merge decisions), which every user
+    * exercises identically — streaming all of sf0.1 through the state store
+    * would make each drain among the most expensive queries in the suite
+    * (measured 17 s full vs ~3 s sampled on the interval join) while
+    * verifying nothing extra. Every oracle applies the same predicate. */
+  private def sampledEvents(spark: SparkSession, d: String): DataFrame =
+    graft.Tables.events(spark, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+
   private[graft] def stageEvents(spark: SparkSession, d: String): String =
     eventsStage.getOrCompute(spark, d) {
       val dir = java.nio.file.Files.createTempDirectory("graft-events-src").toString
-      // 10% user sample: the gate checks JOIN SEMANTICS (hold/emit/null-pad
-      // decisions), which every user exercises identically — streaming all
-      // of sf0.1 through the state store would make the drain the most
-      // expensive query in the suite (measured 17 s full vs ~3 s sampled)
-      // while verifying nothing extra. The oracle applies the same
-      // predicate. 4 time-range files keep multi-batch replay (watermark
-      // advances across batches) at half the state-checkpoint rounds of 8.
-      val ev = graft.Tables.events(spark, d)
-        .filter(col("user_id") % 10 === 0)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"), col("props"))
+      // 4 time-range files keep multi-batch replay (watermark advances
+      // across batches) at half the state-checkpoint rounds of 8.
+      val ev = sampledEvents(spark, d)
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dir)
       // sentinel pair: negative ids, a user that exists on neither side of
       // the real data, both rows at the same far-future instant so they
@@ -186,32 +190,150 @@ object EventsStream {
     * match fails the hash. Timestamps ship as epoch seconds (the
     * `q_attribution` convention) to keep the hashed payload
     * engine-neutral. */
-  def intervalJoinOuterGate(spark: SparkSession, d: String): DataFrame = {
-    val srcDir = stageEvents(spark, d)
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-ssj-gate")
+  def intervalJoinOuterGate(spark: SparkSession, d: String): DataFrame =
+    drainGate(spark, "graft-stream-ssj-gate") { (out, ckpt) =>
+      runIntervalJoinOuter(spark, stageEvents(spark, d), out, ckpt)
+    } { sink =>
+      sink.filter(col("purchase_id") >= 0)
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_timestamp(col("p_ts")).as("p_s"),
+          unix_timestamp(col("v_ts")).as("v_s"))
+    }
+
+  /** Shared drain harness for every streaming gate query: scratch sink +
+    * checkpoint dirs, the stream fully terminated before the sink is read
+    * back, the payload localCheckpointed off the scratch files, the
+    * scratch tree deleted. State partitioning is fixed by
+    * shuffle.partitions at query start; 32 partitions × per-operator state
+    * stores × per-batch delta files is pure checkpoint-IO overhead at the
+    * sampled volume, so the drain runs at 8 with the session conf restored
+    * in finally (the StateV2Profile conf-restore contract). */
+  private def drainGate(spark: SparkSession, prefix: String)
+                       (start: (String, String) => StreamingQuery)
+                       (payload: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
     val outDir = base.resolve("out").toString
     val ckptDir = base.resolve("ckpt").toString
-    // State partitioning is fixed by shuffle.partitions at query start;
-    // 32 partitions × 2 state stores × per-batch delta files is pure
-    // checkpoint-IO overhead at this volume. 8 is plenty for the sampled
-    // stream; restore the session conf in finally (the StateV2Profile
-    // conf-restore contract).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = runIntervalJoinOuter(spark, srcDir, outDir, ckptDir)
+      val q = start(outDir, ckptDir)
       try q.awaitTermination()
       finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val result = spark.read.parquet(outDir)
-      .filter(col("purchase_id") >= 0)
-      .select(col("purchase_id"), col("user_id"), col("view_id"),
-        unix_timestamp(col("p_ts")).as("p_s"),
-        unix_timestamp(col("v_ts")).as("v_s"))
-      .localCheckpoint(true)
+    val result = payload(spark.read.parquet(outDir)).localCheckpoint(true)
     deleteRecursively(base.toFile)
     result
   }
+
+  /** Watermarked HOURLY tumbling-window aggregation in integer cents — the
+    * gate shape of [[windowedCounts]]. Two deliberate choices make the
+    * drained stream byte-comparable to a batch GROUP BY:
+    * 1-hour windows, so the staged sentinel (max(ts)+2 h) closes EVERY
+    * real window — the last real window's end is at most ceil_hour(max ts)
+    * ≤ max+1 h, strictly under the final watermark max+90 min, while the
+    * sentinel's own window ends past it and is HELD (append mode emits a
+    * window exactly when the watermark passes its end, so the sentinel can
+    * never leak into the payload); and exact LONG cents, so the
+    * cross-micro-batch accumulation order can't move a rounded double. */
+  def windowedCents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n_events"), col("total_cents"))
+
+  /** Watermarked windowed aggregation AS a gate query
+    * (`q_stream_window_agg`): drain [[windowedCents]] over the staged
+    * files and hand back the sink. The oracle is a plain batch
+    * GROUP BY date_trunc('hour') — a window emitted before it closed
+    * (partial counts), emitted twice across micro-batches, or held past
+    * the sentinel's watermark all fail the hash. */
+  def windowedAggGate(spark: SparkSession, d: String): DataFrame =
+    drainGate(spark, "graft-stream-wagg-gate") { (out, ckpt) =>
+      windowedCents(readEvents(spark, stageEvents(spark, d)))
+        .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }(identity)
+
+  /** Streaming session windows (30-minute gap): consecutive events of a
+    * user merge while each arrives within the gap of the session's current
+    * end; a session emits when the watermark passes its end (last event +
+    * gap). The staged sentinel closes every real session — a real
+    * session's end is at most max(ts)+30 min, under the final watermark
+    * max+90 min — while the sentinel user's own session stays held; the
+    * payload filter drops it defensively anyway. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("session_s"), col("user_id"),
+        col("n_events"))
+
+  /** Streaming sessionization AS a gate query (`q_stream_sessions`): the
+    * drained session windows must equal the batch gaps-and-islands
+    * recomputation (the `q_session_windows` oracle with the sample
+    * predicate) — a session split on a sub-gap pause, merged across a
+    * ≥gap pause, or emitted with a partial count fails the hash. */
+  def sessionGate(spark: SparkSession, d: String): DataFrame =
+    drainGate(spark, "graft-stream-sess-gate") { (out, ckpt) =>
+      sessionCounts(readEvents(spark, stageEvents(spark, d)))
+        .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }(_.filter(col("user_id") >= 0))
+
+  /** Event files staged WITH an at-least-once re-delivery: the four
+    * time-range files, then the half-sample's events re-delivered as one
+    * later file — the upstream duplicate window the reference's two-commit
+    * design left open (FunctionApp2/process_data/__init__.py:96-104),
+    * reproduced at the transport layer. No sentinel: dedup emits on first
+    * arrival, nothing is held. */
+  @transient private lazy val eventsReplayStage =
+    new graft.operators.SessionCache[String, String](
+      dir => deleteRecursively(new java.io.File(dir)))
+
+  /** Corpus-replacement invalidation hook for the replay-staged files. */
+  def invalidateEventsReplayStage(d: String): Unit =
+    eventsReplayStage.removeIfAll(_ == d)
+      .foreach(dir => deleteRecursively(new java.io.File(dir)))
+
+  private[graft] def stageEventsReplay(spark: SparkSession, d: String): String =
+    eventsReplayStage.getOrCompute(spark, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-events-replay-src").toString
+      val ev = sampledEvents(spark, d)
+      ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dir)
+      // the re-delivered file replays half the sampled users' events across
+      // ALL time ranges, written after the range files so the file source
+      // sees it last: most of its rows arrive past the watermark (dropped
+      // as late BEFORE reaching the dedup state), the tail inside the
+      // watermark hits the state store — both duplicate paths exercised
+      ev.filter(col("user_id") % 20 === 0)
+        .coalesce(1).write.mode("append").parquet(dir)
+      dir
+    }
+
+  /** Streaming exactly-once dedup AS a gate query (`q_stream_dedup`):
+    * `dropDuplicatesWithinWatermark` over the replay-staged files must
+    * reduce the at-least-once transport to exactly-once rows — the oracle
+    * is simply the sampled events table (event ids are unique upstream),
+    * so a duplicate surviving EITHER path (late-drop or state hit), or a
+    * first arrival wrongly dropped, fails the hash. */
+  def dedupGate(spark: SparkSession, d: String): DataFrame =
+    drainGate(spark, "graft-stream-dedup-gate") { (out, ckpt) =>
+      readEvents(spark, stageEventsReplay(spark, d))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }(_.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        floor(col("value") * 100).cast("long").as("cents")))
 
   /** Streaming LEFT OUTER interval join to a sink, AvailableNow. */
   def runIntervalJoinOuter(spark: SparkSession, srcDir: String, outDir: String,
