@@ -118,12 +118,9 @@ object SparkEntry {
     "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceScaleBound(s, d)),
     // -- similarity search (D3) -------------------------------------------
     "q_ann_brute" -> (Similarity.annBruteForce _),
-    "q_ann_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 5)
-    }),
-    "q_ann_ivf" -> (IvfIndex.annIvf _),
-    "q_ann_ivf_q8" -> (IvfIndex.annIvfQuantized _),
+    "q_ann_lsh" -> (Similarity.annLshBound _),
+    "q_ann_ivf" -> (IvfIndex.annIvfBound _),
+    "q_ann_ivf_q8" -> (IvfIndex.annIvfQ8Bound _),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
@@ -1542,6 +1539,30 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |CAST(1 AS INT) AS ivf_in_bound, CAST(1 AS INT) AS lsh_in_bound
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // probe-quality bounds (the promotion of the three approximate ANN
+    // probes): the candidate sets are k-means / RP-hash state DuckDB cannot
+    // re-derive, so the hashed payload is the deterministic counts plus the
+    // recall / returned-volume / cosine-regret flags. Thresholds calibrated
+    // against measured values at sf0.001/0.01/0.1 (worst: ivf regret 0.068,
+    // recall 0.68) with ~2x headroom; raw top-k frames stay spec-pinned.
+    "q_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(5 * count(*) AS BIGINT) AS n_exact,
+        |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,
+        |CAST(1 AS INT) AS regret_in_bound
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_ann_ivf_q8" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(5 * count(*) AS BIGINT) AS n_exact,
+        |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,
+        |CAST(1 AS INT) AS regret_in_bound
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(5 * count(*) AS BIGINT) AS n_exact,
+        |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,
+        |CAST(1 AS INT) AS regret_in_bound
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ks_test" ->
       """WITH dd AS (SELECT n_chars, CAST(source = 'src0' AS INT) AS is_a
         |FROM documents WHERE source IN ('src0', 'src1')),
@@ -2257,9 +2278,6 @@ object SparkEntry {
     * the BOUND oracles that ARE checked (`q_ann_recall`,
     * `q_minhash_recall`) plus the named specs. */
   val intentionalNoOracle: Map[String, String] = Map(
-    "q_ann_ivf" -> "IVF cell assignment is k-means model state; recall vs exact is the oracled q_ann_recall; IvfStreamSpec",
-    "q_ann_ivf_q8" -> "int8 two-stage probe over the same model state; equality with the float probe pinned in IvfStreamSpec",
-    "q_ann_lsh" -> "RP-bucket candidates are hash state; recall bound oracled in q_ann_recall; SimilaritySpec",
     "q_cosine_near_dup_lsh" -> "bucketed candidate subset of the exact pair set; recall pinned vs exact in SimilaritySpec",
     "q_near_dup_minhash" -> "banding emits a verified SUBSET of true pairs; recall tiers oracled in q_minhash_recall; DedupSpec",
     "q_near_dup_simhash" -> "Hamming-ball candidates are signature state; agreement with exact pinned in DedupSpec",

@@ -167,4 +167,32 @@ object IvfIndex {
     val (assigned, centroids) = index(s, d)
     ivfTopK(Tables.embeddings(s, d).filter(col("vec_id") < 5), assigned, centroids, 5)
   }
+
+  /** IVF probe, bound-oracled (`q_ann_ivf`): [[ivfTopK]] over the 10-query
+    * set, collapsed by [[Similarity.probeQualityBound]] — deterministic
+    * counts plus recall / returned-volume / cosine-regret flags the oracle
+    * pins. The raw top-k frame stays pinned in IvfStreamSpec. */
+  def annIvfBound(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val (assigned, centroids) = index(s, d)
+    Similarity.probeQualityBound(
+      Similarity.bruteForceTopK(q, emb, 5),
+      ivfTopK(q, assigned, centroids, 5),
+      minRecall = 0.6, maxRegret = 0.12, minReturnedFrac = 1.0)
+  }
+
+  /** Quantized two-stage IVF probe, bound-oracled (`q_ann_ivf_q8`): the
+    * int8 retrieve-then-rerank path held to the same exact-cosine regret
+    * standard as the float probe — quantization error that survives the
+    * rerank stage shows up directly in the regret flag. */
+  def annIvfQ8Bound(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val (assigned, centroids) = index(s, d)
+    Similarity.probeQualityBound(
+      Similarity.bruteForceTopK(q, emb, 5),
+      ivfTopKQuantized(q, assigned, centroids, 5),
+      minRecall = 0.6, maxRegret = 0.12, minReturnedFrac = 1.0)
+  }
 }

@@ -68,6 +68,76 @@ object Similarity {
         (col("n_lsh") / col("n_exact") >= minRecall).cast("int").as("lsh_in_bound"))
   }
 
+  /** Probe-quality bound — the promotion shape for the approximate ANN
+    * probe queries (the `q_ann_recall` / `q_minhash_recall` in-bound-flag
+    * pattern). A probe's candidate SET is hash/model state DuckDB cannot
+    * re-derive, so the gate payload collapses it into counts the oracle
+    * recomputes exactly plus three flags it pins:
+    *  - recall@k vs the exact baseline (the set metric `q_ann_recall`
+    *    established);
+    *  - returned volume (a probe quietly returning 2 of 5 neighbors must
+    *    red the row even if the 2 are correct);
+    *  - COSINE REGRET — the worst per-query loss in summed EXACT cosine vs
+    *    the exact top-k. Regret is the metric recall can't see: recall
+    *    counts set membership, regret prices the substitutes — a probe
+    *    that misses 2 of 5 but returns the 6th/7th-best costs ~nothing,
+    *    one that fills with unrelated vectors reds the flag. A probe
+    *    returning fewer than k rows pays each missing neighbor's full
+    *    cosine as regret, so the flags reinforce each other.
+    * Both frames carry EXACT cosines (the probes rescore candidates with
+    * the same float math as brute force), so regret needs no approximate
+    * arithmetic; probe ⊆ candidates ⇒ regret ≥ 0 up to the shared 4dp
+    * rounding. */
+  private[graft] def probeQualityBound(brute: DataFrame, probe: DataFrame,
+      minRecall: Double, maxRegret: Double,
+      minReturnedFrac: Double): DataFrame = {
+    val bs = brute.groupBy(col("query_id"))
+      .agg(sum(col("cos")).as("b_sum"), count(lit(1)).as("nb"))
+    val ps = probe.groupBy(col("query_id"))
+      .agg(sum(col("cos")).as("p_sum"), count(lit(1)).as("np"))
+    val hits = brute.select(col("query_id"), col("cand_id"))
+      .join(probe.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("nhit"))
+    bs.join(ps, Seq("query_id"), "left").join(hits, Seq("query_id"), "left")
+      .select(col("b_sum"), col("nb"),
+        coalesce(col("p_sum"), lit(0.0)).as("p_sum"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nhit"), lit(0L)).as("nhit"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("nb")).as("n_exact"),
+        (sum(col("nhit")) / sum(col("nb")) >= minRecall).cast("int").as("recall_in_bound"),
+        (sum(col("np")) >= sum(col("nb")) * minReturnedFrac).cast("int").as("returned_in_bound"),
+        (max((col("b_sum") - col("p_sum")) / col("nb")) <= maxRegret).cast("int").as("regret_in_bound"))
+  }
+
+  /** Measurement sibling of [[probeQualityBound]] (dev/spec use): the raw
+    * per-probe aggregates the flag thresholds are calibrated against. */
+  private[graft] def probeQualityMeasured(brute: DataFrame, probe: DataFrame): DataFrame = {
+    val bs = brute.groupBy(col("query_id"))
+      .agg(sum(col("cos")).as("b_sum"), count(lit(1)).as("nb"))
+    val ps = probe.groupBy(col("query_id"))
+      .agg(sum(col("cos")).as("p_sum"), count(lit(1)).as("np"))
+    val hits = brute.select(col("query_id"), col("cand_id"))
+      .join(probe.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("nhit"))
+    bs.join(ps, Seq("query_id"), "left").join(hits, Seq("query_id"), "left")
+      .agg(
+        (sum(col("nhit")) / sum(col("nb"))).as("recall"),
+        (sum(coalesce(col("np"), lit(0L))) / sum(col("nb"))).as("returned_frac"),
+        max((col("b_sum") - coalesce(col("p_sum"), lit(0.0))) / col("nb")).as("max_regret"))
+  }
+
+  /** Sign-LSH probe, bound-oracled (`q_ann_lsh`): [[lshTopK]] over the
+    * 10-query set, collapsed by [[probeQualityBound]]. The raw top-k frame
+    * stays pinned in SimilaritySpec. */
+  def annLshBound(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    probeQualityBound(bruteForceTopK(q, emb, 5), lshTopK(q, emb, 5),
+      minRecall = 0.6, maxRegret = 0.08, minReturnedFrac = 0.8)
+  }
+
   /** D3 as a registered query: exact top-5 neighbors for the first 5 vectors. */
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch calibration main (test scope): prints the raw probe-quality
+  * aggregates the q_ann_* bound thresholds are pinned against. */
+object MeasureAnnMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(spark, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = operators.Similarity.bruteForceTopK(q, emb, 5)
+      val (assigned, centroids) = operators.IvfIndex.index(spark, d)
+      val ivf = operators.IvfIndex.ivfTopK(q, assigned, centroids, 5)
+      val q8 = operators.IvfIndex.ivfTopKQuantized(q, assigned, centroids, 5)
+      val lsh = operators.Similarity.lshTopK(q, emb, 5)
+      for ((name, probe) <- Seq("ivf" -> ivf, "q8" -> q8, "lsh" -> lsh)) {
+        val r = operators.Similarity.probeQualityMeasured(brute, probe).head()
+        println(f"$sf $name recall=${r.getDouble(0)}%.3f returned=${r.getDouble(1)}%.3f max_regret=${r.getDouble(2)}%.5f")
+      }
+    }
+    spark.stop()
+  }
+}

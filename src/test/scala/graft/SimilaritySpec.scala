@@ -41,6 +41,46 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(recall >= 0.6, s"LSH recall was $recall")
   }
 
+  test("probe-quality bounds: all flags green, and each flag actually bites") {
+    // the three promoted gate payloads must be all-green on real data …
+    for ((name, bound) <- Seq(
+        "ivf" -> operators.IvfIndex.annIvfBound(spark, sf),
+        "q8" -> operators.IvfIndex.annIvfQ8Bound(spark, sf),
+        "lsh" -> Similarity.annLshBound(spark, sf))) {
+      val r = bound.head()
+      assert(r.getAs[Long]("n_queries") === 10L, s"$name n_queries")
+      assert(r.getAs[Long]("n_exact") === 50L, s"$name n_exact")
+      assert(r.getAs[Int]("recall_in_bound") === 1, s"$name recall flag")
+      assert(r.getAs[Int]("returned_in_bound") === 1, s"$name returned flag")
+      assert(r.getAs[Int]("regret_in_bound") === 1, s"$name regret flag")
+    }
+    // … and a deliberately broken probe must trip them: feeding the WORST
+    // 5 candidates as the "probe" maximizes regret and zeroes recall
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+    val worst = {
+      import org.apache.spark.sql.expressions.Window
+      val qq = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        graft.functions.VectorFunctions.vecNorm(col("embedding")).as("q_norm"))
+      val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        graft.functions.VectorFunctions.vecNorm(col("embedding")).as("c_norm"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").asc, col("cand_id").asc)
+      c.crossJoin(broadcast(qq)).filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos", try_divide(
+          graft.functions.VectorFunctions.vecDot(col("q_emb"), col("c_emb")),
+          col("q_norm") * col("c_norm")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    }
+    val tripped = Similarity.probeQualityBound(brute, worst,
+      minRecall = 0.6, maxRegret = 0.12, minReturnedFrac = 1.0).head()
+    assert(tripped.getAs[Int]("recall_in_bound") === 0, "worst-probe recall must trip")
+    assert(tripped.getAs[Int]("regret_in_bound") === 0, "worst-probe regret must trip")
+    assert(tripped.getAs[Int]("returned_in_bound") === 1, "volume alone stays green")
+  }
+
   test("LSH signatures are deterministic (seeded hyperplanes)") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val r1 = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 3).collect()
