@@ -260,6 +260,7 @@ object SparkEntry {
     "q_stream_window_agg" -> (streaming.EventsStream.windowedAggGate _),
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
     "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
+    "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -810,6 +811,26 @@ object SparkEntry {
         |CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
         |CAST(floor(value * 100) AS BIGINT) AS cents
         |FROM events WHERE user_id % 10 = 0""".stripMargin,
+    // the transformWithState v2 profiles, reduced to final state per user:
+    // the oracle recomputes all three state families (running count,
+    // purchase-cents total, newest-5 purchase list by event id) from the
+    // events table; the list ships as a comma-joined string so the payload
+    // stays engine-neutral
+    "q_stream_profile" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT user_id, count(*) AS n_events,
+        |COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS purchase_cents
+        |FROM e GROUP BY user_id),
+        |p AS (SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+        |row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id,
+        |string_agg(CAST(cents AS VARCHAR), ',' ORDER BY event_id ASC) AS recent
+        |FROM p WHERE rn <= 5 GROUP BY user_id)
+        |SELECT c.user_id, c.n_events, c.purchase_cents,
+        |COALESCE(r.recent, '') AS recent
+        |FROM c LEFT JOIN r USING (user_id)""".stripMargin,
     "q_sentiment_dist" ->
       """SELECT sentiment, count(*) AS n_docs FROM (
         |SELECT CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'

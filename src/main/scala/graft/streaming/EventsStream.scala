@@ -208,7 +208,7 @@ object EventsStream {
     * stores × per-batch delta files is pure checkpoint-IO overhead at the
     * sampled volume, so the drain runs at 8 with the session conf restored
     * in finally (the StateV2Profile conf-restore contract). */
-  private def drainGate(spark: SparkSession, prefix: String)
+  private[streaming] def drainGate(spark: SparkSession, prefix: String)
                        (start: (String, String) => StreamingQuery)
                        (payload: DataFrame => DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming._
 
@@ -68,6 +68,32 @@ object StateV2Profile {
       Iterator(Profile(user, now.n_events, now.purchase_cents, kept.map(_._2)))
     }
   }
+
+  /** The v2 arbitrary-state profiles AS a correctness-gate query
+    * (`q_stream_profile`): drain [[runProfiles]] over the staged event
+    * files and reduce the Update-mode sink to FINAL state per user.
+    * Update mode emits one profile per touched user per micro-batch and
+    * `n_events` strictly increases on every touch, so the max-`n_events`
+    * row per user is the final state — a pure function of the event SET,
+    * independent of file delivery order or micro-batch slicing (the
+    * processor keeps the ordering key in state for the same reason). The
+    * DuckDB oracle recomputes all three state families from the events
+    * table: running counts, purchase-cents totals, and the newest-K
+    * purchase list shipped as a comma-joined string (engine-neutral; the
+    * array type itself stays spec-pinned). A counter updated twice for
+    * one row, a list slot double-occupied by a redelivered id, or state
+    * lost between micro-batches all change the hash. */
+  def profileGate(spark: SparkSession, d: String): DataFrame =
+    EventsStream.drainGate(spark, "graft-stream-prof-gate") { (out, ckpt) =>
+      runProfiles(spark, EventsStream.stageEvents(spark, d), out, ckpt)
+    } { sink =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1 && col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("purchase_cents"),
+          concat_ws(",", col("recent_purchases")).as("recent"))
+    }
 
   /** Streaming per-user profiles over the events dir; AvailableNow drains
     * the source, RocksDB holds the column-family state. */

@@ -273,6 +273,31 @@ class StreamingSpec extends SparkSpec {
       "replay stage planted no duplicates")
   }
 
+  test("v2 profile gate: final drained state equals the batch recomputation") {
+    val gate = streaming.StateV2Profile.profileGate(spark, sf)
+    val e = Tables.events(spark, sf).filter(col("user_id") % 10 === 0)
+    val counts = e.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long"))), lit(0L)).as("purchase_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val recent = e.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= streaming.StateV2Profile.RecentK)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        struct(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))))
+        .getField("cents")).as("recent"))
+    val batch = counts.join(recent, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("purchase_cents"),
+        coalesce(col("recent"), lit("")).as("recent"))
+    assert(gate.except(batch).isEmpty && batch.except(gate).isEmpty,
+      "drained v2 state differs from the batch recomputation")
+    assert(gate.filter(col("user_id") < 0).isEmpty, "sentinel user leaked")
+    assert(gate.count() === e.select("user_id").distinct().count(),
+      "a user's final state is missing or duplicated")
+  }
+
   test("watermark drops late data: a row older than the watermark never lands") {
     import spark.implicits._
     def ev(id: Long, hour: Double, typ: String) =
