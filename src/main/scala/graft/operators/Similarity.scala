@@ -287,6 +287,41 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** The bucketed cosine near-dup path, bound-oracled (`q_cosine_near_dup_lsh`
+    * promotion — the probe-quality-bound pattern applied to the pair
+    * family). The RP-bucket candidate set is hash state, so the payload
+    * collapses it against the EXACT bounded slice (`vec_id < 500`, the
+    * `q_cosine_near_dup` baseline DuckDB recomputes with
+    * list_cosine_similarity):
+    *  - `n_true_slice` — the exact slice pair count, recomputed by the
+    *    oracle (238–271 pairs at every test SF, so the bound always has
+    *    teeth);
+    *  - slice recall ≥ 0.7 (measured 0.92–0.97 across SFs — banding that
+    *    starts dropping planted near-dups reds the flag well before the
+    *    spec's 0.6 envelope);
+    *  - precision — every emitted pair's exact cosine clears the
+    *    threshold (4dp-rounding guard at 0.3499). True by construction of
+    *    the verify stage; the flag pins that the stage stays in the plan.
+    * The raw pair frame stays spec-pinned in SimilaritySpec. */
+  def cosineNearDupLshBound(s: SparkSession, d: String, threshold: Double = 0.35,
+                            sliceMax: Long = 500,
+                            minSliceRecall: Double = 0.7): DataFrame =
+    pairSetBound(cosineNearDupsBucketed(s, d, threshold),
+      cosineNearDups(s, d, threshold, sliceMax), threshold, minSliceRecall)
+
+  private[graft] def pairSetBound(lsh: DataFrame, exact: DataFrame,
+                                  threshold: Double, minSliceRecall: Double): DataFrame = {
+    val truthPairs = exact.select(col("vec_a"), col("vec_b"))
+    val truth = truthPairs.agg(count(lit(1)).as("n_true_slice"))
+    val hits = truthPairs.join(lsh.select(col("vec_a"), col("vec_b")), Seq("vec_a", "vec_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val props = lsh.agg(coalesce(min(col("cos")), lit(1.0)).as("min_cos"))
+    truth.crossJoin(hits).crossJoin(props).select(
+      col("n_true_slice"),
+      (col("n_hit") >= col("n_true_slice") * minSliceRecall).cast("int").as("slice_recall_in_bound"),
+      (col("min_cos") >= threshold - 0.0001).cast("int").as("precision_ok"))
+  }
+
   /** Symmetric int8 quantization of embeddings: per-vector scale =
     * max|x|/127, q = round(x/scale) — a 4× storage/shuffle-volume cut for
     * the ANN candidate stages (verify still reads the float vectors).

@@ -81,6 +81,25 @@ class SimilaritySpec extends SparkSpec with org.scalactic.Tolerance {
     assert(tripped.getAs[Int]("returned_in_bound") === 1, "volume alone stays green")
   }
 
+  test("cosine near-dup LSH bound: flags green on real data, trip when decimated") {
+    val bound = Similarity.cosineNearDupLshBound(spark, sf).head()
+    val exactN = Similarity.cosineNearDups(spark, sf).count()
+    assert(bound.getAs[Long]("n_true_slice") === exactN, "slice truth count")
+    assert(exactN > 0, "empty slice truth — the bound verifies nothing")
+    assert(bound.getAs[Int]("slice_recall_in_bound") === 1)
+    assert(bound.getAs[Int]("precision_ok") === 1)
+    // a decimated pair set (~1/7 kept) must trip the recall flag; a pair
+    // frame with a sub-threshold cosine must trip precision
+    val lsh = Similarity.cosineNearDupsBucketed(spark, sf)
+    val exact = Similarity.cosineNearDups(spark, sf)
+    val thinned = Similarity.pairSetBound(
+      lsh.filter(col("vec_a") % 7 === 0), exact, 0.35, 0.7).head()
+    assert(thinned.getAs[Int]("slice_recall_in_bound") === 0, "decimation must trip recall")
+    val polluted = Similarity.pairSetBound(
+      lsh.withColumn("cos", col("cos") - 0.2), exact, 0.35, 0.7).head()
+    assert(polluted.getAs[Int]("precision_ok") === 0, "sub-threshold cos must trip precision")
+  }
+
   test("LSH signatures are deterministic (seeded hyperplanes)") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val r1 = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 3).collect()
