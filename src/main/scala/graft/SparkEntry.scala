@@ -216,7 +216,7 @@ object SparkEntry {
           round(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 4)
             .as("feature_sum"))),
     // -- round 5: graph, attribution, robust stats, split/vocab audits ----
-    "q_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "q_pagerank" -> (Graph.pageRankGate _),
     "q_pagerank_directed" -> (Graph.pageRankDirectedGate _),
     "q_attribution" -> (Relational.lastTouchAttribution _),
     "q_winsorize" -> (Relational.winsorizedStats _),

@@ -212,7 +212,34 @@ object Graph {
     * integer ppm. `mass_ok` pins Σrank = 1 (the property the dangling
     * correction exists to preserve) as an in-bound flag the oracle fixes
     * at 1. */
+  /** `q_pagerank` gate wrapper: every iteration exchange moves the |V|-row
+    * ranks frame (~15k rows at sf0.1), so the gate executes the loop under
+    * state-sized shuffle partitions (8, the drainGate convention) and
+    * materializes before restoring the session conf — measured 4.4 s →
+    * 2.9 s warm at sf0.1 against the session default 32 (the win is task
+    * launch + exchange setup across 5 chained iterations, not data). The
+    * same |V|-proportional sizing a production convergence run applies via
+    * AQE advisory sizing; ranks are identical at any partitioning
+    * (PartitionInvarianceSpec). */
+  def pageRankGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try pageRank(s, d).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def pageRankDirectedGate(s: SparkSession, d: String): DataFrame = {
+    // state-sized shuffle partitions for the 25-node loop (the
+    // [[pageRankGate]] sizing, measured 3.7-6.3 s @32 vs 2.5-2.7 s @8 at
+    // sf0.1): the per-iteration cuts execute inside this scope, so the
+    // conf applies to them as well as the final assembly
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try pageRankDirectedGateBody(s, d).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def pageRankDirectedGateBody(s: SparkSession, d: String): DataFrame = {
     val n = Tables.nation(s, d).select(col("n_nationkey").cast("int").as("k"))
     val chain = n.filter(col("k") < 24)
       .select(col("k").as("src"), (col("k") + 1).as("dst"), lit(1.0).as("w"))
