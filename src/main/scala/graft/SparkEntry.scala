@@ -261,6 +261,7 @@ object SparkEntry {
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
     "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
     "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
+    "q_stream_upsert" -> (streaming.UpsertStream.upsertGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -831,6 +832,18 @@ object SparkEntry {
         |SELECT c.user_id, c.n_events, c.purchase_cents,
         |COALESCE(r.recent, '') AS recent
         |FROM c LEFT JOIN r USING (user_id)""".stripMargin,
+    // the versioned foreachBatch MERGE: final snapshot must equal the batch
+    // keep-latest per user (ts desc, event_id tie-break) over the sampled
+    // events — a double-applied batch, a redelivered event beating a newer
+    // one, or a lost user all change the hash
+    "q_stream_upsert" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type,
+        |CAST(floor(value * 100) AS BIGINT) AS cents,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events WHERE user_id % 10 = 0)
+        |SELECT user_id, event_id AS last_event_id,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, cents
+        |FROM e WHERE rn = 1""".stripMargin,
     "q_sentiment_dist" ->
       """SELECT sentiment, count(*) AS n_docs FROM (
         |SELECT CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'

@@ -298,6 +298,34 @@ class StreamingSpec extends SparkSpec {
       "a user's final state is missing or duplicated")
   }
 
+  test("upsert gate: versioned merge equals batch keep-latest; restart is idempotent") {
+    val gate = streaming.UpsertStream.upsertGate(spark, sf)
+    val e = Tables.events(spark, sf).filter(col("user_id") % 10 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val batch = e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    assert(gate.except(batch).isEmpty && batch.except(gate).isEmpty,
+      "streaming upsert snapshot differs from batch keep-latest")
+    assert(gate.count() === e.select("user_id").distinct().count())
+    // restart with the same checkpoint: versions already exist, the drained
+    // stream must not re-apply anything
+    val src = streaming.EventsStream.stageEventsReplay(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-restart")
+    val state = base.resolve("state").toString
+    val ckpt = base.resolve("ckpt").toString
+    streaming.UpsertStream.runUpsert(spark, src, state, ckpt).awaitTermination(120000)
+    val versions = new java.io.File(state).listFiles().map(_.getName).sorted.toSeq
+    val snap1 = spark.read.parquet(s"$state/${versions.last}").collect().toSet
+    streaming.UpsertStream.runUpsert(spark, src, state, ckpt).awaitTermination(120000)
+    val versionsAfter = new java.io.File(state).listFiles().map(_.getName).sorted.toSeq
+    assert(versionsAfter === versions, "restart created new state versions")
+    assert(spark.read.parquet(s"$state/${versionsAfter.last}").collect().toSet === snap1,
+      "restart changed the final snapshot")
+  }
+
   test("watermark drops late data: a row older than the watermark never lands") {
     import spark.implicits._
     def ev(id: Long, hour: Double, typ: String) =
