@@ -107,7 +107,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_repeated_passages" -> ((s, d) => Dedup.repeatedPassageStats(s, d)),
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
-    "q_near_dup_minhash" -> ((s, d) => Dedup.nearDupPairs(s, d, 0.2)),
+    "q_near_dup_minhash" -> (Dedup.minhashProductionRecallBound _),
     "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
     "q_dedup_clusters_lsh" -> (Dedup.nearDupClusterSummaryLsh _),
     "q_dedup_canonical_lsh" -> (Dedup.canonicalPerClusterLsh _),
@@ -2027,6 +2027,17 @@ object SparkEntry {
     // simhash / Spark-ML path promotions: same slice-truth arithmetic, the
     // payload is the J>=0.5 truth count plus the path's recall flag
     // (simhash >=0.75 measured 0.92-1.0; ml >=0.9 measured 1.0)
+    "q_near_dup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 500),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+        |len(a.grams) AS na, len(b.grams) AS nb
+        |FROM g a, g b WHERE a.doc_id < b.doc_id)
+        |SELECT count(*) AS n_true_high, CAST(1 AS INT) AS recall_in_bound
+        |FROM p WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5""".stripMargin,
     "q_near_dup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |FROM documents WHERE doc_id < 500),
@@ -2346,7 +2357,6 @@ object SparkEntry {
     * the BOUND oracles that ARE checked (`q_ann_recall`,
     * `q_minhash_recall`) plus the named specs. */
   val intentionalNoOracle: Map[String, String] = Map(
-    "q_near_dup_minhash" -> "banding emits a verified SUBSET of true pairs; recall tiers oracled in q_minhash_recall; DedupSpec",
     "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
     "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",
     "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec")

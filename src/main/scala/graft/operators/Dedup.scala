@@ -562,6 +562,18 @@ object Dedup {
       (col("n_hit") >= col("n_true_high") * minRecall).cast("int").as("recall_in_bound"))
   }
 
+  /** PRODUCTION minhash pipeline, bound-oracled (`q_near_dup_minhash`
+    * promotion): [[nearDupPairs]] — the full-corpus memoized
+    * shingle/signature artifacts, banding, exact-Jaccard verify at 0.2 —
+    * held to the high-Jaccard slice truth. Complements `q_minhash_recall`,
+    * which REBUILDS the pipeline on the slice to measure banding in
+    * isolation: this flag runs the artifact-cached production path
+    * end-to-end, so a stale memoized artifact, a banding regression, or a
+    * verify-stage bug all red the same row a user's dedup run reads. */
+  def minhashProductionRecallBound(s: SparkSession, d: String): DataFrame =
+    recallBoundVsHighJaccard(s, d,
+      nearDupPairs(s, d, 0.2).select(col("doc_a"), col("doc_b")), minRecall = 0.5)
+
   /** SimHash path, bound-oracled (`q_near_dup_simhash` promotion): the
     * 16-bit-block candidates at Hamming ≤ 8 must recover ≥ 75% of the
     * high-Jaccard slice truth (measured 0.92–1.0 across SFs — a tiny edit

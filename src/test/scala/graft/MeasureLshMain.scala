@@ -46,7 +46,8 @@ object MeasureLshMain {
       val tN = truth.count()
       for ((nm, pairs) <- Seq(
           "simhash8" -> operators.Dedup.simhashNearDups(spark, d, 8).select("doc_a", "doc_b"),
-          "ml" -> operators.Dedup.mlNearDupPairs(spark, d).select("doc_a", "doc_b"))) {
+          "ml" -> operators.Dedup.mlNearDupPairs(spark, d).select("doc_a", "doc_b"),
+          "prod-minhash" -> operators.Dedup.nearDupPairs(spark, d, 0.2).select("doc_a", "doc_b"))) {
         val h = truth.join(pairs.filter(col("doc_a") < 500 && col("doc_b") < 500), Seq("doc_a", "doc_b")).count()
         println(f"$sf $nm vs J>=0.5 slice: true=$tN hit=$h recall=${if (tN > 0) h.toDouble / tN else 1.0}%.3f")
       }
