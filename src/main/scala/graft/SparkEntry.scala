@@ -262,6 +262,7 @@ object SparkEntry {
     "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
     "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
     "q_stream_upsert" -> (streaming.UpsertStream.upsertGate _),
+    "q_stream_pipeline" -> (streaming.EnrichStream.replayPipelineGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -766,6 +767,26 @@ object SparkEntry {
         |len(regexp_extract_all(lower(concat_ws('. ', source, text)), '\b(fast|good|great)\b')) AS p,
         |len(regexp_extract_all(lower(concat_ws('. ', source, text)), '\b(slow|bad|poor)\b')) AS n
         |FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+    // the WHOLE reference pipeline (DSv2 replay ingest -> enrich -> sink)
+    // drained as one stream: the feed is a pure function of the row index,
+    // so the oracle reconstructs ingest AND scoring from generate_series -
+    // paging, offsets, decode, scoring, and sink semantics in one hash
+    "q_stream_pipeline" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 99)) AS i),
+        |s AS (SELECT CAST(1000000 + i AS VARCHAR) AS record_id,
+        |concat('review ', i, ': ', CASE CAST(i % 4 AS INT)
+        |WHEN 0 THEN 'fast checkin and a good room'
+        |WHEN 1 THEN 'slow service but great view'
+        |WHEN 2 THEN 'plain stay nothing special'
+        |ELSE 'poor breakfast bad noise levels' END) AS text FROM i)
+        |SELECT record_id,
+        |CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative'
+        |ELSE 'neutral' END AS sentiment,
+        |round((p + 1.0) / (p + n + 2.0), 4) AS confidence FROM (
+        |SELECT record_id,
+        |len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
+        |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
+        |FROM s)""".stripMargin,
     // LEFT OUTER stream-stream interval join, drained with a sentinel
     // closing the watermark tail: the streamed result must equal this full
     // batch left join — a row held past the sentinel horizon, emitted

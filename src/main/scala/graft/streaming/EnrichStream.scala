@@ -98,6 +98,37 @@ object EnrichStream {
     result
   }
 
+  /** The reference's ENTIRE pipeline — timer-driven review ingest
+    * (FunctionApp1) plus sentiment enrichment (FunctionApp2) — as one
+    * streaming query inside the correctness gate (`q_stream_pipeline`):
+    * the custom DSv2 replay source pages the feed 10 rows per micro-batch
+    * (the reference's RPC batch size), the scorer projection enriches, the
+    * checkpointed sink lands exactly-once, and the drained sink is handed
+    * to the driver. The replay feed is a PURE FUNCTION of the row index
+    * (ReviewReplaySource.row), so the DuckDB oracle reconstructs feed AND
+    * scores arithmetically from generate_series — ingest, paging,
+    * offset bookkeeping, decode, scoring, and sink semantics all inside
+    * one hash compare. A page delivered twice, a dropped batch, or a
+    * scoring drift anywhere in the chain reds the row. `d` is unused by
+    * construction: the pipeline's input is the replayed feed, which is
+    * what makes it closed-form checkable. */
+  def replayPipelineGate(spark: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-pipe-gate")
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = runFromReplay(spark, outDir, ckptDir, graft.ml.LexiconScorer,
+        rowsPerBatch = 10, maxRows = 100)
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val result = spark.read.parquet(outDir).localCheckpoint(true)
+    deleteRecursively(base.toFile)
+    result
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()

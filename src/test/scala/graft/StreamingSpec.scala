@@ -326,6 +326,22 @@ class StreamingSpec extends SparkSpec {
       "restart changed the final snapshot")
   }
 
+  test("pipeline gate: replay-fed end-to-end stream equals the closed-form batch") {
+    import spark.implicits._
+    val gate = streaming.EnrichStream.replayPipelineGate(spark, sf)
+    // exactly-once across the 10 micro-batch pages
+    assert(gate.count() === 100)
+    assert(gate.select("record_id").distinct().count() === 100)
+    // batch truth: generate the identical feed and score it in one pass
+    val feed = (0L until 100L).map(streaming.ReviewReplaySource.row)
+      .toDF("review_id", "hotel_id", "languagecode", "average_score", "text")
+    val batch = ml.LexiconScorer.score(
+      feed.select(col("review_id").cast("string").as("record_id"), col("text")))
+      .select(col("record_id"), col("sentiment"), col("confidence"))
+    assert(gate.except(batch).isEmpty && batch.except(gate).isEmpty,
+      "drained pipeline differs from the closed-form batch recomputation")
+  }
+
   test("watermark drops late data: a row older than the watermark never lands") {
     import spark.implicits._
     def ev(id: Long, hour: Double, typ: String) =
