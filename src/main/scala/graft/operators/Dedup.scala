@@ -682,6 +682,75 @@ object Dedup {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"), sum(col("doc_id")).as("id_sum"))
 
+  /** Full-corpus LSH clustering, bound-oracled (`q_dedup_clusters_lsh`
+    * promotion — the structure-invariant form, the weakest rung of the
+    * promotion ladder, used only where the output IS cluster structure):
+    * the label assignment is hash-path state, so the payload is the exact
+    * bounded component count (doc<80 bigram-0.05 truth — DuckDB recomputes
+    * it with the `q_dedup_clusters` recursive CTE) plus four flags:
+    *  - refinement: no production LSH pair on the slice links docs the
+    *    strictly-looser exact clustering separates (the DedupSpec
+    *    invariant, now driver-checked every round);
+    *  - min-label: every cluster's label is its own minimum member (the
+    *    propagation fixpoint actually converged);
+    *  - sizes: no singleton clusters (labels exist only for paired docs);
+    *  - non-empty: the path found clusters at all (the flags above must
+    *    not pass vacuously).
+    * Pair-level quality of the same pipeline is gated by the sibling
+    * `q_near_dup_minhash` / `q_minhash_recall` rows. */
+  def lshClustersBound(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabelsLsh(s, d)
+    val exact = clusterLabels(s, d)
+    val crossings = nearDupPairs(s, d, 0.2)
+      .filter(col("doc_a") < 80 && col("doc_b") < 80)
+      .join(exact.select(col("doc_id").as("doc_a"), col("cluster").as("ca")), Seq("doc_a"))
+      .join(exact.select(col("doc_id").as("doc_b"), col("cluster").as("cb")), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+      .agg(count(lit(1)).as("n_cross"))
+    val structure = labels.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("sz"))
+      .agg(coalesce(max((col("cluster") =!= col("mn")).cast("int")), lit(1)).as("bad_label"),
+        coalesce(max((col("sz") < 2).cast("int")), lit(1)).as("bad_size"),
+        count(lit(1)).as("n_lsh_clusters"))
+    exact.select(col("cluster")).distinct().agg(count(lit(1)).as("n_true_clusters"))
+      .crossJoin(crossings).crossJoin(structure).select(
+        col("n_true_clusters"),
+        (col("n_cross") === 0).cast("int").as("refinement_ok"),
+        (col("bad_label") === 0).cast("int").as("min_label_ok"),
+        (col("bad_size") === 0).cast("int").as("sizes_ok"),
+        (col("n_lsh_clusters") >= 1).cast("int").as("nonempty_ok"))
+  }
+
+  /** Full-corpus LSH canonical selection, bound-oracled
+    * (`q_dedup_canonical_lsh` promotion, same structure-invariant form):
+    * the payload pins the keep policy via an INDEPENDENT formulation —
+    * `max(struct(len, -doc_id))` per cluster, an aggregate, against the
+    * shipped window/rank plan — plus one-keeper-per-cluster and size
+    * consistency; the exact column is the corpus size. */
+  def lshCanonicalBound(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabelsLsh(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), length(col("text")).as("len"))
+    val best = labels.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("b"),
+        count(lit(1)).as("sz"))
+      .select(col("cluster"), col("b.len").as("blen"), (-col("b.nid")).as("bid"), col("sz"))
+    val canon = canonicalPerClusterLsh(s, d)
+    val checks = canon.join(best, Seq("cluster"))
+      .agg(count(lit(1)).as("n_joined"),
+        coalesce(max((col("canonical_id") =!= col("bid") ||
+          col("kept_len") =!= col("blen") ||
+          col("cluster_size") =!= col("sz")).cast("int")), lit(1)).as("bad_policy"))
+    val counts = canon.agg(count(lit(1)).as("n_canon"))
+      .crossJoin(labels.select(col("cluster")).distinct().agg(count(lit(1)).as("n_clusters")))
+    Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(checks).crossJoin(counts).select(
+        col("n_docs"),
+        (col("bad_policy") === 0).cast("int").as("policy_ok"),
+        (col("n_canon") === col("n_clusters") && col("n_joined") === col("n_canon") &&
+          col("n_canon") >= 1).cast("int").as("one_keeper_ok"))
+  }
+
   /** The decision a dedup pass actually ships: WHICH duplicate to keep.
     * Canonical doc per near-dup cluster by keep-policy "longest text wins,
     * ties to the lowest doc_id" (longest-kept is the common pretraining

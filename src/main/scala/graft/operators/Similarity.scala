@@ -382,10 +382,45 @@ object Similarity {
         coalesce(col("nd"), lit(0L)).as("n_dropped"))
   }
 
-  /** Registered query: SemDeDup summary per IVF cell (rows-only — the cells
-    * are k-means model state; the keep/drop semantics are spec-pinned). */
+  /** Registered query body: SemDeDup summary per IVF cell (the cells are
+    * k-means model state; the keep/drop semantics are spec-pinned). */
   def semanticDedup(s: SparkSession, d: String): DataFrame =
     semanticDedupFrom(IvfIndex.index(s, d)._1)
+
+  /** SemDeDup, bound-oracled (`q_semantic_dedup` promotion, the
+    * structure-invariant form): cells are k-means state, so the payload is
+    * the exact corpus size plus three invariants the oracle pins —
+    * conservation (every vector counted in exactly one cell), the greedy
+    * keep direction (the global minimum vec_id can never be dropped: no
+    * lower id exists anywhere, let alone in its cell), and the cell-count
+    * envelope (1..k cells). Per-cell keep/drop semantics stay spec-pinned
+    * in SimilaritySpec; the embedding-space quality siblings
+    * (`q_ann_recall`, `q_cosine_near_dup_lsh`) gate the geometry. */
+  def semanticDedupBound(s: SparkSession, d: String, eps: Double = 0.05): DataFrame = {
+    val assigned = IvfIndex.index(s, d)._1
+    val summary = semanticDedupFrom(assigned, eps)
+    val minId = assigned.agg(min(col("vec_id")).as("mid"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_keep"),
+      col("embedding").cast("array<double>").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_drop"),
+      col("embedding").cast("array<double>").as("emb_b"))
+    val minDropped = a.join(b, Seq("cell"))
+      .filter(col("id_keep") < col("id_drop"))
+      .withColumn("cos", try_divide(vecDot(col("emb_a"), col("emb_b")),
+        vecNorm(col("emb_a")) * vecNorm(col("emb_b"))))
+      .filter(col("cos") >= 1.0 - eps)
+      .select(col("id_drop")).distinct()
+      .crossJoin(minId).filter(col("id_drop") === col("mid"))
+      .agg(count(lit(1)).as("n_min_dropped"))
+    val agg = summary.agg(sum(col("n_vectors")).as("cell_total"),
+      count(lit(1)).as("n_cells"))
+    Tables.embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(agg).crossJoin(minDropped).select(
+        col("n_vectors"),
+        (col("cell_total") === col("n_vectors")).cast("int").as("conservation_ok"),
+        (col("n_min_dropped") === 0).cast("int").as("min_id_kept_ok"),
+        (col("n_cells").between(1, 16)).cast("int").as("cells_ok"))
+  }
 
   /** Label coherence: avg cosine of each vector to its label centroid — a
     * quality metric for the embedding space; joins rows against a broadcast
