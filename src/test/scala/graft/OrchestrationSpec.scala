@@ -32,6 +32,20 @@ class OrchestrationSpec extends SparkSpec {
     assert(spark.read.parquet(layout.results).count() === 25L, "re-run appended rows")
   }
 
+  test("observed metrics ride the action and equal a direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val m = Orchestration.observedMetrics(spark, sf).head()
+    val direct = operators.Pipeline.silverBuild(spark, sf).agg(
+      count(lit(1)), sum(col("processed")).cast("long"),
+      count(when(col("text_column").isNull, 1)),
+      sum(length(col("text_column"))).cast("long")).head()
+    assert(m.getAs[Long]("n_rows") === direct.getLong(0))
+    assert(m.getAs[Long]("n_processed") === direct.getLong(1))
+    assert(m.getAs[Long]("n_null_text") === direct.getLong(2))
+    assert(m.getAs[Long]("text_chars") === direct.getLong(3))
+    assert(m.getAs[Long]("n_rows") > 0, "empty corpus verifies nothing")
+  }
+
   test("P7: config validation names every missing key") {
     val ex = intercept[IllegalArgumentException] {
       Orchestration.validateConfig(
