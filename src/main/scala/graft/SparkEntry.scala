@@ -239,6 +239,7 @@ object SparkEntry {
     "q_variant_props" -> (Relational.variantProps _),
     "q_union_evolve" -> (Relational.schemaEvolutionUnion _),
     "q_cc_recursive" -> ((s, d) => Dedup.recursiveClusters(s, d)),
+    "q_cc_star" -> (Graph.ccStarGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
     "q_ivm_merge" -> (Relational.incrementalAggMerge _),
@@ -2214,6 +2215,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT e.a, r.lbl, r.depth + 1 FROM edges e JOIN reach r ON e.b = r.node
         |WHERE r.lbl < e.a AND r.depth < 6)
+        |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        |FROM reach GROUP BY node""".stripMargin,
+    // q_cc_star computes TRUE components (star contraction runs to its
+    // fixpoint), so unlike q_cc_recursive — where Spark and oracle run the
+    // SAME depth-6-bounded recursion and agree even if the bound binds —
+    // this oracle's recursion depth must COVER the graph: depth 10 ≥ any
+    // decreasing-path length to a component min on the doc<80 slice (planted
+    // dup clusters are near-cliques; observed max useful depth ≤ 3)
+    "q_cc_star" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 80),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(node, lbl, depth) AS (
+        |SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
+        |UNION ALL
+        |SELECT e.a, r.lbl, r.depth + 1 FROM edges e JOIN reach r ON e.b = r.node
+        |WHERE r.lbl < e.a AND r.depth < 10)
         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
         |FROM reach GROUP BY node""".stripMargin,
     "q_dq_checks" ->

@@ -348,6 +348,24 @@ object Dedup {
     * sizes; the iterative form stays the 100 TB path. */
   private val ccViewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The bounded exact bigram-Jaccard pair set, memoized per (session,
+    * corpus dir) — the shared input of the connected-components gate family
+    * ([[recursiveClusters]] and [[Graph.connectedComponentsStar]]'s
+    * `q_cc_star` gate): the all-pairs gram join is the whole build cost
+    * (~1.3 s at sf0.1; the component computations over the ~25 cached pairs
+    * are milliseconds), so two gate queries verifying two independent
+    * algorithms against one truth pay it once — the same persisted-artifact
+    * contract as the shingle/signature frames. Eagerly localCheckpointed:
+    * both consumers re-reference the frame from inside iterative/recursive
+    * plans, where uncut lineage would re-derive the join per step. */
+  @transient private lazy val ccPairCache =
+    new SessionCache[String, DataFrame](_.unpersist())
+
+  def ccPairArtifact(s: SparkSession, d: String): DataFrame =
+    ccPairCache.getOrCompute(s, d) {
+      ngramJaccardPairs(s, d).localCheckpoint(true)
+    }
+
   def recursiveClusters(s: SparkSession, d: String, maxDepth: Int = 6): DataFrame = {
     // Materialize the (tiny, bounded) pair set before recursing: the CTE
     // inliner would otherwise re-derive the all-pairs gram join inside
@@ -356,7 +374,7 @@ object Dedup {
     // is counter-unique per call — a fixed name would let two concurrent
     // callers on one session read each other's pair sets.
     val view = s"graft_cc_pairs_${ccViewCounter.incrementAndGet()}"
-    ngramJaccardPairs(s, d).localCheckpoint(true).createOrReplaceTempView(view)
+    ccPairArtifact(s, d).createOrReplaceTempView(view)
     s.sql(s"""
       WITH RECURSIVE edges AS (
         SELECT doc_a AS a, doc_b AS b FROM $view

@@ -262,6 +262,102 @@ object Graph {
         (abs(col("m") - lit(1.0)) < lit(1e-9)).cast("int").as("mass_ok"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction — the O(log² n)-round web-scale algorithm (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", ACM SoCC 2014) — the scale sibling of
+    * [[Dedup.nearDupClusters]]'s min-label propagation. Propagation needs
+    * O(diameter) rounds: fine on near-clique dup clusters, pathological on
+    * chain-shaped graphs (link graphs, citation chains, session stitching)
+    * where the diameter is O(n). Star contraction's round count depends
+    * only logarithmically on component SIZE, never on shape: each
+    * large-star hangs every node's larger neighbors off its neighborhood
+    * minimum, each small-star re-hangs the smaller ones, and deep trees
+    * collapse geometrically toward the component minimum.
+    *
+    * Scale shape per round: two keyed groupBys (neighborhood minima) + two
+    * keyed joins + dedup — every exchange keyed on node id over at most
+    * 2|E| rows, and |E| itself SHRINKS monotonically toward |V|−#components
+    * as trees flatten (contrast propagation, which re-joins the full edge
+    * list every round forever). Lineage is cut per round
+    * ([[Iterative.cutLineage]]: durable checkpoint under a checkpoint dir,
+    * else localCheckpoint); convergence is probed with a 1-row
+    * (count, Σchild, Σparent) aggregate on the already-cut frame — the
+    * monotone-checksum probe [[Dedup.nearDupClusters]] uses, no driver-side
+    * edge data.
+    *
+    * Input: (doc_a, doc_b) pair rows, either orientation, self-pairs
+    * ignored. Output: (doc_id, cluster) for every node incident to ≥1 pair,
+    * cluster = the component's minimum node id — identical contract (and
+    * identical output) to the propagation and recursive-CTE forms; the
+    * `q_cc_star` gate pins that equality against the recursive oracle. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 12): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    // canonical parent-pointer form: child > parent on every row
+    var e = cut(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("child"),
+        least(col("doc_a"), col("doc_b")).as("parent"))
+      .filter(col("child") =!= col("parent"))
+      .distinct())
+    def probe(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("child")), lit(0L)),
+        coalesce(sum(col("parent")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var prev = probe(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR over the symmetric neighborhood: for each u with
+      // m = min(N(u) ∪ {u}), connect every STRICTLY LARGER neighbor to m.
+      // Emitted rows have v > u ≥ m, so the output is canonical by
+      // construction and never contains a self-loop.
+      val sym = e.select(col("child").as("u"), col("parent").as("v"))
+        .unionAll(e.select(col("parent").as("u"), col("child").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("child"), col("m").as("parent"))
+        .distinct()
+      // SMALL-STAR on the canonical list: for each child u with parent set
+      // P(u) (all < u) and m = min(P(u)), re-hang u and every other parent
+      // on m. Again p > m and u > m, so canonical form is preserved.
+      val pMin = large.groupBy(col("child")).agg(min(col("parent")).as("m"))
+      val small = large.join(pMin, Seq("child"))
+        .filter(col("parent") =!= col("m"))
+        .select(col("parent").as("child"), col("m").as("parent"))
+        .unionAll(pMin.select(col("child"), col("m").as("parent")))
+        .distinct()
+      e = cut(small)
+      val cur = probe(e)
+      // fixpoint = the round was an identity: E is then a star forest with
+      // one star per component rooted at the component min (a root that
+      // weren't its star's min would be re-hung by small-star; two stars of
+      // one component would imply an edge between them, which a further
+      // large-star would rewire)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    e.select(col("child").as("doc_id"), col("parent").as("cluster"))
+      .unionAll(e.select(col("parent").as("doc_id"), col("parent").as("cluster")))
+      .distinct()
+  }
+
+  /** `q_cc_star` gate: star contraction over the SAME memoized exact
+    * bounded pair set as `q_cc_recursive` ([[Dedup.ccPairArtifact]]) — two
+    * independent component algorithms checked against one recursive-CTE
+    * oracle truth. State-sized shuffle partitions for the tiny iterative
+    * frames, the [[pageRankGate]] sizing. */
+  def ccStarGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsStar(Dedup.ccPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Degree distribution of the same customer↔supplier graph: per side, how
     * many nodes have each neighbor count — the first diagnostic run on any
     * graph before heavier analytics (a heavy-tailed degree histogram is what

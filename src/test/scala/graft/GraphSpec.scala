@@ -77,6 +77,42 @@ class GraphSpec extends SparkSpec {
     assert(cache.size === 0)
   }
 
+  test("star contraction collapses a chain — the shape that starves propagation") {
+    import spark.implicits._
+    // path 1—2—…—40: diameter 39, so min-label propagation would need ~39
+    // rounds (or log n with doubling); star contraction's round count is
+    // logarithmic in SIZE regardless of shape. maxRounds 12 must suffice.
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Graph.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (1L to 40L).toSet)
+    assert(got.values.forall(_ == 1L), s"one component rooted at 1, got ${got.values.toSet}")
+  }
+
+  test("star contraction agrees with min-label propagation on a multi-component graph") {
+    import spark.implicits._
+    // three components of different shapes: a triangle+appendage, a chain,
+    // a single edge — plus reversed orientations and a duplicate pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L),
+      (31L, 30L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val star = Graph.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = graft.operators.Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star(13L) === 10L && star(23L) === 20L && star(31L) === 30L)
+  }
+
+  test("star contraction: empty and self-pair-only inputs yield empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Graph.connectedComponentsStar(empty).count() === 0L)
+    val selfOnly = Seq((5L, 5L)).toDF("doc_a", "doc_b")
+    assert(Graph.connectedComponentsStar(selfOnly).count() === 0L)
+  }
+
   test("releaseSession evicts one session's entries everywhere and runs the release callback") {
     val released = scala.collection.mutable.ArrayBuffer.empty[String]
     val cache = new SessionCache[String, String](v => released += v)
