@@ -141,10 +141,14 @@ object Bench {
       // the embedding covariance is a corpus build (one Gram pass): the PCA
       // bound query and any whitening consumer read the memoized model
       "embedding-covariance-build" -> (() => { operators.Embeddings.covarianceModel(spark, sfDir); () }),
-      // the bounded exact-Jaccard pair set feeds BOTH component gates
-      // (q_cc_recursive + q_cc_star): the all-pairs gram join is the whole
-      // cost, staged once
-      "cc-pair-build" -> (() => { operators.Dedup.ccPairArtifact(spark, sfDir); () }),
+      // the bounded exact-Jaccard pair sets feed the component gates
+      // (q_cc_recursive + q_cc_star share the doc<80 set) and the triangle
+      // gate (doc<200): the all-pairs gram joins are the whole cost,
+      // staged once each
+      "cc-pair-build" -> (() => {
+        operators.Dedup.ccPairArtifact(spark, sfDir)
+        operators.Dedup.triPairArtifact(spark, sfDir); ()
+      }),
       // RP signatures are a corpus build too: without the artifact, the
       // cosine-LSH self-join derives the 96-hyperplane projection twice
       "rp-signature-build" -> (() => {

@@ -240,6 +240,7 @@ object SparkEntry {
     "q_union_evolve" -> (Relational.schemaEvolutionUnion _),
     "q_cc_recursive" -> ((s, d) => Dedup.recursiveClusters(s, d)),
     "q_cc_star" -> (Graph.ccStarGate _),
+    "q_triangles" -> (Graph.triangleGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
     "q_ivm_merge" -> (Relational.incrementalAggMerge _),
@@ -2241,6 +2242,27 @@ object SparkEntry {
         |WHERE r.lbl < e.a AND r.depth < 10)
         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
         |FROM reach GROUP BY node""".stripMargin,
+    // the oracle counts triangles with the direct a<b<c 3-way join — exact
+    // on the bounded slice, and exactly the all-pairs shape the Spark
+    // side's degree-ordered orientation avoids at scale
+    "q_triangles" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+        |tri AS (SELECT count(*) AS n_triangles FROM e e1
+        |JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |w AS (SELECT COALESCE(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0) AS n_wedges FROM deg)
+        |SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+        |CASE WHEN n_wedges = 0 THEN 0
+        |ELSE CAST(round(3.0 * n_triangles / n_wedges * 1000000, 0) AS BIGINT)
+        |END AS clustering_ppm FROM tri, w""".stripMargin,
     "q_dq_checks" ->
       """SELECT 'orders_custkey_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations,
         |count(*) = 0 AS passed FROM orders

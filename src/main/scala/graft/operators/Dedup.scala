@@ -366,6 +366,21 @@ object Dedup {
       ngramJaccardPairs(s, d).localCheckpoint(true)
     }
 
+  /** The doc<200 sibling of [[ccPairArtifact]], input of the `q_triangles`
+    * gate: the doc<80 slice is triangle-FREE at sf0.01/sf0.1 (15 open
+    * wedges, 0 closed — measured), which would leave the kernel's
+    * wedge-closing join vacuously unexercised at the gate. The 200-doc
+    * slice has 35/8/6 triangles at sf0.001/0.01/0.1 with only ~150-200
+    * edges, so the evidence is non-vacuous at every SF and the all-pairs
+    * gram join stays bounded-oracle-sized. */
+  @transient private lazy val triPairCache =
+    new SessionCache[String, DataFrame](_.unpersist())
+
+  def triPairArtifact(s: SparkSession, d: String): DataFrame =
+    triPairCache.getOrCompute(s, d) {
+      ngramJaccardPairs(s, d, maxDocId = 200).localCheckpoint(true)
+    }
+
   def recursiveClusters(s: SparkSession, d: String, maxDepth: Int = 6): DataFrame = {
     // Materialize the (tiny, bounded) pair set before recursing: the CTE
     // inliner would otherwise re-derive the all-pairs gram join inside

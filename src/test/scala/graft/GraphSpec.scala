@@ -113,6 +113,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.connectedComponentsStar(selfOnly).count() === 0L)
   }
 
+  test("triangle kernel: K4, pendant, star, and empty graphs") {
+    import spark.implicits._
+    def stats(pairs: Seq[(Long, Long)]) = {
+      val r = Graph.triangleStats(pairs.toDF("doc_a", "doc_b")).head()
+      (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"),
+        r.getAs[Long]("clustering_ppm"))
+    }
+    // K4: C(4,3)=4 triangles, 4 nodes × C(3,2)=12 wedges, clustering = 1
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(stats(k4) === ((4L, 12L, 1000000L)))
+    // triangle + pendant edge: 1 triangle, C(3,2)+1+1+... degs (2,2,3,1):
+    // wedges 1+1+3+0 = 5, clustering = 3/5
+    assert(stats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) === ((1L, 5L, 600000L)))
+    // star K1,5 (the skew shape): zero triangles, C(5,2)=10 wedges at the hub
+    assert(stats((2L to 6L).map(i => (1L, i))) === ((0L, 10L, 0L)))
+    // empty: all-zero row, no divide-by-zero
+    assert(stats(Seq.empty) === ((0L, 0L, 0L)))
+  }
+
   test("releaseSession evicts one session's entries everywhere and runs the release callback") {
     val released = scala.collection.mutable.ArrayBuffer.empty[String]
     val cache = new SessionCache[String, String](v => released += v)
