@@ -241,6 +241,7 @@ object SparkEntry {
     "q_cc_recursive" -> ((s, d) => Dedup.recursiveClusters(s, d)),
     "q_cc_star" -> (Graph.ccStarGate _),
     "q_triangles" -> (Graph.triangleGate _),
+    "q_kcore" -> (Graph.kCoreGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
     "q_ivm_merge" -> (Relational.incrementalAggMerge _),
@@ -2263,6 +2264,32 @@ object SparkEntry {
         |CASE WHEN n_wedges = 0 THEN 0
         |ELSE CAST(round(3.0 * n_triangles / n_wedges * 1000000, 0) AS BIGINT)
         |END AS clustering_ppm FROM tri, w""".stripMargin,
+    // the SAME fixed 8-round peel as the Spark plan, unrolled; MATERIALIZED
+    // stops the CTE inliner from re-deriving the peel chain exponentially
+    // (unmaterialized, the depth-8 chain hangs DuckDB's planner)
+    "q_kcore" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |e0 AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08)""".stripMargin
+      val peels = (1 to 8).map { i =>
+        s""",
+           |n$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e${i - 1}
+           |UNION ALL SELECT b FROM e${i - 1}) GROUP BY node HAVING count(*) >= 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |WHERE a IN (SELECT node FROM n$i) AND b IN (SELECT node FROM n$i))""".stripMargin
+      }.mkString
+      base + peels +
+        """
+          |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+          |FROM (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+          |GROUP BY node""".stripMargin
+    },
     "q_dq_checks" ->
       """SELECT 'orders_custkey_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations,
         |count(*) = 0 AS passed FROM orders

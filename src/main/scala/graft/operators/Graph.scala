@@ -423,6 +423,56 @@ object Graph {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** k-core decomposition by FIXED-ROUND peeling: each round drops every
+    * node whose degree in the CURRENT subgraph is < k, then restricts the
+    * edge set to survivors — the maximal subgraph where every node keeps ≥k
+    * in-subgraph neighbors once the peel reaches fixpoint. The core is the
+    * standard corpus-graph denoising step (strip pendant chains/trees
+    * before community or centrality analysis) and the classic iterative
+    * subgraph kernel: per round one degree aggregate + two semi-joins, all
+    * keyed on node id, on an edge set that only SHRINKS.
+    *
+    * `rounds` is FIXED, not a convergence loop — the [[q_cc_recursive]]
+    * depth-bound trick: the oracle unrolls the identical peel count, so the
+    * gate compare is exact whether or not the peel has reached fixpoint
+    * (on the gate slice it converges by round 7, measured at every SF; a
+    * production run sizes rounds generously or probes the 1-row edge-count
+    * fixpoint the way [[connectedComponentsStar]] does). Peeling can
+    * cascade O(n) rounds on pathological chains — for exact unbounded
+    * cores at scale, raise `rounds`; each round is one cheap shrinking
+    * pass. Returns (doc_id, core_deg): the surviving nodes with their
+    * degree inside the final subgraph. */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    var e = cut(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val keep = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+      e = cut(e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+    }
+    e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** `q_kcore` gate: the 2-core of the doc<200 exact pair graph
+    * ([[Dedup.triPairArtifact]]) — strips the pendant tree fringe
+    * (156→104 edges at sf0.01) and keeps 71 nodes, so both the peel and
+    * the survivor set are non-vacuous at every SF. Oracle unrolls the same
+    * 8 peels as materialized CTEs. */
+  def kCoreGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try kCore(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Degree distribution of the same customer↔supplier graph: per side, how
     * many nodes have each neighbor count — the first diagnostic run on any
     * graph before heavier analytics (a heavy-tailed degree histogram is what

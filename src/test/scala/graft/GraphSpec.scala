@@ -132,6 +132,25 @@ class GraphSpec extends SparkSpec {
     assert(stats(Seq.empty) === ((0L, 0L, 0L)))
   }
 
+  test("k-core peeling: pendant chain strips, clique survives, cascade needs its rounds") {
+    import spark.implicits._
+    def core(pairs: Seq[(Long, Long)], k: Int, rounds: Int = 8) =
+      Graph.kCore(pairs.toDF("doc_a", "doc_b"), k, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle with a 3-node pendant chain hanging off node 3: the 2-core
+    // is exactly the triangle, and the chain peels one node per round —
+    // round 1 drops 6, round 2 drops 5, round 3 drops 4 (the cascade)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // under-provisioned rounds stop mid-cascade: after 2 peels node 4
+    // still holds its edge to 3 — the documented fixed-round semantics
+    assert(core(g, 2, rounds = 2).keySet === Set(1L, 2L, 3L, 4L))
+    // K4 is its own 3-core; asking for k=4 empties it (deg max = 3)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(core(k4, 3) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(core(k4, 4) === Map.empty)
+  }
+
   test("releaseSession evicts one session's entries everywhere and runs the release callback") {
     val released = scala.collection.mutable.ArrayBuffer.empty[String]
     val cache = new SessionCache[String, String](v => released += v)
