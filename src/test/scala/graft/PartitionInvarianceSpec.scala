@@ -56,6 +56,23 @@ class PartitionInvarianceSpec extends SparkSpec {
       "packed bins")
   }
 
+  test("graph kernels are partitioning-invariant (star CC, triangles, k-core)") {
+    import spark.implicits._
+    // one fixture exercising all three: two components, a pendant chain,
+    // skew at node 1
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)) ++
+      (10L to 14L).map(i => (i, i + 1)) ++ Seq((20L, 21L))).toDF("doc_a", "doc_b")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.connectedComponentsStar(_)),
+      "star components")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.triangleStats),
+      "triangle stats")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.kCore(_, 2)),
+      "2-core membership")
+  }
+
   test("salted aggregation equals plain groupBy under any partitioning (deterministic salts)") {
     val li = Tables.lineitem(spark, sf)
     val plain = li.groupBy(col("l_returnflag"))
