@@ -132,6 +132,7 @@ object SparkEntry {
     "q_emb_outliers" -> (Embeddings.mahalanobisBound _),
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
+    "q_bpe_tokens" -> (TextAnalysis.bpeTokens _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_lang_id" -> (TextAnalysis.langIdDocs _),
     "q_fingerprints" -> (TextAnalysis.fingerprints _),
@@ -242,6 +243,8 @@ object SparkEntry {
     "q_cc_star" -> (Graph.ccStarGate _),
     "q_triangles" -> (Graph.triangleGate _),
     "q_kcore" -> (Graph.kCoreGate _),
+    "q_label_prop" -> (Graph.labelPropGate _),
+    "q_bfs_hops" -> (Graph.bfsGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
     "q_ivm_merge" -> (Relational.incrementalAggMerge _),
@@ -963,6 +966,21 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish_tokens,
         |round(length(replace(text, ' ', '')) / nullif(nt, 0), 4) AS avg_token_len
         |FROM (SELECT doc_id, text, len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS nt FROM documents)""".stripMargin,
+    // the replace() chain is EXACTLY the min-rank BPE loop's end state, by
+    // the merge-table freshness rule (TextAnalysis.BpeMerges scaladoc);
+    // docs with no [a-z] words keep a (0, 0) row via the left join
+    "q_bpe_tokens" -> {
+      val chain = TextAnalysis.BpeMerges.foldLeft("word") {
+        case (acc, (pair, sym)) => s"replace($acc, '$pair', '$sym')"
+      }
+      s"""WITH w AS (SELECT doc_id,
+         |unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+         |a AS (SELECT doc_id, count(*) AS n_words,
+         |sum(len($chain)) AS n_tokens FROM w GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+         |CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+    },
     "q_quality_score" ->
       """SELECT doc_id,
         |round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it)\b')) / nullif(nt, 0), 4) AS stopword_ratio,
@@ -2289,6 +2307,60 @@ object SparkEntry {
           |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
           |FROM (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
           |GROUP BY node""".stripMargin
+    },
+    // the SAME 4 synchronous deterministic LPA rounds as the Spark plan,
+    // unrolled; argmax = (count DESC, label ASC) row_number, the exact
+    // mirror of Spark's max(struct(cnt, -lbl)) reduction
+    "q_label_prop" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+          |e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          |l0 AS MATERIALIZED (SELECT node, node AS lbl
+          |FROM (SELECT DISTINCT a AS node FROM e))""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS cnt
+           |FROM e JOIN l${i - 1} l ON l.node = e.b GROUP BY e.a, l.lbl),
+           |l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+           |SELECT a, lbl, row_number() OVER (PARTITION BY a
+           |ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT node AS doc_id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin
+    },
+    // the SAME 4 min-relaxation rounds as the Spark plan, unrolled — exact
+    // hop distances for the radius-4 ball, by construction of Bellman-Ford
+    "q_bfs_hops" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+          |e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+          |FROM (SELECT DISTINCT a AS node FROM e) WHERE node % 10 = 0)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |SELECT node, dist FROM d${i - 1}
+           |UNION ALL SELECT e.a AS node, d.dist + 1 FROM e
+           |JOIN d${i - 1} d ON d.node = e.b) GROUP BY node)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT node AS doc_id, CAST(dist AS BIGINT) AS hops FROM d4""".stripMargin
     },
     "q_dq_checks" ->
       """SELECT 'orders_custkey_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations,

@@ -473,6 +473,108 @@ object Graph {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Synchronous label propagation communities with a DETERMINISTIC update
+    * rule: each round, every node adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label (Raghavan et al. 2007,
+    * with the random tie-break and asynchronous schedule both removed — the
+    * async form is order-dependent and can never be gate-checked). Classic
+    * LPA can oscillate on bipartite substructures, which is exactly why
+    * `rounds` is FIXED rather than a convergence loop: the oracle unrolls
+    * the identical round count, so the compare is exact whether or not the
+    * labeling has stabilized (on the gate slice it stabilizes by round 3,
+    * measured — planted dup clusters are near-cliques and collapse to their
+    * min label immediately).
+    *
+    * Scale shape: per round one |E|-row join against the |V|-row label
+    * frame plus two keyed aggregates — the [[pageRank]] iteration shape,
+    * with the argmax expressed as `max(struct(count, -label))` so the
+    * per-node winner is a partial-aggregable one-pass reduction (no window
+    * sort over the neighborhood lists). Lineage cut per round. Unlike
+    * components (which LPA also solves), the count-majority rule keeps
+    * DENSE subgraphs together while letting bridges split — the corpus use
+    * is topic/community grouping of the near-dup graph, one level finer
+    * than [[connectedComponentsStar]]'s components. */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = cut(und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
+    var labels = cut(sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val counted = sym
+        .join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      labels = cut(counted
+        .groupBy(col("a").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl")))
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("community"))
+  }
+
+  /** `q_label_prop` gate: 4 deterministic LPA rounds over the memoized
+    * doc<200 exact pair set ([[Dedup.triPairArtifact]] — the slice where
+    * the graph has non-clique structure worth splitting). Oracle unrolls
+    * the same 4 rounds as materialized CTEs with a (count DESC, label ASC)
+    * row_number argmax. */
+  def labelPropGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try labelPropagation(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Multi-source BFS hop distance by FIXED-ROUND minimum relaxation:
+    * seeds (every `seedEvery`-th doc id present in the graph) start at
+    * distance 0; each round every node takes min(own dist, neighbor dist
+    * + 1). After k rounds the frame holds EXACTLY the nodes within k hops
+    * of a seed, each with its true hop distance — Bellman-Ford on the hop
+    * metric, where round i can only improve nodes at distance i, so fixed
+    * rounds = an exact radius-k ball rather than an approximation. The
+    * oracle unrolls the identical relaxation (the [[kCore]] trick), so the
+    * compare is exact even for nodes the bound leaves unreached.
+    *
+    * The corpus use is contamination/provenance radius queries ("everything
+    * within 2 near-dup hops of a flagged document") — the frontier form of
+    * the same scan the incremental dedup probe does one hop of. Scale
+    * shape: per round one |E| join keyed on node id + one min aggregate
+    * over ≤(|V| + frontier·avg-deg) rows; the distance frame never exceeds
+    * |V| rows. A frontier-delta form (join only nodes improved last round)
+    * sends strictly less data but needs a second anti-join per round —
+    * worth it only when the ball is small relative to |V|. */
+  def bfsHops(pairs: DataFrame, seedEvery: Int = 10, rounds: Int = 4): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = cut(und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
+    var dist = cut(sym.select(col("a").as("node")).distinct()
+      .filter(col("node") % seedEvery === 0)
+      .select(col("node"), lit(0L).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.select(col("node").as("b"), col("dist")), Seq("b"))
+        .select(col("a").as("node"), (col("dist") + 1).as("dist"))
+      dist = cut(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    }
+    dist.select(col("node").as("doc_id"), col("dist").as("hops"))
+  }
+
+  /** `q_bfs_hops` gate: the radius-4 ball around every 10th doc id in the
+    * doc<200 pair graph ([[Dedup.triPairArtifact]]). Oracle unrolls the
+    * same 4 min-relaxation rounds as materialized CTEs. */
+  def bfsGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try bfsHops(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Degree distribution of the same customer↔supplier graph: per side, how
     * many nodes have each neighbor count — the first diagnostic run on any
     * graph before heavier analytics (a heavy-tailed degree histogram is what

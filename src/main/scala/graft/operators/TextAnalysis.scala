@@ -494,6 +494,70 @@ object TextAnalysis {
       .select(col("doc_id"), col("r_len"), col("r_ttr"), round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Fixed BPE merge table, rank order. Inputs are lowercase letters or
+    * OUTPUTS OF STRICTLY EARLIER MERGES (the two-level entries encode
+    * "the" = (th)+e and "ing" = (in)+g, the real vocab-building recursion);
+    * outputs are fresh uppercase symbols that appear in no earlier merge's
+    * input pair. That freshness rule is what makes the genuine min-rank
+    * encode loop ([[bpeEncodeLen]]) EQUAL to a single pass of rank-ordered
+    * exhaustive replaces: applying merge i only creates adjacencies
+    * involving its output symbol, which by construction participates only
+    * in later-ranked pairs — so no earlier merge is ever re-enabled, and
+    * the fixpoint of the loop is the end state of the single pass. The
+    * oracle exploits exactly that: DuckDB recomputes the encoding as a
+    * chain of `replace()` calls (leftmost-first non-overlapping, the same
+    * semantics as the loop's per-rank merge-all step) — a REAL tokenizer
+    * kernel with an exact cross-engine oracle, where generic BPE would be
+    * unverifiable outside the JVM. BpeSpec pins the freshness invariant
+    * programmatically, so a table edit that breaks the equivalence fails
+    * the suite, not the gate. */
+  val BpeMerges: Vector[(String, Char)] = Vector(
+    "th" -> 'A', "in" -> 'B', "er" -> 'C', "an" -> 'D', "on" -> 'E',
+    "re" -> 'F', "at" -> 'G', "en" -> 'H', "or" -> 'I', "es" -> 'J',
+    "Ae" -> 'K', "Bg" -> 'L')
+
+  /** Token count of one word under the REAL BPE encode loop: repeatedly
+    * find the lowest-ranked merge whose pair occurs in the current symbol
+    * sequence and merge every (leftmost-first, non-overlapping) occurrence,
+    * until no table pair remains. One token per surviving symbol. */
+  private[graft] def bpeEncodeLen(word: String): Int = {
+    var w = word
+    var done = false
+    while (!done) BpeMerges.find { case (pair, _) => w.contains(pair) } match {
+      case Some((pair, sym)) => w = w.replace(pair, sym.toString)
+      case None => done = true
+    }
+    w.length
+  }
+
+  /** Per-doc BPE token accounting over the `[a-z]+` word stream of the
+    * lowercased text: (n_words, n_tokens) with n_tokens = Σ per-word encode
+    * lengths. The encode is imperative per-word work (a fixpoint loop, not
+    * a column expression), so it runs in `mapPartitions` behind a per-
+    * partition WORD MEMO — corpus word frequency is Zipfian, so the encode
+    * cost is bounded by the distinct-word count of the partition, not its
+    * token count (the same memoization every production tokenizer ships).
+    * Narrow map, no shuffle: at 100 TB this is a scan-bound projection
+    * like [[textStats]]. Lowercasing happens IN THE PLAN (`lower()`), so
+    * the JVM never applies its own locale-sensitive case mapping. */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wordRe = "[a-z]+".r
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.map { case (id, text) =>
+          val words = wordRe.findAllIn(if (text == null) "" else text).toSeq
+          val toks = words.iterator
+            .map(w => memo.getOrElseUpdate(w, bpeEncodeLen(w).toLong)).sum
+          (id, words.size.toLong, toks)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens")
+  }
+
   def vocabOovRates(s: SparkSession, d: String, vocabSize: Int = 1000): DataFrame = {
     val toks = Tables.documents(s, d).select(
       col("doc_id"),

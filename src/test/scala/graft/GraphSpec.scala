@@ -151,6 +151,45 @@ class GraphSpec extends SparkSpec {
     assert(core(k4, 4) === Map.empty)
   }
 
+  test("label propagation splits bridged triangles and keeps ties deterministic") {
+    import spark.implicits._
+    def lpa(pairs: Seq[(Long, Long)], rounds: Int = 4) =
+      Graph.labelPropagation(pairs.toDF("doc_a", "doc_b"), rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two triangles joined by one bridge edge 3—4: count-majority keeps
+    // each dense side together and the bridge splits — hand-rolled sync
+    // LPA with (count DESC, label ASC) lands {1,2,3}→1, {4,5,6}→3 after 4
+    // rounds (node 4's majority flips to its triangle at round 3)
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    assert(lpa(bridged) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // a single edge oscillates under synchronous LPA (the documented
+    // bipartite case): even round counts return every label to its owner —
+    // deterministic either way, which is what the fixed-round gate needs
+    assert(lpa(Seq((1L, 2L)), rounds = 4) === Map(1L -> 1L, 2L -> 2L))
+    assert(lpa(Seq((1L, 2L)), rounds = 3) === Map(1L -> 2L, 2L -> 1L))
+    // a clique collapses to its min label and STAYS there
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(lpa(k4).values.toSet === Set(1L))
+  }
+
+  test("bfs hop distance: exact radius-k ball, multi-source min, unreached absent") {
+    import spark.implicits._
+    // chain 10—11—…—20: both endpoints are seeds (node % 10 == 0), so
+    // distances meet in the middle and node 15 (5 hops from both) falls
+    // outside the radius-4 ball
+    val chain = (10L until 20L).map(i => (i, i + 1))
+    val got = Graph.bfsHops(chain.toDF("doc_a", "doc_b"), seedEvery = 10, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 3L, 14L -> 4L,
+      16L -> 4L, 17L -> 3L, 18L -> 2L, 19L -> 1L, 20L -> 0L)
+    assert(got === expected)
+    // no seeds in the graph → empty result, no failure
+    val noSeed = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Graph.bfsHops(noSeed, seedEvery = 10, rounds = 4).count() === 0L)
+  }
+
   test("releaseSession evicts one session's entries everywhere and runs the release callback") {
     val released = scala.collection.mutable.ArrayBuffer.empty[String]
     val cache = new SessionCache[String, String](v => released += v)

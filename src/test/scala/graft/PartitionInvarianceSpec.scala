@@ -71,6 +71,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(
       variants(pairs, "doc_a").map(graft.operators.Graph.kCore(_, 2)),
       "2-core membership")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.labelPropagation(_)),
+      "LPA communities")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.bfsHops(_, seedEvery = 10)),
+      "bfs hop distances")
   }
 
   test("salted aggregation equals plain groupBy under any partitioning (deterministic salts)") {

@@ -48,6 +48,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE merge table satisfies the freshness rule the oracle equivalence needs") {
+    val merges = TextAnalysis.BpeMerges
+    assert(merges.map(_._2).distinct.size === merges.size, "output symbols unique")
+    merges.zipWithIndex.foreach { case ((pair, sym), i) =>
+      // output symbol appears in no pair of rank <= its own: applying a
+      // merge can never re-enable an earlier (or its own) pair
+      merges.take(i + 1).foreach { case (p, _) =>
+        assert(!p.contains(sym), s"output '$sym' of rank $i re-enables pair '$p'")
+      }
+      // inputs are lowercase letters or outputs of STRICTLY earlier merges
+      val earlier = merges.take(i).map(_._2).toSet
+      pair.foreach { c =>
+        assert((c >= 'a' && c <= 'z') || earlier.contains(c),
+          s"rank-$i pair '$pair' uses symbol '$c' not yet defined")
+      }
+    }
+  }
+
+  test("BPE min-rank encode loop equals the single-pass replace chain on random words") {
+    def chainLen(word: String): Int =
+      TextAnalysis.BpeMerges.foldLeft(word) {
+        case (w, (p, s)) => w.replace(p, s.toString)
+      }.length
+    // random lowercase words, biased toward merge-pair substrings so the
+    // multi-level merges ("the", "ing") and overlap cases actually fire
+    val frag = Gen.oneOf("th", "he", "in", "ng", "er", "an", "on", "re",
+      "at", "en", "or", "es", "a", "e", "t", "x", "thth", "ananan")
+    val wordGen = Gen.listOf(frag).map(_.mkString)
+    samples(wordGen, 400).foreach { w =>
+      assert(TextAnalysis.bpeEncodeLen(w) === chainLen(w), s"word '$w'")
+    }
+    assert(TextAnalysis.bpeEncodeLen("the") === 1) // th→A, Ae→K
+    assert(TextAnalysis.bpeEncodeLen("thee") === 2) // Aee → Ke
+    assert(TextAnalysis.bpeEncodeLen("") === 0)
+  }
+
+  test("BPE doc accounting: word-count floor, alpha-char ceiling, real compression") {
+    // recompute alpha chars independently of the operator's own plan
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"))
+    val joined = TextAnalysis.bpeTokens(spark, sf).join(docs, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (words, toks, alpha) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Int]("n_alpha"))
+      assert(toks >= words, s"each word is >=1 token (doc ${r.getAs[Long]("doc_id")})")
+      assert(toks <= alpha, "merging can only shrink the symbol stream")
+    }
+    assert(joined.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Int]("n_alpha")),
+      "at least one doc must actually compress")
+  }
+
   test("sequence packing covers every doc within budget for random corpora") {
     val docsGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 10000L), Gen.choose(1, 700)))
     samples(docsGen, 5).foreach { rows =>
