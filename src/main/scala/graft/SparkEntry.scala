@@ -223,6 +223,7 @@ object SparkEntry {
     "q_winsorize" -> (Relational.winsorizedStats _),
     "q_join_salted" -> (Skew.saltedCustomerOrdersAgg _),
     "q_split_manifest" -> (Corpus.splitManifest _),
+    "q_cluster_split" -> (Corpus.clusterSplit _),
     "q_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovRates(s, d)),
     "q_funnel_ordered" -> (Relational.orderedFunnel _),
     "q_ols_by_group" -> (Relational.olsByGroup _),
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_triangles" -> (Graph.triangleGate _),
     "q_kcore" -> (Graph.kCoreGate _),
     "q_label_prop" -> (Graph.labelPropGate _),
+    "q_ppr" -> (Graph.pprGate _),
     "q_bfs_hops" -> (Graph.bfsGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
@@ -1924,6 +1926,48 @@ object SparkEntry {
         |SELECT CAST(node AS INT) AS node,
         |CAST(round(pr * 1000000, 0) AS BIGINT) AS rank_ppm,
         |CAST(1 AS INT) AS mass_ok FROM r5""".stripMargin,
+    // personalized PageRank: the directed-oracle pattern with the teleport
+    // vector concentrated on the % 12 seed set — restart mass (teleport AND
+    // dangling) goes to s(v), not 1/n; unreachable nodes pin an exact 0
+    "q_ppr" ->
+      """WITH edges AS (
+        |SELECT n_nationkey AS src, n_nationkey + 1 AS dst, 1.0 AS w
+        |FROM nation WHERE n_nationkey < 24
+        |UNION ALL
+        |SELECT n_nationkey, 0, 2.0 FROM nation WHERE n_nationkey BETWEEN 5 AND 9),
+        |norm AS (SELECT src, dst, w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
+        |FROM edges),
+        |nodes AS (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |ns AS (SELECT count(*) AS c FROM nodes WHERE node % 12 = 0),
+        |sv AS (SELECT node, CASE WHEN node % 12 = 0
+        |THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS s FROM nodes),
+        |dang AS (SELECT node FROM nodes
+        |WHERE node NOT IN (SELECT DISTINCT src FROM edges)),
+        |r0 AS (SELECT node, s AS pr FROM sv),
+        |c1 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r0 ON src = node GROUP BY dst),
+        |d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r0 JOIN dang USING (node)),
+        |r1 AS (SELECT node, s, 0.15 * s + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d1) * s) AS pr FROM sv LEFT JOIN c1 ON node = dst),
+        |c2 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r1 ON src = node GROUP BY dst),
+        |d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r1 JOIN dang USING (node)),
+        |r2 AS (SELECT node, s, 0.15 * s + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d2) * s) AS pr FROM sv LEFT JOIN c2 ON node = dst),
+        |c3 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r2 ON src = node GROUP BY dst),
+        |d3 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r2 JOIN dang USING (node)),
+        |r3 AS (SELECT node, s, 0.15 * s + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d3) * s) AS pr FROM sv LEFT JOIN c3 ON node = dst),
+        |c4 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r3 ON src = node GROUP BY dst),
+        |d4 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r3 JOIN dang USING (node)),
+        |r4 AS (SELECT node, s, 0.15 * s + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d4) * s) AS pr FROM sv LEFT JOIN c4 ON node = dst),
+        |c5 AS (SELECT dst, sum(p * pr) AS cin FROM norm JOIN r4 ON src = node GROUP BY dst),
+        |d5 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r4 JOIN dang USING (node)),
+        |r5 AS (SELECT node, 0.15 * s + 0.85 * (coalesce(cin, 0)
+        |+ (SELECT dm FROM d5) * s) AS pr FROM sv LEFT JOIN c5 ON node = dst)
+        |SELECT CAST(node AS INT) AS node,
+        |CAST(round(pr * 1000000, 0) AS BIGINT) AS rank_ppm,
+        |CAST(1 AS INT) AS mass_ok FROM r5""".stripMargin,
     "q_attribution" ->
       """SELECT event_id AS purchase_id, user_id,
         |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
@@ -1968,6 +2012,45 @@ object SparkEntry {
         |CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         |CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // cluster-keyed split: component labels via the q_cc_star recursive
+    // truth on the doc<200 slice (depth 12 covers every decreasing path to
+    // a component min — dup clusters are near-cliques), then the SAME LCG
+    // bucket as q_split_manifest applied to the group key; leak_free
+    // re-derives max-splits-per-group = 1 on both engines
+    "q_cluster_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach(node, lbl, depth) AS (
+        |SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
+        |UNION ALL
+        |SELECT e.a, r.lbl, r.depth + 1 FROM edges e JOIN reach r ON e.b = r.node
+        |WHERE r.lbl < e.a AND r.depth < 12),
+        |lab AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+        |asn AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS grp,
+        |CASE WHEN l.cluster IS NULL THEN 0 ELSE 1 END AS clustered
+        |FROM documents d LEFT JOIN lab l USING (doc_id)),
+        |b AS (SELECT doc_id, grp, clustered,
+        |CAST(FLOOR((((grp % 2147483648) * 1103515245 + 12345) % 2147483648) * 100
+        |/ 2147483648.0) AS INT) AS bucket FROM asn),
+        |c AS (SELECT doc_id, grp, clustered,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |ELSE 'test' END AS split FROM b),
+        |leak AS (SELECT max(ns) AS mx FROM
+        |(SELECT grp, count(DISTINCT split) AS ns FROM c GROUP BY grp))
+        |SELECT split, count(*) AS n_docs,
+        |CAST(sum(clustered) AS BIGINT) AS n_clustered,
+        |CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+        |CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |CAST(CASE WHEN (SELECT mx FROM leak) = 1 THEN 1 ELSE 0 END AS INT) AS leak_free
+        |FROM c GROUP BY split""".stripMargin,
     "q_vocab_oov" ->
       """WITH toks AS (SELECT doc_id,
         |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok

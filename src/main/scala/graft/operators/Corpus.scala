@@ -263,6 +263,50 @@ object Corpus {
         sum(col("n_chars")).as("chars_sum"),
         sum(col("doc_id")).as("id_checksum"))
 
+  /** LEAKAGE-FREE split: the [[splitManifest]] assignment with the split
+    * decision made per NEAR-DUP CLUSTER instead of per document — the hash
+    * key is the component label of the exact-pair graph (own doc_id for
+    * singletons), so two near-duplicates can never straddle train/test.
+    * Per-doc hashing silently leaks: a planted dup pair splits train/test
+    * with probability 2·0.8·0.2, and eval contamination at corpus scale is
+    * exactly this failure mode (the reason dedup-then-split is the
+    * standard order in training-data pipelines). The emitted `leak_free`
+    * flag re-derives the guarantee end-to-end (max splits-per-group = 1) —
+    * it reds if anyone re-keys the hash back to doc_id.
+    *
+    * Scale shape: labels come from the [[Graph.connectedComponentsStar]]
+    * fixpoint over the memoized bounded pair artifact (at real scale, the
+    * full LSH pair stream — same dataflow); the assignment is a left join
+    * of the corpus against the |clustered docs|-row label frame (broadcast
+    * at any realistic dup rate) and the hash rides the scan. The audit is
+    * one partial-agg shuffle of |splits| rows plus a group-keyed
+    * distinct-split check that only touches (grp, split) pairs. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = Graph.connectedComponentsStar(Dedup.triPairArtifact(s, d))
+    val assigned = Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"),
+        col("cluster").isNotNull.cast("int").as("clustered"))
+      .withColumn("bucket", hashBucket(col("grp")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val leak = assigned.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns")).as("mx"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("clustered")).as("n_clustered"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("doc_id")).as("id_checksum"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_clustered"),
+        col("n_groups"), col("id_checksum"),
+        (col("mx") === 1).cast("int").as("leak_free"))
+  }
+
   /** Largest-remainder apportionment of a fixed token budget across
     * languages: each language gets ⌊K·w/W⌋ tokens (w = its char volume, W =
     * total), and the K − Σ⌊·⌋ leftover slots go to the largest integer

@@ -262,6 +262,99 @@ object Graph {
         (abs(col("m") - lit(1.0)) < lit(1e-9)).cast("int").as("mass_ok"))
   }
 
+  /** Personalized PageRank: the teleport vector concentrates on a SEED SET
+    * instead of spreading uniformly — rank measures proximity to the seeds
+    * under random-walk-with-restart, the standard relevance/selection
+    * centrality (data selection around a trusted core, related-item
+    * expansion, spam distance). Two changes from [[pageRankDirected]], both
+    * in the teleport term: restart mass goes to s(v) = 1/|S| on seeds and
+    * 0 elsewhere, and DANGLING mass returns to the seeds too (the walk
+    * restarts when it falls off the graph) — rank' = teleport·s +
+    * d·(Σ_in p·rank + dmass·s). Mass still sums to 1 every iteration:
+    * Σcin = 1 − dmass, so the total is teleport + d·(1−dmass+dmass) = 1.
+    * Nodes the seeds cannot reach get rank EXACTLY 0 (no uniform floor) —
+    * that sparsity is what makes PPR useful as a selection score and, at
+    * real scale, what keeps a frontier-sparse implementation feasible.
+    *
+    * Same per-iteration shape and cut cadence as the directed form: |E|
+    * contribution join + two broadcast 1-row/|S|-row aggregates. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 2): DataFrame = {
+    val teleport = Iterative.teleport(damping)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val seedSet = seeds.select(col("node")).distinct()
+    val nS = seedSet.agg(count(lit(1)).as("ns"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(nS))
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("s"))
+      .persist()
+    val norm = e.select(col("src"), col("dst"),
+      (col("w") / sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))).as("p"))
+      .persist()
+    val hasOut = e.select(col("src").as("node")).distinct()
+    val dangling = nodes.select(col("node"))
+      .join(hasOut, Seq("node"), "left_anti").persist()
+    var ranks = nodes.select(col("node"), col("s").as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = norm
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("cin"))
+      val dMass = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dMass))
+        .select(col("node"), col("s"),
+          (lit(teleport) * col("s")
+            + lit(damping) * (coalesce(col("cin"), lit(0.0))
+              + col("dmass") * col("s"))).as("rank"))
+        .select(col("node"), col("rank"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = Iterative.cutLineage(ranks)
+    }
+    val out = Iterative.cutLineage(ranks)
+    norm.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    out
+  }
+
+  /** `q_ppr` gate: personalized PageRank on the SAME nation chain+hub graph
+    * as [[pageRankDirectedGate]], seeded at node % 12 = 0 — {0, 12, 24}.
+    * The seed choice is adversarial on purpose: 0 is the multi-in-degree
+    * hub, 12 sits mid-chain, and 24 is the DANGLING tail, so the
+    * dangling-restart term feeds visibly back into the seed ranks and
+    * nodes 1..5 (upstream of every seed's outflow... reachable only
+    * through the chain) separate cleanly from the teleport-free zero
+    * floor. Oracle unrolls the identical 5 iterations; mass_ok pins
+    * Σrank = 1. */
+  def pprGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val n = Tables.nation(s, d).select(col("n_nationkey").cast("int").as("k"))
+      val chain = n.filter(col("k") < 24)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"), lit(1.0).as("w"))
+      val hub = n.filter(col("k").between(5, 9))
+        .select(col("k").as("src"), lit(0).as("dst"), lit(2.0).as("w"))
+      val seeds = n.filter(col("k") % 12 === 0).select(col("k").as("node"))
+      val ranks = personalizedPageRank(chain.unionByName(hub), seeds,
+        iters = 5, checkpointEvery = 1)
+      val mass = ranks.agg(sum(col("rank")).as("m"))
+      ranks.crossJoin(broadcast(mass))
+        .select(col("node").cast("int").as("node"),
+          round(col("rank") * 1e6, 0).cast("long").as("rank_ppm"),
+          (abs(col("m") - lit(1.0)) < lit(1e-9)).cast("int").as("mass_ok"))
+        .localCheckpoint(true)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * contraction — the O(log² n)-round web-scale algorithm (Kiveris,
     * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in

@@ -54,6 +54,31 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks(1L) - 0.5) < 1e-12 && math.abs(ranks(2L) - 0.5) < 1e-12)
   }
 
+  test("personalized pagerank: exact-zero floor off-seed, restart mass to seeds, conservation") {
+    import spark.implicits._
+    // chain 1→2→3 seeded at {2}: node 1 is unreachable from the teleport
+    // (rank must be EXACTLY 0, no uniform floor), node 3 dangles (its mass
+    // restarts at the seed) — hand-rolled recomputation, the
+    // pageRankDirected test pattern
+    val d = 0.85
+    val t = graft.operators.Iterative.teleport(d)
+    var r = Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0)
+    for (_ <- 1 to 5) {
+      val dm = r(3L)
+      r = Map(1L -> 0.0,
+        2L -> (t * 1.0 + d * (r(1L) + dm * 1.0)),
+        3L -> (d * r(2L)))
+    }
+    val got = Graph.personalizedPageRank(chain(),
+      Seq(2L).toDF("node"), iters = 5).collect()
+      .map(row => row.getAs[Long]("node") -> row.getAs[Double]("rank")).toMap
+    assert(got(1L) === 0.0, "off-walk node must sit on the exact-zero floor")
+    r.foreach { case (node, expected) =>
+      assert(math.abs(got(node) - expected) < 1e-12, s"node $node")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "restart mass conserved")
+  }
+
   test("lineage cut keeps the iterated plan bounded") {
     // 20 iterations with checkpointEvery=2 must not blow the plan budget —
     // the point of the periodic cut; completing quickly IS the assertion
