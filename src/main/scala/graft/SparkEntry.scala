@@ -246,6 +246,7 @@ object SparkEntry {
     "q_kcore" -> (Graph.kCoreGate _),
     "q_label_prop" -> (Graph.labelPropGate _),
     "q_ppr" -> (Graph.pprGate _),
+    "q_random_walks" -> (Graph.randomWalkGate _),
     "q_bfs_hops" -> (Graph.bfsGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
@@ -2444,6 +2445,38 @@ object SparkEntry {
       base + rounds +
         """
           |SELECT node AS doc_id, CAST(dist AS BIGINT) AS hops FROM d4""".stripMargin
+    },
+    // the SAME 4 LCG-ranked hops as the Spark walk, unrolled over the same
+    // id-ordered adjacency; every choice is 1 + lcg(start, node, t) mod deg
+    "q_random_walks" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+          |e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          |adj AS MATERIALIZED (SELECT a AS u, b AS v,
+          |row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+          |count(*) OVER (PARTITION BY a) AS deg FROM e),
+          |w0 AS MATERIALIZED (SELECT u AS start, u AS node
+          |FROM (SELECT DISTINCT u FROM adj))""".stripMargin
+      val hops = (1 to 4).map { i =>
+        s""",
+           |w$i AS MATERIALIZED (SELECT w.start, a.v AS node
+           |FROM w${i - 1} w JOIN adj a ON a.u = w.node
+           |AND a.rn = 1 + ((((w.start * 1000003 + w.node * 97 + $i) % 2147483648)
+           |* 1103515245 + 12345) % 2147483648) % a.deg)""".stripMargin
+      }.mkString
+      base + hops + """
+        |SELECT start, CAST(0 AS INT) AS step, node FROM w0
+        |UNION ALL SELECT start, 1, node FROM w1
+        |UNION ALL SELECT start, 2, node FROM w2
+        |UNION ALL SELECT start, 3, node FROM w3
+        |UNION ALL SELECT start, 4, node FROM w4""".stripMargin
     },
     "q_dq_checks" ->
       """SELECT 'orders_custkey_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations,

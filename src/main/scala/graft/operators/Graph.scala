@@ -668,6 +668,59 @@ object Graph {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Deterministic pseudo-random walks — the node2vec/DeepWalk positive-
+    * pair sampler with the RNG replaced by the engine-portable LCG
+    * ([[Corpus.lcgStep]]): from every node, `steps` uniform-neighbor hops
+    * where hop t out of node v on the walk started at `start` picks
+    * neighbor rank 1 + lcg(start·1000003 + v·97 + t) mod deg(v) over the
+    * id-ordered adjacency. Keying the choice by (start, v, t) gives
+    * distinct walks genuinely different trajectories while keeping every
+    * choice a pure function the oracle can replay — a `rand()` walk can
+    * never be gate-checked, and partition-seeded RNG wouldn't even be
+    * stable across cluster sizes (the [[Corpus.hashBucket]] argument). A
+    * production run salts the key with a seed; the dataflow is unchanged.
+    *
+    * Scale shape: the ranked adjacency (row_number + count per src) is a
+    * one-shuffle corpus build; each step is one equi-join of the |V|·walks
+    * frontier against it, keyed on node id — the PageRank iteration
+    * volume with the aggregate replaced by a rank filter. Emits
+    * (start, step, node) for steps 0..k: the skip-gram pair stream a
+    * graph-embedding trainer consumes. */
+  def randomWalks(pairs: DataFrame, steps: Int = 4): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val adj = cut(sym.select(col("a").as("u"), col("b").as("v"))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .withColumn("deg", count(lit(1)).over(w)))
+    var walk = cut(adj.select(col("u").as("start")).distinct()
+      .select(col("start"), col("start").as("node")))
+    var frames = List(walk.select(col("start"), lit(0).as("step"), col("node")))
+    for (t <- 1 to steps) {
+      val key = col("start") * lit(1000003L) + col("node") * lit(97L) + lit(t.toLong)
+      val next = walk.join(adj.withColumnRenamed("u", "node"), Seq("node"))
+        .filter(col("rn") === lit(1) + pmod(Corpus.lcgStep(key), col("deg")))
+        .select(col("start"), col("v").as("node"))
+      walk = cut(next)
+      frames ::= walk.select(col("start"), lit(t).as("step"), col("node"))
+    }
+    frames.reverse.reduce(_ unionAll _)
+  }
+
+  /** `q_random_walks` gate: 4-step walks from every node of the doc<200
+    * pair graph ([[Dedup.triPairArtifact]]). Oracle unrolls the identical
+    * 4 LCG-ranked hops over the same id-ordered adjacency. */
+  def randomWalkGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try randomWalks(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Degree distribution of the same customer↔supplier graph: per side, how
     * many nodes have each neighbor count — the first diagnostic run on any
     * graph before heavier analytics (a heavy-tailed degree histogram is what

@@ -215,6 +215,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsHops(noSeed, seedEvery = 10, rounds = 4).count() === 0L)
   }
 
+  test("random walks: every hop is an edge, every start covered, fully deterministic") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("doc_a", "doc_b")
+    def run() = Graph.randomWalks(pairs, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rows = run()
+    val nodes = Set(1L, 2L, 3L, 4L, 5L, 10L, 11L)
+    // coverage: exactly steps+1 positions per start, step 0 = the start
+    assert(rows.size === nodes.size * 5)
+    nodes.foreach(n => assert(rows.contains((n, 0, n))))
+    // validity: every consecutive hop traverses a real edge
+    val edges = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    val byStart = rows.groupBy(_._1)
+    byStart.values.foreach { positions =>
+      val path = positions.toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Seq(u, v) =>
+        assert(edges.contains((u, v)), s"hop $u→$v is not an edge")
+      }
+    }
+    // the isolated component can only oscillate between its two nodes
+    assert(byStart(10L).map(_._3).subsetOf(Set(10L, 11L)))
+    // determinism: a second evaluation reproduces the identical set
+    assert(run() === rows)
+  }
+
   test("releaseSession evicts one session's entries everywhere and runs the release callback") {
     val released = scala.collection.mutable.ArrayBuffer.empty[String]
     val cache = new SessionCache[String, String](v => released += v)

@@ -77,6 +77,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(
       variants(pairs, "doc_a").map(graft.operators.Graph.bfsHops(_, seedEvery = 10)),
       "bfs hop distances")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.randomWalks(_)),
+      "walk trajectories")
   }
 
   test("salted aggregation equals plain groupBy under any partitioning (deterministic salts)") {
