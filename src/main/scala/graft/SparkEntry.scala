@@ -165,6 +165,7 @@ object SparkEntry {
     "q_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(s, d)),
     // -- multimodal (D4) --------------------------------------------------
     "q_multimodal_features" -> (Multimodal.imageDecodeQuery _),
+    "q_audio_decode" -> (Multimodal.audioDecodeQuery _),
     "q_frame_sample" -> (Multimodal.frameSampleQuery _),
     // -- as-of join / sessionization / skew (§2.5 stretch, §2.10, §7) -----
     "q_asof_join" -> (AsOfJoin.purchasesWithLastView _),
@@ -1156,6 +1157,26 @@ object SparkEntry {
         |round(CAST((doc_id * 2) % 256 AS DOUBLE), 4) AS mean_g,
         |round(CAST((doc_id * 3) % 256 AS DOUBLE), 4) AS mean_b
         |FROM documents""".stripMargin,
+    // the REAL javax.sound.sampled decode, the WAV analog of the PNG gate:
+    // the synthetic square wave is re-generated per id with range + a lag
+    // window, so container parse, endianness, sign handling, and frame
+    // accounting all sit under integer arithmetic the hash checks
+    "q_audio_decode" ->
+      """WITH ids AS (SELECT doc_id AS asset_id,
+        |CAST(2 + doc_id % 7 AS BIGINT) AS p,
+        |CAST(1000 + (doc_id % 100) * 10 AS BIGINT) AS amp,
+        |CAST(64 + doc_id % 33 AS BIGINT) AS n FROM documents),
+        |s AS (SELECT asset_id, p, amp, unnest(range(n)) AS i FROM ids),
+        |v AS (SELECT asset_id, i,
+        |CASE WHEN (i // p) % 2 = 0 THEN amp ELSE -amp END AS x FROM s),
+        |w AS (SELECT asset_id, x,
+        |lag(x) OVER (PARTITION BY asset_id ORDER BY i) AS px FROM v)
+        |SELECT asset_id, CAST(count(*) AS INT) AS n_samples,
+        |CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+        |CAST(max(abs(x)) AS INT) AS peak,
+        |CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |CAST(count(*) FILTER (px IS NOT NULL AND x * px < 0) AS INT) AS n_sign_flips
+        |FROM w GROUP BY asset_id""".stripMargin,
     "q_decode_batched" ->
       """SELECT doc_id AS asset_id,
         |round(CAST((4 + doc_id % 5) + (4 + doc_id % 3) + 3

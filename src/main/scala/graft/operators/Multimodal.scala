@@ -202,4 +202,90 @@ object Multimodal {
       round(element_at(col("features"), 4).cast("double"), 4).as("mean_r"),
       round(element_at(col("features"), 5).cast("double"), 4).as("mean_g"),
       round(element_at(col("features"), 6).cast("double"), 4).as("mean_b"))
+
+  // ---- real audio path (javax.sound.sampled, hermetic) ---------------------
+
+  /** Deterministic synthetic WAV: 16-bit signed little-endian mono PCM at
+    * 8 kHz, n = 64 + id mod 33 samples of a square wave — amplitude
+    * 1000 + (id mod 100)·10, half-period 2 + id mod 7 (sample i is +amp
+    * when ⌊i/p⌋ is even, −amp otherwise). PCM in a WAV container is
+    * lossless, so a REAL decoder must recover exactly these integers —
+    * the [[syntheticPng]] contract transplanted to audio, with
+    * `javax.sound.sampled` playing the part of `javax.imageio`. */
+  def syntheticWav(assetId: Long): Array[Byte] = {
+    val n = (64 + assetId % 33).toInt
+    val p = (2 + assetId % 7).toInt
+    val amp = (1000 + (assetId % 100) * 10).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / p) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio assets table: one deterministic WAV per document id — the same
+    * narrow-map synthesis stand-in for a `binaryFile` source as
+    * [[imageAssets]]. */
+  def audioAssets(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => (id, syntheticWav(id)))
+  }
+
+  /** REAL audio decode kernel: WAV container parse + PCM frame read via
+    * `javax.sound.sampled`, then the standard cheap audio screeners a
+    * corpus pass wants — length, format, peak, integer sum of |sample|
+    * (volume proxy), and the zero-crossing count (pitch/noisiness proxy).
+    * Every output is an exact integer (sums bounded well under 2²⁴, so
+    * the Float feature slots are exact), which is what lets the oracle
+    * verify the codec arithmetically. Same ≤16-payload batch contract as
+    * [[imageBatchKernel]]. */
+  def audioBatchKernel(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+    payloads.map { bytes =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"unexpected decoded format: $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var peak = 0; var sumAbs = 0L; var flips = 0; var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumAbs += a
+        if (i > 0 && v.toLong * prev < 0) flips += 1
+        prev = v
+        i += 1
+      }
+      Array(n.toFloat, fmt.getSampleRate, fmt.getChannels.toFloat,
+        peak.toFloat, sumAbs.toFloat, flips.toFloat)
+    }
+
+  /** Registered query over the REAL audio decode (same batched plumbing as
+    * the image path): the oracle re-generates the square wave per id with
+    * `range` + a lag window and recomputes every column as integer
+    * arithmetic — container parse, endianness, sign handling, and frame
+    * accounting are all under the hash. */
+  def audioDecodeQuery(s: SparkSession, d: String): DataFrame =
+    decodeBatched(audioAssets(s, d), audioBatchKernel).toDF().select(
+      col("asset_id"),
+      element_at(col("features"), 1).cast("int").as("n_samples"),
+      element_at(col("features"), 2).cast("int").as("sample_rate"),
+      element_at(col("features"), 3).cast("int").as("n_channels"),
+      element_at(col("features"), 4).cast("int").as("peak"),
+      element_at(col("features"), 5).cast("long").as("sum_abs"),
+      element_at(col("features"), 6).cast("int").as("n_sign_flips"))
 }

@@ -86,6 +86,29 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("not a decodable image"))
   }
 
+  test("real wav decode recovers format, peak, volume, and zero crossings exactly") {
+    // id = 5: n = 69 samples, half-period 7, amp 1050 → peak 1050,
+    // sum|x| = 69·1050, sign flips at i = 7, 14, …, 63 → 9 — all integers,
+    // hand-derived from the synthesis formula (PCM/WAV is lossless)
+    val feats = Multimodal.audioBatchKernel(Seq(Multimodal.syntheticWav(5L))).head
+    assert(feats(0) === 69.0f, "n_samples")
+    assert(feats(1) === 8000.0f, "sample_rate")
+    assert(feats(2) === 1.0f, "channels")
+    assert(feats(3) === 1050.0f, "peak")
+    assert(feats(4) === (69 * 1050).toFloat, "sum_abs")
+    assert(feats(5) === 9.0f, "sign flips")
+    // query-level: every asset decodes and matches the formula
+    val rows = Multimodal.audioDecodeQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Int]("n_samples") === (64 + id % 33).toInt, s"asset $id")
+      assert(r.getAs[Int]("peak") === (1000 + (id % 100) * 10).toInt, s"asset $id")
+      assert(r.getAs[Long]("sum_abs") ===
+        (64 + id % 33) * (1000 + (id % 100) * 10), s"asset $id")
+    }
+  }
+
   test("frame sampling slices the payload into n fixed-size frames") {
     val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf), frameBytes = 16, nFrames = 3)
       .select("frames").head().getSeq[Array[Byte]](0)
