@@ -248,6 +248,7 @@ object SparkEntry {
     "q_label_prop" -> (Graph.labelPropGate _),
     "q_ppr" -> (Graph.pprGate _),
     "q_random_walks" -> (Graph.randomWalkGate _),
+    "q_sssp" -> (Graph.ssspGate _),
     "q_bfs_hops" -> (Graph.bfsGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
@@ -2466,6 +2467,36 @@ object SparkEntry {
       base + rounds +
         """
           |SELECT node AS doc_id, CAST(dist AS BIGINT) AS hops FROM d4""".stripMargin
+    },
+    // the SAME 4 min-plus rounds as the Spark plan with the SAME integer
+    // basis-point weight derivation (10000 − round(j·10⁴)) — exact long
+    // arithmetic end to end, so distances hash directly
+    "q_sssp" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b,
+          |CAST(10000 - round(round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
+          |* 10000) AS BIGINT) AS w
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+          |e AS MATERIALIZED (SELECT a, b, w FROM p UNION ALL SELECT b, a, w FROM p),
+          |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+          |FROM (SELECT DISTINCT a AS node FROM e) WHERE node % 10 = 0)""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |SELECT node, dist FROM d${i - 1}
+           |UNION ALL SELECT e.a AS node, d.dist + e.w FROM e
+           |JOIN d${i - 1} d ON d.node = e.b) GROUP BY node)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist_bp FROM d4""".stripMargin
     },
     // the SAME 4 LCG-ranked hops as the Spark walk, unrolled over the same
     // id-ordered adjacency; every choice is 1 + lcg(start, node, t) mod deg

@@ -668,6 +668,56 @@ object Graph {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Weighted single-source (multi-seed) shortest paths by FIXED-ROUND
+    * min-plus relaxation — [[bfsHops]] with the hop metric replaced by an
+    * INTEGER dissimilarity weight: w = 10000 − round(jaccard·10⁴) basis
+    * points, so near-identical documents are cheap to traverse and the
+    * distance "how far is v from the flagged set, moving through
+    * similarity" is exact long arithmetic end to end (no float ever enters
+    * the relaxation — the reason the gate can hash distances directly
+    * instead of quantizing). After k rounds each present node carries the
+    * exact minimum path weight over ≤k-edge paths from any seed — genuine
+    * Bellman-Ford semantics, which the oracle unrolls identically; unlike
+    * the hop metric, a k-bounded weighted distance can still shrink with
+    * more rounds (a long cheap path), and that bound is part of the
+    * contract both engines compute.
+    *
+    * Scale shape identical to [[bfsHops]]: per round one |E| join keyed on
+    * node id + one min aggregate; the distance frame is ≤|V| rows. */
+  def ssspWeighted(pairs: DataFrame, seedEvery: Int = 10, rounds: Int = 4): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"),
+        (lit(10000L) - round(col("jaccard") * 10000).cast("long")).as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val sym = cut(und.unionAll(
+      und.select(col("b").as("a"), col("a").as("b"), col("w"))))
+    var dist = cut(sym.select(col("a").as("node")).distinct()
+      .filter(col("node") % seedEvery === 0)
+      .select(col("node"), lit(0L).as("dist_bp")))
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.select(col("node").as("b"), col("dist_bp")), Seq("b"))
+        .select(col("a").as("node"), (col("dist_bp") + col("w")).as("dist_bp"))
+      dist = cut(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist_bp")).as("dist_bp")))
+    }
+    dist.select(col("node").as("doc_id"), col("dist_bp"))
+  }
+
+  /** `q_sssp` gate: exact ≤4-edge weighted distances from the % 10 seed
+    * set over the doc<200 pair graph, weights in integer basis points of
+    * bigram dissimilarity. Oracle unrolls the same relaxation with the
+    * same weight derivation. */
+  def ssspGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try ssspWeighted(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Deterministic pseudo-random walks — the node2vec/DeepWalk positive-
     * pair sampler with the RNG replaced by the engine-portable LCG
     * ([[Corpus.lcgStep]]): from every node, `steps` uniform-neighbor hops

@@ -215,6 +215,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.bfsHops(noSeed, seedEvery = 10, rounds = 4).count() === 0L)
   }
 
+  test("weighted sssp: multi-edge cheap path beats direct edge, exact integer distances") {
+    import spark.implicits._
+    // seeds = node 10. Direct 10—12 costs 7000 bp (j=0.3); the detour
+    // 10—11—12 costs 5000+1000 = 6000 (j=0.5, 0.9) — relaxation must take
+    // it. Node 13 hangs off 12 (j=0.25 → 7500) → 13500 via the detour.
+    val pairs = Seq(
+      (10L, 11L, 0.5), (11L, 12L, 0.9), (10L, 12L, 0.3), (12L, 13L, 0.25))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Graph.ssspWeighted(pairs, seedEvery = 10, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 0L, 11L -> 5000L, 12L -> 6000L, 13L -> 13500L))
+    // with a 1-round bound the detour is invisible: the direct edge wins
+    val oneRound = Graph.ssspWeighted(pairs, seedEvery = 10, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound(12L) === 7000L, "bounded relaxation sees only <=1-edge paths")
+  }
+
   test("random walks: every hop is an edge, every start covered, fully deterministic") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
