@@ -1,6 +1,6 @@
 package graft
 
-import graft.ml.{LexiconScorer, MlSentimentScorer}
+import graft.ml.{LexiconScorer, MlSentimentScorer, NaiveBayesLang}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -102,6 +102,7 @@ object SparkEntry {
       LexiconScorer.score(Tables.documents(s, d))
         .groupBy(col("sentiment")).agg(count(lit(1)).as("n_docs"))),
     "q_sentiment_ml" -> ((s, d) => MlSentimentScorer.mlGate(s, d)),
+    "q_naive_bayes" -> (NaiveBayesLang.predictQuery _),
     // -- dedup (§2.11 D1/D2) ----------------------------------------------
     "q_dedup_exact" -> (Dedup.exactDedupDocs _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
@@ -775,6 +776,34 @@ object SparkEntry {
         |len(regexp_extract_all(lower(text), '\b(fast|good|great)\b')) AS p,
         |len(regexp_extract_all(lower(text), '\b(slow|bad|poor)\b')) AS n
         |FROM documents)""".stripMargin,
+    // in-engine multinomial NB: the oracle re-derives the sufficient
+    // statistics (per-(lang, tok) counts, totals, vocab, priors) and the
+    // Laplace-smoothed argmax; doubles feed only the argmax — the hashed
+    // payload is (pred, actual, correct), never a float
+    "q_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |FROM documents),
+        |model AS (SELECT lang AS cand, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+        |ltot AS (SELECT lang AS cand, count(*) AS tot FROM toks GROUP BY lang),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |prior AS (SELECT lang AS cand,
+        |ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) AS lp
+        |FROM documents GROUP BY lang),
+        |scored AS (SELECT t.doc_id, l.cand,
+        |sum(ln((coalesce(m.c, 0) + 1) * 1.0 / (l.tot + (SELECT v FROM vocab)))) AS ll
+        |FROM (SELECT doc_id, tok FROM toks) t
+        |CROSS JOIN ltot l
+        |LEFT JOIN model m ON m.cand = l.cand AND m.tok = t.tok
+        |GROUP BY t.doc_id, l.cand),
+        |tot AS (SELECT s.doc_id, s.cand, s.ll + p.lp AS score
+        |FROM scored s JOIN prior p ON p.cand = s.cand),
+        |pred AS (SELECT doc_id, cand FROM (SELECT doc_id, cand,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        |FROM tot) WHERE rn = 1)
+        |SELECT d.doc_id, p.cand AS pred_lang, d.lang AS actual_lang,
+        |CAST(CASE WHEN p.cand = d.lang THEN 1 ELSE 0 END AS INT) AS correct
+        |FROM documents d JOIN pred p ON p.doc_id = d.doc_id""".stripMargin,
     // the streaming enrichment drained via AvailableNow must equal this
     // single batch pass over the pending half of the silver table — the
     // exactly-once contract as a hash compare (dup or lost micro-batch

@@ -115,4 +115,32 @@ class SentimentSpec extends SparkSpec {
     assert(row.getAs[Int]("agree_ok") == 1,
       s"ML/lexicon agreement $agree/$ns under the 0.6 gate bound")
   }
+
+  test("naive bayes: disjoint vocabularies classify perfectly, ties break to the smaller class") {
+    def nb(rows: Seq[(Long, String, String)]) =
+      graft.ml.NaiveBayesLang.predict(rows.toDF("doc_id", "text", "lang"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("pred_lang"), r.getAs[Int]("correct"))).toMap
+    // fully separable: class vocabulary never overlaps → every doc correct
+    val sep = nb(Seq(
+      (1L, "aa bb aa", "x"), (2L, "bb aa bb", "x"),
+      (3L, "cc dd cc", "y"), (4L, "dd cc dd", "y")))
+    assert(sep.values.forall(_._2 === 1), s"separable corpus must be exact: $sep")
+    // two classes with IDENTICAL training content: every score ties exactly
+    // and the (score DESC, lang ASC) tie-break must pick the lexically
+    // smaller class for both docs, deterministically
+    val tied = nb(Seq((1L, "aa", "x"), (2L, "aa", "y")))
+    assert(tied(1L) === (("x", 1)) && tied(2L) === (("x", 0)),
+      s"exact tie breaks to the lexically smaller lang: $tied")
+  }
+
+  test("naive bayes on the corpus beats the majority-class baseline") {
+    val out = graft.ml.NaiveBayesLang.predictQuery(spark, sf).cache()
+    val n = out.count().toDouble
+    val acc = out.agg(sum(col("correct"))).head().getLong(0) / n
+    val majority = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().agg(max("count")).head().getLong(0) / n
+    assert(acc > majority, f"NB $acc%.3f must beat majority $majority%.3f")
+    out.unpersist()
+  }
 }
