@@ -270,6 +270,7 @@ object SparkEntry {
     "q_stream_enrich" -> (streaming.EnrichStream.enrichedBatch _),
     "q_stream_interval_join" -> (streaming.EventsStream.intervalJoinOuterGate _),
     "q_stream_window_agg" -> (streaming.EventsStream.windowedAggGate _),
+    "q_stream_rollup" -> (streaming.EventsStream.twoLevelGate _),
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
     "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
     "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
@@ -861,6 +862,20 @@ object SparkEntry {
         |event_type, count(*) AS n_events,
         |sum(CAST(floor(value * 100) AS BIGINT)) AS total_cents
         |FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2""".stripMargin,
+    // the chained two-level drain: the oracle rolls the batch hourly truth
+    // into days and ENCODES THE APPEND EMISSION RULE — only days whose end
+    // <= the final watermark (max sampled ts + 2 h sentinel - 30 min delay)
+    // may appear; the held partial tail day on either engine flips the hash
+    "q_stream_rollup" ->
+      """WITH s AS (SELECT ts, event_type, value FROM events WHERE user_id % 10 = 0),
+        |h AS (SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n,
+        |sum(CAST(floor(value * 100) AS BIGINT)) AS cents FROM s GROUP BY 1, 2),
+        |wm AS (SELECT max(ts) + INTERVAL 90 MINUTE AS w FROM s)
+        |SELECT CAST(floor(epoch(date_trunc('day', hs))) AS BIGINT) AS day_s,
+        |event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |count(*) AS n_hours, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM h WHERE date_trunc('day', hs) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |GROUP BY 1, 2""".stripMargin,
     // drained streaming session windows must equal the batch
     // gaps-and-islands recomputation (the q_session_windows oracle over the
     // sampled users): a session split on a sub-gap pause, merged across a

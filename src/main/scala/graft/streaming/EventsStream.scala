@@ -259,6 +259,42 @@ object EventsStream {
         .format("parquet").option("path", out).start()
     }(identity)
 
+  /** CHAINED stateful aggregation — hourly windows rolled into daily
+    * windows inside ONE streaming query (two stateful operators back to
+    * back, the multi-agg support of Spark 3.4+; `window_time` re-exposes
+    * the finalized hourly window's event time to the second `window()`).
+    * The semantics under test are the watermark HANDOFF: the second
+    * operator may only finalize a day once every hourly window of that day
+    * has itself been finalized and handed downstream, and append mode
+    * emits a daily row exactly when the global watermark passes the day
+    * end. The staged sentinel (max+2 h → final watermark max+90 min)
+    * closes every day that ends before it; the LAST partial day stays
+    * held, and the ORACLE ENCODES THE EMISSION RULE — it rolls the batch
+    * hourly truth into days and keeps only days whose end ≤ the final
+    * watermark. The sentinel's own hourly window ends past the final
+    * watermark, so it never reaches level 2 at all. */
+  def twoLevelRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .groupBy(window(window_time(col("w")), "1 day").as("d"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_hours"),
+        sum(col("cents")).as("total_cents"))
+      .select(unix_timestamp(col("d.start")).as("day_s"), col("event_type"),
+        col("n_events"), col("n_hours"), col("total_cents"))
+
+  /** Chained two-level rollup AS a gate query (`q_stream_rollup`). */
+  def twoLevelGate(spark: SparkSession, d: String): DataFrame =
+    drainGate(spark, "graft-stream-rollup-gate") { (out, ckpt) =>
+      twoLevelRollup(readEvents(spark, stageEvents(spark, d)))
+        .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }(identity)
+
   /** Streaming session windows (30-minute gap): consecutive events of a
     * user merge while each arrives within the gap of the session's current
     * end; a session emits when the watermark passes its end (last event +
