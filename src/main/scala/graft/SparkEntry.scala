@@ -134,6 +134,7 @@ object SparkEntry {
     // -- text analysis (D5) -----------------------------------------------
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_bpe_tokens" -> (TextAnalysis.bpeTokens _),
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_lang_id" -> (TextAnalysis.langIdDocs _),
     "q_fingerprints" -> (TextAnalysis.fingerprints _),
@@ -1029,6 +1030,31 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
          |CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+    },
+    // BPE TRAINING unrolled: per round, pair counts over the current
+    // distinct-word frequency table, scalar-subquery argmax (cnt DESC,
+    // pair ASC), merge via replace into digit symbols — the identical
+    // operation tree as the Spark trainer's loop
+    "q_bpe_train" -> {
+      val base =
+        """WITH w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM
+          |(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          |FROM documents) GROUP BY word)""".stripMargin
+      val rounds = (1 to 4).map { k =>
+        s""",
+           |p$k AS MATERIALIZED (SELECT pair, sum(freq) AS cnt FROM (
+           |SELECT unnest(list_transform(range(1, len(word)),
+           |i -> substr(word, i, 2))) AS pair, freq FROM w${k - 1}) GROUP BY pair),
+           |m$k AS MATERIALIZED (SELECT pair, cnt FROM p$k
+           |ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |w$k AS MATERIALIZED (SELECT word, sum(freq) AS freq FROM (
+           |SELECT replace(word, (SELECT pair FROM m$k), '$k') AS word, freq
+           |FROM w${k - 1}) GROUP BY word)""".stripMargin
+      }.mkString
+      base + rounds + "\n" + (1 to 4).map { k =>
+        s"""SELECT CAST($k AS INT) AS rank, (SELECT pair FROM m$k) AS pair,
+           |CAST((SELECT cnt FROM m$k) AS BIGINT) AS merged_freq""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
     "q_quality_score" ->
       """SELECT doc_id,

@@ -558,6 +558,46 @@ object TextAnalysis {
       .toDF("doc_id", "n_words", "n_tokens")
   }
 
+  /** BPE vocabulary TRAINING in the engine — the learning side of
+    * [[bpeTokens]]: `merges` rounds of (count all adjacent symbol pairs
+    * weighted by word frequency → take the most frequent, ties to the
+    * lexically smallest → merge it everywhere), exactly Sennrich et al.
+    * 2016. Each round is ONE aggregation over the distinct-word frequency
+    * table (the standard trainer optimization — pair counts weight by word
+    * freq instead of rescanning the token stream, so per-round volume is
+    * vocabulary-bounded, not corpus-bounded) plus a 1-ROW collect of the
+    * winning pair — model state, the [[Embeddings]] treeAggregate pattern:
+    * the driver sees k pairs, never row data. Merged symbols are digits
+    * '1'..'9' (disjoint from the [a-z] word alphabet), so replace() is the
+    * exact merge step and learned pairs may recursively contain earlier
+    * outputs. The oracle unrolls the identical rounds as CTE chains with a
+    * scalar-subquery argmax — training, not just encoding, is under the
+    * hash. */
+  def bpeTrain(s: SparkSession, d: String, merges: Int = 4): DataFrame = {
+    import s.implicits._
+    require(merges <= 9, "digit output symbols")
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    var wf = Iterative.cutLineage(
+      toks.groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to merges) {
+      val top = wf.filter(length(col("word")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"),
+          col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).head()
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      learned += ((k, pair, cnt))
+      wf = Iterative.cutLineage(wf
+        .select(expr(s"replace(word, '$pair', '$k')").as("word"), col("freq"))
+        .groupBy(col("word")).agg(sum(col("freq")).as("freq")))
+    }
+    learned.toSeq.toDF("rank", "pair", "merged_freq")
+  }
+
   def vocabOovRates(s: SparkSession, d: String, vocabSize: Int = 1000): DataFrame = {
     val toks = Tables.documents(s, d).select(
       col("doc_id"),

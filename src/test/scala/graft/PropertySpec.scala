@@ -99,6 +99,23 @@ class PropertySpec extends SparkSpec {
       "at least one doc must actually compress")
   }
 
+  test("BPE training: monotone merge frequencies, distinct pairs, closed alphabet") {
+    val merges = TextAnalysis.bpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(merges.length === 4)
+    val freqs = merges.map(_.getAs[Long]("merged_freq"))
+    // round k's winner was available (or only just created, with count
+    // bounded by its parent) in round k-1, so the winning count can never
+    // rise — the greedy argmax invariant
+    freqs.sliding(2).foreach { case Array(a, b) => assert(a >= b, freqs.toSeq) }
+    assert(freqs.forall(_ > 0))
+    val pairs = merges.map(_.getAs[String]("pair"))
+    assert(pairs.distinct.length === 4, "a merged pair cannot win twice")
+    // inputs are corpus letters or outputs of earlier merges (digits)
+    pairs.foreach(p => assert(p.length === 2 &&
+      p.forall(c => (c >= 'a' && c <= 'z') || (c >= '1' && c <= '9')), p))
+  }
+
   test("sequence packing covers every doc within budget for random corpora") {
     val docsGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 10000L), Gen.choose(1, 700)))
     samples(docsGen, 5).foreach { rows =>
