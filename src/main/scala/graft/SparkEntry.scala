@@ -227,6 +227,7 @@ object SparkEntry {
     "q_join_salted" -> (Skew.saltedCustomerOrdersAgg _),
     "q_split_manifest" -> (Corpus.splitManifest _),
     "q_cluster_split" -> (Corpus.clusterSplit _),
+    "q_pretrain_pipeline" -> (Corpus.pretrainManifest _),
     "q_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovRates(s, d)),
     "q_funnel_ordered" -> (Relational.orderedFunnel _),
     "q_ols_by_group" -> (Relational.olsByGroup _),
@@ -1513,6 +1514,37 @@ object SparkEntry {
         |CAST(nt >= 50 AND nt <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
         |AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stops >= 2 AS INT) AS pass
         |FROM c""".stripMargin,
+    // the whole pipeline composed: gopher pass → min-id-per-text dedup →
+    // LCG split → LCG shard → manifest; stage INTERACTIONS are under the
+    // hash (dedup-before-quality or pre-dedup split keys change the counts)
+    "q_pretrain_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+        |FROM documents),
+        |c AS (SELECT doc_id, text, len(toks) AS nt,
+        |length(replace(text, ' ', '')) / nullif(len(toks), 0) AS mean_wl,
+        |(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))
+        |/ nullif(len(toks), 0) AS symbol_ratio,
+        |len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |/ nullif(len(toks), 0) AS alpha_frac,
+        |len(list_intersect(list_distinct(toks),
+        |['the','be','to','of','and','that','have','with'])) AS n_stops
+        |FROM t),
+        |q AS (SELECT doc_id, text, nt FROM c
+        |WHERE nt >= 50 AND nt <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |a AS (SELECT q.doc_id, q.nt,
+        |CAST(FLOOR((((q.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) * 100
+        |/ 2147483648.0) AS INT) AS bucket,
+        |CAST(FLOOR((((q.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) * 8
+        |/ 2147483648.0) AS INT) AS shard
+        |FROM q JOIN k USING (doc_id))
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |ELSE 'test' END AS split, shard, count(*) AS n_docs,
+        |CAST(sum(nt) AS BIGINT) AS tokens_sum,
+        |CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source, bucket FROM (
         |SELECT doc_id, source,

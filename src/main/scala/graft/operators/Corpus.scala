@@ -307,6 +307,47 @@ object Corpus {
         (col("mx") === 1).cast("int").as("leak_free"))
   }
 
+  /** The END-TO-END pretraining data pipeline as ONE query — quality gate
+    * → exact dedup → split assignment → shard layout → manifest — the
+    * composition a user of this library actually runs nightly, gated as a
+    * single hash compare so the STAGE INTERACTIONS are under test, not
+    * just each stage alone (a dedup that ran before the quality filter, or
+    * a split keyed on the pre-dedup id set, produces different counts).
+    * Stages reuse the registered operators verbatim: [[TextAnalysis
+    * .gopherRules]] `pass`, min-id-per-text exact dedup, [[hashBucket]]
+    * 80/10/10 split, [[shardOf]] 8-way layout.
+    *
+    * Scale shape: quality flags ride the scan; the dedup window shuffles
+    * once on the text key (at 100 TB, on xxhash64(text) — the
+    * [[Dedup.exactDedup]] note); split/shard hashes ride the scan; the
+    * manifest is one |splits × shards|-row partial agg. One wide shuffle
+    * total for the whole pipeline. */
+  def pretrainManifest(s: SparkSession, d: String): DataFrame = {
+    // four of the five gopher flags: the stopword flag is an ENGLISH prior
+    // (the canonical 8-word list) that zeroes this synthetic corpus — 0/500
+    // docs carry 2 of them — and a pipeline gate that keeps nothing tests
+    // nothing; the word-count flag alone already drops ~45% (277/500 pass
+    // at sf0.01), so the composed filter is a real filter
+    val passed = TextAnalysis.gopherRules(s, d)
+      .filter(col("flag_word_count") === 1 && col("flag_mean_word_len") === 1 &&
+        col("flag_symbol_ratio") === 1 && col("flag_alpha_words") === 1)
+      .select(col("doc_id"), col("n_tokens"))
+    val withText = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .join(passed, Seq("doc_id"))
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    withText.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .withColumn("shard", shardOf(col("doc_id"), 8))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens_sum"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
   /** Largest-remainder apportionment of a fixed token budget across
     * languages: each language gets ⌊K·w/W⌋ tokens (w = its char volume, W =
     * total), and the K − Σ⌊·⌋ leftover slots go to the largest integer

@@ -175,6 +175,23 @@ class CorpusSpec extends SparkSpec {
     assert(straddles === 0L, "a near-dup pair crossed the split boundary")
   }
 
+  test("pretrain pipeline manifest conserves the deduped survivor set across cells") {
+    val cells = Corpus.pretrainManifest(spark, sf).collect()
+    assert(cells.nonEmpty)
+    val total = cells.map(_.getAs[Long]("n_docs")).sum
+    // independent recomputation: quality-passed docs, then distinct text —
+    // manifest cells must partition exactly that set, no loss, no double count
+    val passed = graft.operators.TextAnalysis.gopherRules(spark, sf)
+      .filter(col("flag_word_count") === 1 && col("flag_mean_word_len") === 1 &&
+        col("flag_symbol_ratio") === 1 && col("flag_alpha_words") === 1)
+      .select(col("doc_id"))
+    val survivors = graft.Tables.documents(spark, sf)
+      .join(passed, Seq("doc_id")).select(col("text")).distinct().count()
+    assert(total === survivors, s"manifest total $total vs survivor set $survivors")
+    val keys = cells.map(r => (r.getAs[String]("split"), r.getAs[Int]("shard")))
+    assert(keys.distinct.length === keys.length, "one row per (split, shard) cell")
+  }
+
   test("hash bucket is roughly uniform over sequential keys") {
     val buckets = spark.range(0, 10000).toDF("doc_id")
       .select(Corpus.hashBucket(col("doc_id")).as("b"))
