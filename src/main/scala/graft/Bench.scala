@@ -147,7 +147,10 @@ object Bench {
       // staged once each
       "cc-pair-build" -> (() => {
         operators.Dedup.ccPairArtifact(spark, sfDir)
-        operators.Dedup.triPairArtifact(spark, sfDir); ()
+        operators.Dedup.triPairArtifact(spark, sfDir)
+        // the doc<200 component labels ride the same build slot: the
+        // cluster-keyed split reads the label artifact, not the contraction
+        operators.Graph.triClusterLabels(spark, sfDir); ()
       }),
       // RP signatures are a corpus build too: without the artifact, the
       // cosine-LSH self-join derives the 96-hyperplane projection twice

@@ -282,7 +282,7 @@ object Corpus {
     * one partial-agg shuffle of |splits| rows plus a group-keyed
     * distinct-split check that only touches (grp, split) pairs. */
   def clusterSplit(s: SparkSession, d: String): DataFrame = {
-    val labels = Graph.connectedComponentsStar(Dedup.triPairArtifact(s, d))
+    val labels = Graph.triClusterLabels(s, d)
     val assigned = Tables.documents(s, d).select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),

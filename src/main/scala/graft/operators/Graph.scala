@@ -439,6 +439,19 @@ object Graph {
       .distinct()
   }
 
+  /** Component labels of the doc<200 pair graph, memoized per (session,
+    * corpus dir) — the star-contraction fixpoint is a corpus BUILD (the
+    * [[Dedup.clusterLabels]] contract): the cluster-keyed split and any
+    * other label consumer read the artifact; rebuilding the contraction
+    * inside each consumer would re-pay the per-round driver probes. */
+  @transient private lazy val triLabelCache =
+    new SessionCache[String, DataFrame](_.unpersist())
+
+  def triClusterLabels(s: SparkSession, d: String): DataFrame =
+    triLabelCache.getOrCompute(s, d) {
+      connectedComponentsStar(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    }
+
   /** `q_cc_star` gate: star contraction over the SAME memoized exact
     * bounded pair set as `q_cc_recursive` ([[Dedup.ccPairArtifact]]) — two
     * independent component algorithms checked against one recursive-CTE
