@@ -252,6 +252,9 @@ object SparkEntry {
     "q_ppr" -> (Graph.pprGate _),
     "q_random_walks" -> (Graph.randomWalkGate _),
     "q_sssp" -> (Graph.ssspGate _),
+    "q_graph_centrality" -> (Graph.centralityGate _),
+    "q_assortativity" -> (Graph.assortativityGate _),
+    "q_modularity" -> (Graph.modularityGate _),
     "q_bfs_hops" -> (Graph.bfsGate _),
     "q_dq_checks" -> (Audit.dqChecks _),
     "q_column_stats" -> (Audit.columnStats _),
@@ -2599,6 +2602,97 @@ object SparkEntry {
       base + rounds +
         """
           |SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist_bp FROM d4""".stripMargin
+    },
+    // exact integer moments of (deg(src), deg(dst)) over every directed
+    // edge; the coefficient is a pure function of those integers, so the
+    // double expression is bit-identical across engines
+    "q_assortativity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+        |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+        |j AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+        |JOIN deg dx ON dx.node = e.a JOIN deg dy ON dy.node = e.b),
+        |s AS (SELECT count(*) AS n_edges,
+        |CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |CAST(sum(y * y) AS BIGINT) AS sum_y2 FROM j)
+        |SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+        |round(CAST(n_edges * sum_xy - sum_x * sum_y AS DOUBLE)
+        |/ sqrt(CAST(n_edges * sum_x2 - sum_x * sum_x AS DOUBLE)
+        |* CAST(n_edges * sum_y2 - sum_y * sum_y AS DOUBLE)), 6) AS assortativity
+        |FROM s""".stripMargin,
+    // the q_label_prop unroll chained into the all-integer modularity
+    // functional Q·4m² = Σ_c (4·m·l_c − d_c²) — community detection AND
+    // its quality under one hash, no float anywhere
+    "q_modularity" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+          |e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          |l0 AS MATERIALIZED (SELECT node, node AS lbl
+          |FROM (SELECT DISTINCT a AS node FROM e))""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS cnt
+           |FROM e JOIN l${i - 1} l ON l.node = e.b GROUP BY e.a, l.lbl),
+           |l$i AS MATERIALIZED (SELECT a AS node, lbl FROM (
+           |SELECT a, lbl, row_number() OVER (PARTITION BY a
+           |ORDER BY cnt DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + rounds +
+        """,
+          |m AS (SELECT count(*) AS m FROM p),
+          |intra AS (SELECT la.lbl AS community, count(*) AS l_c FROM p
+          |JOIN l4 la ON la.node = p.a JOIN l4 lb ON lb.node = p.b
+          |WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+          |degc AS (SELECT l.lbl AS community, count(*) AS d_c FROM e
+          |JOIN l4 l ON l.node = e.a GROUP BY l.lbl),
+          |terms AS (SELECT 4 * (SELECT m FROM m) * COALESCE(i.l_c, 0)
+          |- d.d_c * d.d_c AS term FROM degc d LEFT JOIN intra i USING (community))
+          |SELECT CAST(sum(term) AS BIGINT) AS q_4m2,
+          |CAST((SELECT m FROM m) AS BIGINT) AS n_edges FROM terms""".stripMargin
+    },
+    // the SAME all-pairs radius-4 relaxation, unrolled over (src, node)
+    // pairs; harmonic = integer sum 12 DIV d, so the payload is all-long
+    "q_graph_centrality" -> {
+      val base =
+        """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          |FROM documents WHERE doc_id < 200),
+          |g AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+          |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+          |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+          |FROM g a, g b WHERE a.doc_id < b.doc_id
+          |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+          |e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+          |d0 AS MATERIALIZED (SELECT node AS src, node, CAST(0 AS BIGINT) AS dist
+          |FROM (SELECT DISTINCT a AS node FROM e))""".stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT src, node, min(dist) AS dist FROM (
+           |SELECT src, node, dist FROM d${i - 1}
+           |UNION ALL SELECT d.src, e.a AS node, d.dist + 1 FROM e
+           |JOIN d${i - 1} d ON d.node = e.b) GROUP BY src, node)""".stripMargin
+      }.mkString
+      base + rounds +
+        """
+          |SELECT src AS doc_id, CAST(sum(12 // dist) AS BIGINT) AS h12,
+          |CAST(max(dist) AS BIGINT) AS ecc4, count(*) AS n_reached
+          |FROM d4 WHERE dist > 0 GROUP BY src""".stripMargin
     },
     // the SAME 4 LCG-ranked hops as the Spark walk, unrolled over the same
     // id-ordered adjacency; every choice is 1 + lcg(start, node, t) mod deg

@@ -731,6 +731,52 @@ object Graph {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Per-node centrality profile over the radius-k ball: ALL-PAIRS hop
+    * distances by running the [[bfsHops]] min-relaxation from EVERY node
+    * simultaneously — the frame is keyed (src, node), so one round is
+    * still one equi-join keyed on node id, just over |V|·ball rows — then
+    * per source: harmonic centrality, eccentricity, and reach. Harmonic
+    * ships as the INTEGER Σ lcm(1..k)/d (k=4 → 12/d ∈ {12,6,4,3}), so the
+    * classic float centrality becomes exact long arithmetic and hashes
+    * directly — the same trick as [[ssspWeighted]]'s basis points. The
+    * corpus reading: high h12 = hub of a dup neighborhood (a canonical-
+    * doc candidate), ecc/reach = how far its influence extends. Truncated
+    * at radius k BY CONTRACT (both engines compute the same ball) — the
+    * honest form at scale, where exact all-pairs distances don't exist
+    * and HyperBall-style sketches estimate exactly this truncated sum. */
+  def centralityProfile(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Iterative.cutLineage(df)
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = cut(und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
+    var dist = cut(sym.select(col("a").as("node")).distinct()
+      .select(col("node").as("src"), col("node"), lit(0L).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.select(col("src"), col("node").as("b"), col("dist")), Seq("b"))
+        .select(col("src"), col("a").as("node"), (col("dist") + 1).as("dist"))
+      dist = cut(dist.unionAll(relaxed)
+        .groupBy(col("src"), col("node")).agg(min(col("dist")).as("dist")))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("src").as("doc_id"))
+      .agg(sum(expr("12 DIV dist")).as("h12"),
+        max(col("dist")).as("ecc4"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /** `q_graph_centrality` gate: the radius-4 centrality profile of every
+    * node in the doc<200 pair graph. Oracle unrolls the identical
+    * all-pairs relaxation. */
+  def centralityGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try centralityProfile(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Deterministic pseudo-random walks — the node2vec/DeepWalk positive-
     * pair sampler with the RNG replaced by the engine-portable LCG
     * ([[Corpus.lcgStep]]): from every node, `steps` uniform-neighbor hops
@@ -782,6 +828,92 @@ object Graph {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try randomWalks(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Degree assortativity as SUFFICIENT STATISTICS: over every directed
+    * edge of the symmetric pair graph, the exact integer moments of
+    * (deg(src), deg(dst)) — n, Σx, Σy, Σxy, Σx², Σy² — plus the Pearson
+    * coefficient they determine. The moments are the hashable payload
+    * (all longs); the coefficient is safe to ship too because every input
+    * is integral, so both engines run the identical double expression
+    * (one correctly-rounded sqrt, one division) on identical operands —
+    * no accumulation-order ambiguity survives the integer aggregation.
+    * Assortative (r>0) graphs percolate dup clusters differently than
+    * disassortative ones — the diagnostic that decides hub-salting before
+    * the heavier kernels. One degree aggregate + two keyed joins + a
+    * 1-row reduction. */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .select(col("n_edges"), col("sum_x"), col("sum_y"), col("sum_xy"),
+        col("sum_x2"), col("sum_y2"),
+        round((col("n_edges") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
+          / sqrt((col("n_edges") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
+            * (col("n_edges") * col("sum_y2") - col("sum_y") * col("sum_y")).cast("double")), 6)
+          .as("assortativity"))
+  }
+
+  /** `q_assortativity` gate over the doc<200 pair graph. */
+  def assortativityGate(s: SparkSession, d: String): DataFrame =
+    degreeAssortativity(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+
+  /** Newman modularity of a labeling, in EXACT INTEGERS: Q·4m² =
+    * Σ_c (4·m·l_c − d_c²) with m = |undirected edges|, l_c = intra-
+    * community edge count, d_c = total degree of community c — the
+    * all-long form of Q = Σ_c (l_c/m − (d_c/2m)²), so evaluating the
+    * community quality needs no float anywhere (the [[ssspWeighted]]
+    * basis-point discipline applied to the modularity functional). Scale
+    * shape: one |E| join against the |V|-row label frame per side + two
+    * small aggregates. Applied to [[labelPropagation]]'s labels, this is
+    * the standard "did LPA find real structure" check (Q·4m² > 0 ⇔
+    * better than random). */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col("doc_id"), col("community"))
+    val tagged = und
+      .join(lab.select(col("doc_id").as("a"), col("community").as("ca")), Seq("a"))
+      .join(lab.select(col("doc_id").as("b"), col("community").as("cb")), Seq("b"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val intra = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_c"))
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val degC = sym.join(lab.select(col("doc_id").as("a"), col("community")), Seq("a"))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
+    degC.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select((lit(4) * col("m") * coalesce(col("l_c"), lit(0L))
+        - col("d_c") * col("d_c")).as("term"))
+      .agg(sum(col("term")).as("q_4m2"))
+      .crossJoin(broadcast(m))
+      .select(col("q_4m2"), col("m").as("n_edges"))
+  }
+
+  /** `q_modularity` gate: the integer modularity of the 4-round LPA
+    * labeling of the doc<200 graph — community detection AND its quality
+    * functional under one hash. Oracle chains the q_label_prop unroll
+    * with the same integer aggregation. */
+  def modularityGate(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val pairs = Dedup.triPairArtifact(s, d)
+      modularity(pairs, labelPropagation(pairs)).localCheckpoint(true)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Degree distribution of the same customer↔supplier graph: per side, how

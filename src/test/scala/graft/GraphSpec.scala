@@ -232,6 +232,49 @@ class GraphSpec extends SparkSpec {
     assert(oneRound(12L) === 7000L, "bounded relaxation sees only <=1-edge paths")
   }
 
+  test("centrality profile: star and chain hand values, truncation at the ball radius") {
+    import spark.implicits._
+    def prof(pairs: Seq[(Long, Long)]) =
+      Graph.centralityProfile(pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // star K1,4: hub reaches 4 at distance 1 (h12 = 48); each leaf reaches
+    // the hub at 1 and the 3 other leaves at 2 (12 + 3·6 = 30)
+    val star = prof((2L to 5L).map(l => (1L, l)))
+    assert(star(1L) === ((48L, 1L, 4L)))
+    (2L to 5L).foreach(l => assert(star(l) === ((30L, 2L, 4L)), s"leaf $l"))
+    // chain 1—…—6: endpoint 1 cannot reach node 6 inside radius 4
+    // (h12 = 12+6+4+3 = 25 over 4 nodes); center 3 reaches everything
+    // (two at 1, two at 2, one at 3: 24+12+4 = 40)
+    val chain = prof((1L until 6L).map(i => (i, i + 1)))
+    assert(chain(1L) === ((25L, 4L, 4L)), "endpoint truncated at the ball")
+    assert(chain(3L) === ((40L, 3L, 5L)), "center reaches the whole chain")
+  }
+
+  test("modularity: bridged triangles score the hand value, integer-exact") {
+    import spark.implicits._
+    // the LPA fixture: communities {1,2,3} and {4,5,6}, m = 7, l_c = 3
+    // each, d_c = 7 each → Q·4m² = 2·(4·7·3 − 49) = 70
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val r = Graph.modularity(pairs, Graph.labelPropagation(pairs)).head()
+    assert(r.getAs[Long]("q_4m2") === 70L && r.getAs[Long]("n_edges") === 7L)
+    // a single community over the same graph: Q·4m² = 4·7·7 − 14² = 0 —
+    // the everything-in-one-cluster null is worth exactly nothing
+    val one = pairs.select(col("doc_a").as("doc_id")).unionAll(
+      pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .select(col("doc_id"), lit(1L).as("community"))
+    assert(Graph.modularity(pairs, one).head().getAs[Long]("q_4m2") === 0L)
+  }
+
+  test("assortativity: a star is perfectly disassortative") {
+    import spark.implicits._
+    // K1,4: every edge joins degree 4 to degree 1 → r = −1 exactly
+    val star = (2L to 5L).map(l => (1L, l)).toDF("doc_a", "doc_b")
+    val r = Graph.degreeAssortativity(star).head()
+    assert(r.getAs[Long]("n_edges") === 8L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
   test("random walks: every hop is an edge, every start covered, fully deterministic") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
