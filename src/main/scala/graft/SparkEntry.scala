@@ -276,6 +276,7 @@ object SparkEntry {
     "q_stream_interval_join" -> (streaming.EventsStream.intervalJoinOuterGate _),
     "q_stream_window_agg" -> (streaming.EventsStream.windowedAggGate _),
     "q_stream_rollup" -> (streaming.EventsStream.twoLevelGate _),
+    "q_stream_join_agg" -> (streaming.EventsStream.joinAggGate _),
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
     "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
     "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
@@ -881,6 +882,24 @@ object SparkEntry {
         |count(*) AS n_hours, CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM h WHERE date_trunc('day', hs) + INTERVAL 1 DAY <= (SELECT w FROM wm)
         |GROUP BY 1, 2""".stripMargin,
+    // chained join→agg drain vs the one-batch hourly agg of the interval
+    // join: the sentinel's +2 h margin covers the join's 1 h output-
+    // watermark slack plus the 30 min delay for every real pair window
+    // (verified at all three SFs — the last pair window closes days before
+    // the final watermark), so the full batch agg IS the emitted set
+    "q_stream_join_agg" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        |FROM events WHERE event_type = 'view' AND user_id % 10 = 0),
+        |j AS (SELECT purchase_id, view_id, p_ts FROM p JOIN v
+        |ON user_id = v_user AND v_ts <= p_ts
+        |AND v_ts >= p_ts - INTERVAL 1 HOUR)
+        |SELECT CAST(floor(epoch(date_trunc('hour', p_ts))) AS BIGINT) AS ws,
+        |count(*) AS n_pairs,
+        |CAST(sum(purchase_id) AS BIGINT) AS purchase_checksum,
+        |CAST(sum(view_id) AS BIGINT) AS view_checksum
+        |FROM j GROUP BY 1""".stripMargin,
     // drained streaming session windows must equal the batch
     // gaps-and-islands recomputation (the q_session_windows oracle over the
     // sampled users): a session split on a sub-gap pause, merged across a

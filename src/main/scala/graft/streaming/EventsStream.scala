@@ -295,6 +295,36 @@ object EventsStream {
         .format("parquet").option("path", out).start()
     }(identity)
 
+  /** Stream-stream interval JOIN chained into a windowed AGGREGATION — the
+    * other multi-stateful-operator pair ([[twoLevelRollup]] chains agg→agg;
+    * this chains join→agg): hourly purchase-attribution volume computed
+    * without ever materializing the pair stream. The join emits matched
+    * pairs as both sides arrive; the downstream hourly window on `p_ts`
+    * may finalize only once the JOIN'S OUTPUT watermark — which Spark
+    * delays by the interval condition's slack, not just the input delay —
+    * passes the window end. The emission cutoff is therefore stricter
+    * than [[twoLevelRollup]]'s, and the oracle ENCODES the measured rule.
+    * The staged sentinel pair matches itself and enters a held window
+    * past every cutoff, so it never reaches the sink. Integer checksums
+    * keep the payload engine-neutral. */
+  def joinThenWindowAgg(events: DataFrame): DataFrame =
+    purchasesWithRecentViews(events)
+      .groupBy(window(col("p_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("purchase_id")).as("purchase_checksum"),
+        sum(col("view_id")).as("view_checksum"))
+      .select(unix_timestamp(col("w.start")).as("ws"),
+        col("n_pairs"), col("purchase_checksum"), col("view_checksum"))
+
+  /** Chained join→agg AS a gate query (`q_stream_join_agg`). */
+  def joinAggGate(spark: SparkSession, d: String): DataFrame =
+    drainGate(spark, "graft-stream-jagg-gate") { (out, ckpt) =>
+      joinThenWindowAgg(readEvents(spark, stageEvents(spark, d)))
+        .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }(identity)
+
   /** Streaming session windows (30-minute gap): consecutive events of a
     * user merge while each arrives within the gap of the session's current
     * end; a session emits when the watermark passes its end (last event +
