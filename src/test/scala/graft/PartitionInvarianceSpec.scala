@@ -80,6 +80,22 @@ class PartitionInvarianceSpec extends SparkSpec {
     assertInvariant(
       variants(pairs, "doc_a").map(graft.operators.Graph.randomWalks(_)),
       "walk trajectories")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.centralityProfile(_)),
+      "centrality profiles")
+    assertInvariant(
+      variants(pairs, "doc_a").map(graft.operators.Graph.degreeAssortativity),
+      "assortativity moments")
+    assertInvariant(
+      variants(pairs, "doc_a").map(p =>
+        graft.operators.Graph.modularity(p, graft.operators.Graph.labelPropagation(p))),
+      "modularity of LPA labels")
+    import spark.implicits._
+    val weighted = Seq((1L, 2L, 0.5), (2L, 3L, 0.9), (10L, 11L, 0.3),
+      (3L, 4L, 0.25), (11L, 12L, 0.7)).toDF("doc_a", "doc_b", "jaccard")
+    assertInvariant(
+      variants(weighted, "doc_a").map(graft.operators.Graph.ssspWeighted(_, seedEvery = 10)),
+      "weighted sssp distances")
   }
 
   test("salted aggregation equals plain groupBy under any partitioning (deterministic salts)") {
