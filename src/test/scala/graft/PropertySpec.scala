@@ -99,6 +99,14 @@ class PropertySpec extends SparkSpec {
       "at least one doc must actually compress")
   }
 
+  test("BPE tokenize plan is scan-local: no exchange anywhere") {
+    // the scaladoc's 100 TB claim — a narrow map over the documents scan —
+    // pinned against the physical plan, not just asserted in prose
+    val plan = TextAnalysis.bpeTokens(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpeTokens must not shuffle:\n$plan")
+  }
+
   test("BPE training: monotone merge frequencies, distinct pairs, closed alphabet") {
     val merges = TextAnalysis.bpeTrain(spark, sf).collect()
       .sortBy(_.getAs[Int]("rank"))

@@ -134,6 +134,15 @@ class SentimentSpec extends SparkSpec {
       s"exact tie breaks to the lexically smaller lang: $tied")
   }
 
+  test("naive bayes scoring plan broadcasts the class dimension, no cartesian") {
+    val plan = graft.ml.NaiveBayesLang.predictQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the |langs|-row candidate frame must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring must never plan a cartesian:\n$plan")
+  }
+
   test("naive bayes on the corpus beats the majority-class baseline") {
     val out = graft.ml.NaiveBayesLang.predictQuery(spark, sf).cache()
     val n = out.count().toDouble
