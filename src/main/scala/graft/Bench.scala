@@ -232,9 +232,14 @@ object Bench {
       }
     }.toMap
     // Pass 2: best-of-2, heaviest pass-1 readings first, budget permitting.
+    // Streaming drains are EXCLUDED from the retime (round-8 verdict #3):
+    // each one re-runs a full drain against a fresh checkpoint tree, their
+    // timings are checkpoint-IO-dominated (min-of-2 buys little), and as a
+    // family they cost ~20 s — the single biggest lever on the driver's
+    // 330 s budget margin. Their pass-1 reading stands.
     val fnOf = ordered.toMap
     for ((name, t1) <- pass1.toSeq.sortBy(-_._2)
-         if t1 > 0 && elapsedSec < budgetSec - 15) {
+         if t1 > 0 && !name.startsWith("q_stream_") && elapsedSec < budgetSec - 15) {
       val t2 = timeOnce(name, fnOf(name), recordFailure = false)
       if (t2 < 0) flaky ::= name else done.put(name, math.min(t1, t2))
     }

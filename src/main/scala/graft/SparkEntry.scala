@@ -275,6 +275,7 @@ object SparkEntry {
     "q_stream_enrich" -> (streaming.EnrichStream.enrichedBatch _),
     "q_stream_interval_join" -> (streaming.EventsStream.intervalJoinOuterGate _),
     "q_stream_window_agg" -> (streaming.EventsStream.windowedAggGate _),
+    "q_stream_recovery" -> (streaming.EventsStream.recoveryGate _),
     "q_stream_rollup" -> (streaming.EventsStream.twoLevelGate _),
     "q_stream_join_agg" -> (streaming.EventsStream.joinAggGate _),
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
@@ -866,7 +867,18 @@ object SparkEntry {
     "q_stream_window_agg" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
         |event_type, count(*) AS n_events,
-        |sum(CAST(floor(value * 100) AS BIGINT)) AS total_cents
+        |CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2""".stripMargin,
+    // checkpoint RECOVERY: the same windowed truth, but drained across two
+    // query lifetimes on one checkpoint (stop mid-stream, restart, resume).
+    // A replayed committed file double-counts, lost state under-counts the
+    // cut-straddling windows — both red against this one-batch GROUP BY;
+    // restart_ok carries the in-gate lifetime/commit-log assertions
+    "q_stream_recovery" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+        |event_type, count(*) AS n_events,
+        |CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |CAST(1 AS INT) AS restart_ok
         |FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2""".stripMargin,
     // the chained two-level drain: the oracle rolls the batch hourly truth
     // into days and ENCODES THE APPEND EMISSION RULE — only days whose end
@@ -883,15 +895,22 @@ object SparkEntry {
         |FROM h WHERE date_trunc('day', hs) + INTERVAL 1 DAY <= (SELECT w FROM wm)
         |GROUP BY 1, 2""".stripMargin,
     // chained join→agg drain vs the one-batch hourly agg of the interval
-    // join: the sentinel's +2 h margin covers the join's 1 h output-
-    // watermark slack plus the 30 min delay for every real pair window
-    // (verified at all three SFs — the last pair window closes days before
-    // the final watermark), so the full batch agg IS the emitted set
+    // join, WITH the emission rule encoded (the q_stream_rollup
+    // convention): the final input watermark is the sentinel (max+2 h)
+    // minus the 30 min delay, and the join's interval condition delays its
+    // OUTPUT watermark by the 1 h lookback slack, so only hourly windows
+    // ending <= max(ts)+30 min may appear. On the current corpus every
+    // real pair window closes days before that cutoff (verified at all
+    // three SFs), so the filter is a no-op today — it exists so a
+    // regenerated corpus with purchases near max(ts) moves the oracle and
+    // the engine together instead of failing spuriously closed
     "q_stream_join_agg" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
         |FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0),
         |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
         |FROM events WHERE event_type = 'view' AND user_id % 10 = 0),
+        |wm AS (SELECT max(ts) + INTERVAL 30 MINUTE AS w
+        |FROM events WHERE user_id % 10 = 0),
         |j AS (SELECT purchase_id, view_id, p_ts FROM p JOIN v
         |ON user_id = v_user AND v_ts <= p_ts
         |AND v_ts >= p_ts - INTERVAL 1 HOUR)
@@ -899,7 +918,9 @@ object SparkEntry {
         |count(*) AS n_pairs,
         |CAST(sum(purchase_id) AS BIGINT) AS purchase_checksum,
         |CAST(sum(view_id) AS BIGINT) AS view_checksum
-        |FROM j GROUP BY 1""".stripMargin,
+        |FROM j
+        |WHERE date_trunc('hour', p_ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |GROUP BY 1""".stripMargin,
     // drained streaming session windows must equal the batch
     // gaps-and-islands recomputation (the q_session_windows oracle over the
     // sampled users): a session split on a sub-gap pause, merged across a
@@ -930,8 +951,8 @@ object SparkEntry {
     "q_stream_profile" ->
       """WITH e AS (SELECT * FROM events WHERE user_id % 10 = 0),
         |c AS (SELECT user_id, count(*) AS n_events,
-        |COALESCE(sum(CASE WHEN event_type = 'purchase'
-        |THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS purchase_cents
+        |CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents
         |FROM e GROUP BY user_id),
         |p AS (SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
         |row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -2645,8 +2666,8 @@ object SparkEntry {
         |CAST(sum(y * y) AS BIGINT) AS sum_y2 FROM j)
         |SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
         |round(CAST(n_edges * sum_xy - sum_x * sum_y AS DOUBLE)
-        |/ sqrt(CAST(n_edges * sum_x2 - sum_x * sum_x AS DOUBLE)
-        |* CAST(n_edges * sum_y2 - sum_y * sum_y AS DOUBLE)), 6) AS assortativity
+        |/ sqrt(nullif(CAST(n_edges * sum_x2 - sum_x * sum_x AS DOUBLE)
+        |* CAST(n_edges * sum_y2 - sum_y * sum_y AS DOUBLE), 0)), 6) AS assortativity
         |FROM s""".stripMargin,
     // the q_label_prop unroll chained into the all-integer modularity
     // functional Q·4m² = Σ_c (4·m·l_c − d_c²) — community detection AND

@@ -283,10 +283,14 @@ object Graph {
                            checkpointEvery: Int = 2): DataFrame = {
     val teleport = Iterative.teleport(damping)
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
-    val seedSet = seeds.select(col("node")).distinct()
-    val nS = seedSet.agg(count(lit(1)).as("ns"))
-    val nodes = e.select(col("src").as("node"))
+    // normalize by seeds ∩ nodes, not the raw seed list: a seed absent from
+    // the edge set gets no node row, so dividing by |S| would leave
+    // teleport+dangling mass summing to <1 and break mass conservation
+    val nodeIds = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(col("node")).distinct().join(nodeIds, Seq("node"))
+    val nS = seedSet.agg(count(lit(1)).as("ns"))
+    val nodes = nodeIds
       .join(seedSet.withColumn("is_seed", lit(1)), Seq("node"), "left")
       .crossJoin(broadcast(nS))
       .select(col("node"),
@@ -859,9 +863,16 @@ object Graph {
         sum(col("y") * col("y")).as("sum_y2"))
       .select(col("n_edges"), col("sum_x"), col("sum_y"), col("sum_xy"),
         col("sum_x2"), col("sum_y2"),
-        round((col("n_edges") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
-          / sqrt((col("n_edges") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
-            * (col("n_edges") * col("sum_y2") - col("sum_y") * col("sum_y")).cast("double")), 6)
+        // degree-regular graphs (e.g. a perfect matching) zero the variance
+        // product; emit NULL rather than NaN so both engines agree (DuckDB's
+        // 0/0 behavior depends on ieee_floating_point_ops)
+        when((col("n_edges") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          * (col("n_edges") * col("sum_y2") - col("sum_y") * col("sum_y")) === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            round((col("n_edges") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
+              / sqrt((col("n_edges") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
+                * (col("n_edges") * col("sum_y2") - col("sum_y") * col("sum_y")).cast("double")), 6))
           .as("assortativity"))
   }
 

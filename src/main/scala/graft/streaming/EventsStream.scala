@@ -259,6 +259,99 @@ object EventsStream {
         .format("parquet").option("path", out).start()
     }(identity)
 
+  /** CHECKPOINT-RECOVERY gate (`q_stream_recovery`): [[windowedCents]]
+    * drained across TWO query lifetimes sharing one checkpoint — the
+    * exactly-once-across-a-RESTART contract, previously only spec-asserted.
+    * Lifetime 1 sees the chronologically first half of the sampled events
+    * (no sentinel), drains, and STOPS with the tail windows — including
+    * every window straddling the cut — still open in the state store.
+    * Lifetime 2 is a NEW StreamingQuery on the same checkpoint; the file
+    * log must skip the already-committed files (a re-read double-counts an
+    * open window), the restored state must merge with the second half's
+    * events (lost state under-counts the straddling windows), and the
+    * sentinel then closes every real window. The final sink equals the
+    * one-batch GROUP BY exactly — so both failure modes of recovery red
+    * the hash. Non-vacuousness is require()d in-gate: lifetime 1 must have
+    * emitted some windows and lifetime 2 must have added more, and the
+    * commit log must span both lifetimes (batches committed by each).
+    * The `restart_ok` payload flag carries those checks into the hash.
+    *
+    * Scale note: this is the operational path of every long-lived
+    * production stream (deploys restart queries weekly); state restore
+    * cost is one read of the per-partition store, not data-sized. */
+  def recoveryGate(spark: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-recov-gate")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val ev = sampledEvents(spark, d)
+      val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      val (mn, mx) = (mm.getTimestamp(0), mm.getTimestamp(1))
+      val cut = new java.sql.Timestamp(mn.getTime + (mx.getTime - mn.getTime) / 2)
+      // all staged files get explicit mtimes in strict tiers (lifetime-1 <
+      // second half < sentinel) AND strictly ordered by name within a tier
+      // (range partition order = ts order): the file source ingests
+      // oldest-first one file per trigger, so a same-millisecond tie could
+      // batch a later ts-range — or the sentinel's watermark jump — ahead
+      // of earlier real events, late-dropping them and redding the hash
+      def parquetFiles() = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSet
+      def orderTier(files: Set[java.io.File], baseMs: Long): Unit =
+        files.toSeq.sortBy(_.getName).zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(baseMs + i * 100) }
+      ev.filter(col("ts") < lit(cut)).repartitionByRange(2, col("ts"))
+        .write.mode("overwrite").parquet(srcDir)
+      val tier1 = parquetFiles()
+      val t1Max = tier1.map(_.lastModified()).max
+      orderTier(tier1, t1Max + 1000)
+      def start(): StreamingQuery =
+        windowedCents(readEvents(spark, srcDir, maxFilesPerTrigger = 1))
+          .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .format("parquet").option("path", outDir).start()
+      def commitCount(): Int = {
+        val f = new java.io.File(ckptDir, "commits").listFiles()
+        if (f == null) 0 else f.count(x => x.getName.forall(_.isDigit))
+      }
+      val q1 = start()
+      try q1.awaitTermination() finally q1.stop()
+      val c1 = commitCount()
+      val s1 = spark.read.parquet(outDir).count()
+      ev.filter(col("ts") >= lit(cut)).repartitionByRange(2, col("ts"))
+        .write.mode("append").parquet(srcDir)
+      orderTier(parquetFiles() -- tier1, t1Max + 3000)
+      val tier2 = parquetFiles()
+      ev.agg((max(col("ts")) + expr("INTERVAL 2 HOURS")).as("fts"))
+        .select(explode(array(
+          struct(lit(-1L).as("event_id"), col("fts").as("ts"),
+            lit(-999L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props")),
+          struct(lit(-2L).as("event_id"), col("fts").as("ts"),
+            lit(-999L).as("user_id"), lit("view").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props")))).as("e"))
+        .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
+          col("e.event_type"), col("e.value"), col("e.props"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      orderTier(parquetFiles() -- tier2, t1Max + 5000)
+      val q2 = start()
+      try q2.awaitTermination() finally q2.stop()
+      val c2 = commitCount()
+      val sink = spark.read.parquet(outDir)
+      val sFinal = sink.count()
+      require(q1.runId != q2.runId, "two lifetimes must be distinct runs")
+      require(c1 >= 1 && c2 > c1, s"commit log must span both lifetimes ($c1, $c2)")
+      require(s1 >= 1 && sFinal > s1, s"recovery must be non-vacuous ($s1 -> $sFinal)")
+      val result = sink
+        .withColumn("restart_ok", lit(1))
+        .localCheckpoint(true)
+      deleteRecursively(base.toFile)
+      result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** CHAINED stateful aggregation — hourly windows rolled into daily
     * windows inside ONE streaming query (two stateful operators back to
     * back, the multi-agg support of Spark 3.4+; `window_time` re-exposes

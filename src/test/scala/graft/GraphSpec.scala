@@ -316,4 +316,70 @@ class GraphSpec extends SparkSpec {
     val artifactAfter = graft.operators.Dedup.shingleArtifacts(s2, sf)._1
     assert(!(artifactAfter eq artifactBefore), "released artifact must rebuild on next access")
   }
+
+  test("personalized pagerank normalizes by seeds ∩ nodes: an absent seed is ignored") {
+    import spark.implicits._
+    // seeds {2, 99} on the 1→2→3 chain: 99 has no node row, so if the
+    // teleport divided by |S|=2, seed 2 would restart with mass 1/2 and the
+    // total would settle below 1 — the ADVICE-flagged leak. With the
+    // intersection the result must be IDENTICAL to seeding {2} alone.
+    val withAbsent = Graph.personalizedPageRank(chain(),
+      Seq(2L, 99L).toDF("node"), iters = 5).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    val presentOnly = Graph.personalizedPageRank(chain(),
+      Seq(2L).toDF("node"), iters = 5).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(withAbsent === presentOnly, "absent seed must not dilute restart mass")
+    assert(math.abs(withAbsent.values.sum - 1.0) < 1e-9,
+      s"mass conservation with an absent seed: total=${withAbsent.values.sum}")
+  }
+
+  test("degree assortativity emits NULL, not NaN, on a degree-regular graph") {
+    import spark.implicits._
+    // perfect matching 1—2, 3—4: every degree is 1, both variances are 0,
+    // the Pearson denominator vanishes. Spark must emit NULL (and the
+    // oracle's nullif agrees) — a NaN here diverges engines because
+    // DuckDB's 0/0 depends on ieee_floating_point_ops.
+    val matching = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = Graph.degreeAssortativity(matching).head()
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.isNullAt(r.fieldIndex("assortativity")),
+      "degenerate variance product must yield NULL")
+  }
+
+  test("pair-graph components stay within the oracle's depth-12 reach from their min node") {
+    // the q_cluster_split oracle derives component labels with a depth-12
+    // recursive CTE — exact only while every component member is within 12
+    // hops of the component's min-label node. connectedComponentsStar is an
+    // exact fixpoint, so a future corpus growing a chain-shaped dup
+    // component would silently diverge; this pins the assumption so a
+    // corpus change fails the SUITE, not the gate. The artifact is bounded
+    // (doc<200), so driver-side BFS is exact and cheap.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d + "/documents.parquet").exists()).foreach { d =>
+        val pairs = graft.operators.Dedup.triPairArtifact(spark, d).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        val adj = (pairs ++ pairs.map(_.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        // BFS from each component's min node; eccentricity must be <= 12
+        val nodes = adj.keySet
+        var unseen = collection.mutable.Set[Long](nodes.toSeq: _*)
+        while (unseen.nonEmpty) {
+          // component of the globally-smallest unseen node = its min node
+          val root = unseen.min
+          var frontier = Set(root)
+          var seen = Set(root)
+          var depth = 0
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(adj(_)).diff(seen)
+            if (next.nonEmpty) depth += 1
+            seen ++= next
+            frontier = next
+          }
+          assert(depth <= 12,
+            s"$d: component of $root has eccentricity $depth > oracle depth 12")
+          unseen --= seen
+        }
+      }
+  }
 }

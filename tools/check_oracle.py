@@ -45,6 +45,20 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             o = con.sql(sql)
+            # The driver compares via pandas (fetchdf), which renders HUGEINT
+            # and DECIMAL as float64/object — a dtype family the Spark side
+            # can never produce, so rows/schema pass but the hash reds (the
+            # round-8 q_stream_window_agg/q_stream_profile failure class).
+            # fetchall() below is blind to it (HUGEINT -> Python int), so gate
+            # on the declared output types: any sum() over BIGINT must carry
+            # an outer CAST(... AS BIGINT) in the oracle SQL.
+            bad = [(c, str(t)) for c, t in zip(o.columns, o.types)
+                   if any(x in str(t).upper() for x in ("HUGEINT", "DECIMAL"))]
+            if bad:
+                print(f"FAIL {name}: driver-incompatible oracle output types {bad}: "
+                      f"wrap with an outer CAST (e.g. CAST(sum(x) AS BIGINT))")
+                n_fail += 1
+                continue
             o_rows, o_cols = canon(o.fetchall(), list(o.columns))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
