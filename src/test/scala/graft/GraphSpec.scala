@@ -347,6 +347,67 @@ class GraphSpec extends SparkSpec {
       "degenerate variance product must yield NULL")
   }
 
+  test("k-core at volume: 100k generated edges, per-round shrink matches the exact peel") {
+    import spark.implicits._
+    // The gate rides a bounded ~200-node artifact; this exercises the
+    // kernel beyond it (round-8 verdict #4): a deterministic ~99k-edge,
+    // ~98k-node graph — a planted 500-node circulant 2-core (degree 4,
+    // must survive intact), 2,000 pendant paths of length 10 (each peels
+    // exactly one node per synchronized round — a forced 10-round
+    // cascade), and 78k star leaves for the round-1 volume drop. Truth is
+    // a driver-side exact synchronized peel; Spark's survivors must match
+    // EXACTLY at two intermediate round counts and at fixpoint, and the
+    // per-round edge count must shrink strictly until then.
+    def lcg(x: Long): Long = (x * 1103515245L + 12345L) & 0x7fffffffL
+    val core = (0 until 500).flatMap(i => (1 to 2).map(j => (i.toLong, ((i + j) % 500).toLong)))
+    val paths = (0 until 2000).flatMap { p =>
+      val base = 10000L + 10L * p
+      ((p % 500).toLong, base) +: (0 until 9).map(i => (base + i, base + i + 1))
+    }
+    val stars = (30000 until 108000).map(v => (v.toLong, lcg(v) % 500))
+    val raw = (core ++ paths ++ stars)
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct
+    // driver-side synchronized peel (k=2) to fixpoint, tracking edge counts
+    val k = 2
+    var edges = raw
+    var sizes = List(edges.size)
+    var converged = false
+    while (!converged) {
+      val deg = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (v, e) => v -> e.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      if (next.size == sizes.head) converged = true
+      else { edges = next; sizes ::= next.size }
+    }
+    val roundsToFix = sizes.size - 1
+    assert(roundsToFix >= 3, s"cascade must need multiple rounds, took $roundsToFix")
+    assert(sizes.reverse == sizes.reverse.sorted.reverse && sizes.distinct.size == sizes.size,
+      "per-round edge count must shrink strictly until fixpoint")
+    val finalDeg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, e) => (v, e.size.toLong) }
+    assert(finalDeg.keySet === (0 until 500).map(_.toLong).toSet,
+      "exactly the planted circulant core must survive (paths and stars are acyclic)")
+    val pairs = raw.toDF("doc_a", "doc_b")
+    // exact mirror of the driver peel at the same round counts: survivors
+    // after 2 rounds, after 4, and at (convergence + margin)
+    def sparkNodes(rounds: Int): Map[Long, Long] =
+      Graph.kCore(pairs, k = k, rounds = rounds).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("core_deg")).toMap
+    def driverNodes(rounds: Int): Map[Long, Long] = {
+      var e = raw
+      for (_ <- 1 to rounds) {
+        val deg = (e ++ e.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      (e ++ e.map(_.swap)).groupBy(_._1).map { case (v, es) => (v, es.size.toLong) }
+    }
+    Seq(2, 4, roundsToFix + 2).foreach { r =>
+      assert(sparkNodes(r) === driverNodes(r), s"round-$r survivor set diverged")
+    }
+  }
+
   test("pair-graph components stay within the oracle's depth-12 reach from their min node") {
     // the q_cluster_split oracle derives component labels with a depth-12
     // recursive CTE — exact only while every component member is within 12
