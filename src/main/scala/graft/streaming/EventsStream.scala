@@ -307,8 +307,13 @@ object EventsStream {
       val tier1 = parquetFiles()
       val t1Max = tier1.map(_.lastModified()).max
       orderTier(tier1, t1Max + 1000)
+      // maxFilesPerTrigger=2: lifetime 1 is one data batch + the flush
+      // batch (enough to emit its closed windows), lifetime 2 is the
+      // second half then the sentinel — the tier ordering still holds
+      // batch-wise, at 2 fewer state commits than 1-file triggers
+      // (measured 4.57 s → the family's ~1 s/commit checkpoint IO)
       def start(): StreamingQuery =
-        windowedCents(readEvents(spark, srcDir, maxFilesPerTrigger = 1))
+        windowedCents(readEvents(spark, srcDir, maxFilesPerTrigger = 2))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckptDir)
           .format("parquet").option("path", outDir).start()
