@@ -91,6 +91,12 @@ object Bench {
         val (assigned, centroids) = operators.IvfIndex.index(spark, sfDir)
         assigned.write.format("noop").mode("overwrite").save()
         centroids.write.format("noop").mode("overwrite").save()
+        // the PQ codebooks + code table are index builds too (8 seeded
+        // k-means fits + the encode join); chained here because pqIndex
+        // reads the coarse assignment this task just built
+        val (cb, codes) = operators.IvfIndex.pqIndex(spark, sfDir)
+        cb.write.format("noop").mode("overwrite").save()
+        codes.write.format("noop").mode("overwrite").save()
       }),
       // label propagation is a one-off corpus build; summary/canonical
       // queries read the table

@@ -122,6 +122,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.annLshBound _),
     "q_ann_ivf" -> (IvfIndex.annIvfBound _),
     "q_ann_ivf_q8" -> (IvfIndex.annIvfQ8Bound _),
+    "q_ann_ivf_pq" -> (IvfIndex.annIvfPqBound _),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_redact" -> (TextAnalysis.redact _),
     "q_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "q_unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    "q_bigram_lm" -> (TextAnalysis.bigramLm _),
     "q_zscore_outliers" -> (Relational.zscoreOutliers _),
     "q_argmax" -> (Relational.argmaxOrders _),
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
@@ -1165,6 +1167,31 @@ object SparkEntry {
         |round(avg(ln(CAST(f.tf + 1 AS DOUBLE) / (tot.total + tot.vocab))), 4) AS avg_logp
         |FROM toks t JOIN tf f USING (tok) CROSS JOIN tot
         |GROUP BY t.doc_id""".stripMargin,
+    // interpolated bigram LM in exact integer ppm: integral division on
+    // positive longs is engine-identical (DuckDB floor `//` ≡ Spark
+    // truncating DIV), where log-space scoring would hash the libm ulp;
+    // sum/mean carry outer BIGINT casts per the HUGEINT rule
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, CAST(u['pos'] AS INT) AS pos, u['token'] AS tok FROM (
+        |SELECT doc_id, unnest(list_transform(string_split_regex(lower(text), '\s+'),
+        |(x, i) -> struct_pack(pos := i - 1, token := x))) AS u FROM documents)
+        |WHERE tok <> ''),
+        |big AS (SELECT doc_id, w1, w2 FROM (
+        |SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, tok AS w2
+        |FROM tok) WHERE w1 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |uni AS (SELECT tok AS w2, count(*) AS c2 FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+        |CAST(sum(ppm) AS BIGINT) // count(*) AS mean_ppm FROM (
+        |SELECT b.doc_id,
+        |((7 * c12.c12 * 1000000) // (10 * c1.c1))
+        |+ ((3 * uni.c2 * 1000000) // (10 * tot.n_total)) AS ppm
+        |FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |JOIN uni USING (w2) CROSS JOIN tot)
+        |GROUP BY doc_id""".stripMargin,
     "q_zscore_outliers" ->
       """WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |FROM events GROUP BY event_type)
@@ -1848,6 +1875,14 @@ object SparkEntry {
         |CAST(1 AS INT) AS regret_in_bound
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ann_ivf_q8" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(5 * count(*) AS BIGINT) AS n_exact,
+        |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,
+        |CAST(1 AS INT) AS regret_in_bound
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // IVF+PQ (64× compression, ADC + exact rerank) held to the same
+    // probe-quality bound family as the float and int8 probes
+    "q_ann_ivf_pq" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |CAST(5 * count(*) AS BIGINT) AS n_exact,
         |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,

@@ -295,6 +295,56 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** In-engine INTERPOLATED BIGRAM language model — the rung above
+    * [[unigramLogProb]] on the CCNet ladder (perplexity-filter docs against
+    * a corpus-trained LM): P̂(w2|w1) = 0.7·C(w1,w2)/C(w1·) + 0.3·C(w2)/N,
+    * a Jelinek-Mercer mixture whose backoff term keeps unseen-context
+    * tokens scored. Emitted entirely in EXACT INTEGERS: each bigram
+    * occurrence scores (7·C12·10⁶) DIV (10·C1) + (3·C2·10⁶) DIV (10·N)
+    * parts-per-million — integral division on longs is engine-identical
+    * (all operands positive, so DuckDB's floor `//` equals Spark's
+    * truncating `DIV`), where a log-space score would hash the libm ulp
+    * and the accumulation order. High mean ppm = predictable, fluent text;
+    * low = gibberish/wrong-language — the same decision axis as real
+    * perplexity, monotone-compatible on the smoothed mixture.
+    *
+    * Scale shape: model FITTING is two keyed aggregates (bigram counts,
+    * then context totals derived from them — the NaiveBayesLang
+    * sufficient-statistics pattern) plus the unigram table; scoring joins
+    * the bigram stream against the vocab²-bounded (distinct-bigram-sized)
+    * model — AQE broadcasts it at test scale, keyed join beyond; the lag
+    * window partitions per doc (no global window); the 1-row N rides the
+    * in-plan broadcast cross-join. Docs with <2 tokens have no bigram and
+    * are absent on both engines. */
+  def bigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmFrame(Tables.documents(s, d))
+
+  def bigramLmFrame(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .select(col("doc_id"), lag(col("tok"), 1).over(w).as("w1"), col("tok").as("w2"))
+      .filter(col("w1").isNotNull)
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni = toks.groupBy(col("tok").as("w2")).agg(count(lit(1)).as("c2"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    big
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ppm",
+        expr("((7 * c12 * 1000000) DIV (10 * c1)) + ((3 * c2 * 1000000) DIV (10 * n_total))"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+      .withColumn("mean_ppm", expr("sum_ppm DIV n_bigrams"))
+  }
+
   /** Per-document token-distribution diagnostics: Shannon entropy of the
     * token frequency distribution (in nats) and type-token ratio. Low
     * entropy flags degenerate/repetitive documents a quality gate should

@@ -55,6 +55,40 @@ class IvfStreamSpec extends SparkSpec {
     assert(centroids.count() === 8)
   }
 
+  test("PQ encode: complete code table, codes in range, deterministic, exact on codebook members") {
+    val emb = Tables.embeddings(spark, sf)
+    val (assigned, _) = IvfIndex.index(spark, sf)
+    val cb = IvfIndex.pqCodebooks(emb)
+    val codes = IvfIndex.pqEncode(assigned, cb)
+    val n = emb.count()
+    // exactly m code rows per vector, each code a valid codebook entry
+    assert(codes.count() === n * IvfIndex.PqSubspaces)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= IvfIndex.PqSubspaces).count() === 0L)
+    val joined = codes.join(cb, Seq("subspace", "code"), "left_anti").count()
+    assert(joined === 0L, "every emitted (subspace, code) must exist in the codebook")
+    // determinism: a second encode reproduces the identical table
+    val again = IvfIndex.pqEncode(assigned, cb)
+    assert(codes.exceptAll(again).count() === 0L && again.exceptAll(codes).count() === 0L)
+    // a vector that IS a codebook reconstruction encodes to its own codes:
+    // build one synthetic embedding by concatenating subspace-0..m-1
+    // centroids all taken with code 2, and check it encodes to all-2s
+    import spark.implicits._
+    val chosen = cb.filter(col("code") === 2).orderBy("subspace")
+      .collect().flatMap(r => r.getSeq[Double](r.fieldIndex("codebook")))
+    val synth = Seq((999999L, chosen.map(_.toFloat).toSeq, 0))
+      .toDF("vec_id", "embedding", "cell")
+    val synthCodes = IvfIndex.pqEncode(synth, cb).collect()
+    assert(synthCodes.forall(_.getAs[Int]("code") === 2),
+      "a codebook-exact vector must encode to its constructing codes")
+  }
+
+  test("IVF+PQ probe holds the calibrated recall bound vs brute force") {
+    val r = IvfIndex.annIvfPqBound(spark, sf).head()
+    assert(r.getAs[Int]("recall_in_bound") === 1)
+    assert(r.getAs[Int]("returned_in_bound") === 1)
+    assert(r.getAs[Int]("regret_in_bound") === 1)
+  }
+
   test("flatMapGroupsWithState: per-user profiles match a batch computation") {
     val src = Files.createTempDirectory("graft-state-src").toString
     Tables.events(spark, sf).repartitionByRange(6, col("ts"))

@@ -21,7 +21,9 @@ object MeasureAnnMain {
       val ivf = operators.IvfIndex.ivfTopK(q, assigned, centroids, 5)
       val q8 = operators.IvfIndex.ivfTopKQuantized(q, assigned, centroids, 5)
       val lsh = operators.Similarity.lshTopK(q, emb, 5)
-      for ((name, probe) <- Seq("ivf" -> ivf, "q8" -> q8, "lsh" -> lsh)) {
+      val (cb, codes) = operators.IvfIndex.pqIndex(spark, d)
+      val pq = operators.IvfIndex.ivfTopKPq(q, assigned, centroids, cb, codes, 5)
+      for ((name, probe) <- Seq("ivf" -> ivf, "q8" -> q8, "lsh" -> lsh, "pq" -> pq)) {
         val r = operators.Similarity.probeQualityMeasured(brute, probe).head()
         println(f"$sf $name recall=${r.getDouble(0)}%.3f returned=${r.getDouble(1)}%.3f max_regret=${r.getDouble(2)}%.5f")
       }

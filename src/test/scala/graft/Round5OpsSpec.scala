@@ -698,4 +698,26 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     val allIn = TextAnalysis.vocabOovRates(spark, sf, vocabSize = nTypes + 1).collect()
     assert(allIn.forall(_.getAs[Double]("oov_rate") == 0.0))
   }
+
+  test("bigram LM: hand-computed integer ppm scores, short docs absent") {
+    import spark.implicits._
+    // corpus: doc 1 "a b a b", doc 2 "a a", doc 3 "x" (no bigram → absent).
+    // N=7, uni a:5 b:2 x... wait x counts too: tokens a,b,a,b,a,a,x → N=7,
+    // a:4, b:2, x:1. bigrams: d1 (a,b),(b,a),(a,b); d2 (a,a).
+    // c12: (a,b)=2? no — (a,b) occurs twice in d1. c12 (a,b)=2,(b,a)=1,(a,a)=1.
+    // c1: a=3 (a,b)+(a,a)... (a,*): (a,b)x2 + (a,a)x1 = 3; b=1.
+    // ppm(a,b) = (7·2·10⁶) DIV 30 + (3·2·10⁶) DIV 70 = 466666 + 85714 = 552380
+    // ppm(b,a) = (7·1·10⁶) DIV 10 + (3·4·10⁶) DIV 70 = 700000 + 171428 = 871428
+    // ppm(a,a) = (7·1·10⁶) DIV 30 + (3·4·10⁶) DIV 70 = 233333 + 171428 = 404761
+    // d1: n=3, sum = 552380+871428+552380 = 1976188, mean = 658729
+    // d2: n=1, sum = mean = 404761
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmFrame(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_ppm"), r.getAs[Long]("mean_ppm"))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L), "a 1-token doc has no bigram row")
+    assert(got(1L) === ((3L, 1976188L, 658729L)))
+    assert(got(2L) === ((1L, 404761L, 404761L)))
+  }
 }
