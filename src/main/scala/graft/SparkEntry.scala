@@ -105,6 +105,7 @@ object SparkEntry {
     "q_naive_bayes" -> (NaiveBayesLang.predictQuery _),
     // -- dedup (§2.11 D1/D2) ----------------------------------------------
     "q_dedup_exact" -> (Dedup.exactDedupDocs _),
+    "q_soft_dedup" -> (Dedup.softDedupWeights _),
     "q_dedup_incremental" -> (Dedup.incrementalDedup _),
     "q_repeated_passages" -> ((s, d) => Dedup.repeatedPassageStats(s, d)),
     "q_dedup_keep_latest" -> (Dedup.keepLatestSummary _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_rolling_hash" -> (TextAnalysis.contentDefinedChunks _),
     "q_token_entropy" -> (TextAnalysis.tokenEntropy _),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25Rank(s, d)),
+    "q_hybrid_retrieval" -> ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
     "q_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "q_moments" -> (Relational.momentStats _),
     "q_mode_value" -> (Relational.modalEventType _),
@@ -1030,6 +1032,32 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars,
         |row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
         |FROM documents) WHERE rn = 1""".stripMargin,
+    // near-dup-proportional sampling weights in integer ppm: the oracle
+    // re-derives the component labels with the q_cluster_split depth-12
+    // recursion (eccentricity pinned by spec), then the same integral
+    // division — engine-exact on positive longs (DuckDB // ≡ Spark DIV)
+    "q_soft_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+        |i -> concat(toks[i], ' ', toks[i + 1]))) AS grams FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.08),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach(node, lbl, depth) AS (
+        |SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
+        |UNION ALL
+        |SELECT e.a, r.lbl, r.depth + 1 FROM edges e JOIN reach r ON e.b = r.node
+        |WHERE r.lbl < e.a AND r.depth < 12),
+        |lab AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node),
+        |asn AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS grp
+        |FROM documents d LEFT JOIN lab l USING (doc_id)),
+        |sz AS (SELECT grp, count(*) AS n_members FROM asn GROUP BY grp)
+        |SELECT doc_id, n_members, 1000000 // n_members AS weight_ppm
+        |FROM asn JOIN sz USING (grp)""".stripMargin,
     // sharing-degree histogram of 20-token windows; Spark counts per-doc-
     // distinct window HASHES, the oracle the window strings — identical
     // histograms (the same hash-for-string convention as q_contamination)
@@ -1945,6 +1973,39 @@ object SparkEntry {
         |SELECT doc_id, bm25, n_terms_hit, rank FROM (
         |SELECT *, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
         |FROM agg) WHERE rank <= 25""".stripMargin,
+    // lexical (BM25 top-25) + dense (anchor-cosine top-25) legs fused by
+    // reciprocal rank: both legs' ranks are exact ints, the RRF double is
+    // the identical integer-ratio expression on both engines, ranked raw
+    // and rounded 6dp only in the payload
+    "q_hybrid_retrieval" ->
+      """WITH dl AS (SELECT doc_id,
+        |len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) * 1.0 AS dl
+        |FROM documents),
+        |st AS (SELECT count(*) * 1.0 AS nd, avg(dl) AS avgdl FROM dl),
+        |h AS (SELECT doc_id, term, count(*) * 1.0 AS tf FROM (
+        |SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |FROM documents) WHERE term IN ('join', 'hash', 'vector', 'stream')
+        |GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) * 1.0 AS df FROM h GROUP BY 1),
+        |sc AS (SELECT h.doc_id,
+        |ln((st.nd - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * h.tf * 2.2 /
+        |(h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS part
+        |FROM h JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT doc_id, round(sum(part), 4) AS bm25 FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id, r_lex FROM (
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS r_lex
+        |FROM agg) WHERE r_lex <= 25),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dn AS (SELECT doc_id, r_dense FROM (
+        |SELECT c.vec_id AS doc_id, CAST(row_number() OVER (
+        |ORDER BY list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id ASC) AS INT) AS r_dense
+        |FROM embeddings c, q WHERE c.vec_id <> 0) WHERE r_dense <= 25),
+        |fused AS (SELECT doc_id, r_lex, r_dense,
+        |COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_dense), 0) AS raw
+        |FROM lex FULL OUTER JOIN dn USING (doc_id))
+        |SELECT doc_id, r_lex, r_dense, round(raw, 6) AS rrf FROM (
+        |SELECT *, row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS rn
+        |FROM fused) WHERE rn <= 25""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
         |x -> x != '') AS toks FROM documents),

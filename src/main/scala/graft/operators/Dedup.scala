@@ -912,6 +912,34 @@ object Dedup {
       .withColumn("keep", (col("shared_ratio") <= maxShared).cast("int"))
   }
 
+  /** SOFT dedup — near-dup-proportional sampling weights: keep every
+    * member of a near-duplicate component but weight it at 1/|component|,
+    * so a content family's TOTAL sampling mass is duplication-invariant
+    * (the ablation-friendly alternative to hard dropping: downstream
+    * samplers multiply by weight_ppm instead of filtering, and no
+    * information is destroyed). Keyed on the NEAR-dup component label —
+    * the production form (exact-text copies are its trivial subcase, and
+    * the synthetic corpus plants near-dups at every SF where exact copies
+    * exist only at sf0.1, which would make an exact-text gate vacuous at
+    * the driver's SF). Weights ship in exact integer ppm (10⁶ DIV n) so
+    * the payload hashes.
+    *
+    * Scale shape: the [[graft.operators.Graph.triClusterLabels]] component
+    * artifact (memoized; at real scale the full LSH pair stream's labels)
+    * broadcast-joins the corpus — dup-rate-proportional — and the member
+    * count is one |groups|-keyed aggregate joined back; singletons keep
+    * their own id as group and weight 10⁶. */
+  def softDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val labels = Graph.triClusterLabels(s, d)
+    val assigned = Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
+    val sizes = assigned.groupBy(col("grp")).agg(count(lit(1)).as("n_members"))
+    assigned.join(sizes, Seq("grp"))
+      .select(col("doc_id"), col("n_members"),
+        expr("1000000 DIV n_members").as("weight_ppm"))
+  }
+
   // ----------------------------------------------------- Incremental dedup
 
   /** D1 incremental exact dedup: keep the rows of `incoming` whose content

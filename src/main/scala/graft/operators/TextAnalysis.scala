@@ -410,6 +410,36 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** HYBRID retrieval — the lexical+dense pattern every modern retrieval
+    * stack runs (and the "find training docs like X" pass at corpus
+    * scale): the [[bm25Rank]] top-25 lexical leg fused with an exact
+    * cosine top-25 dense leg (corpus embeddings against anchor vector 0;
+    * doc_id ≡ vec_id by corpus construction) via reciprocal-rank fusion
+    * Σ 1/(60+r) — rank-only fusion, so the two legs' incomparable score
+    * scales never meet. A doc present in one leg only takes that leg's
+    * contribution (the standard RRF convention).
+    *
+    * Scale shape: each leg is already top-N-pruned before the fuse
+    * (TakeOrderedAndProject / windowed top-k — never a global sort of the
+    * corpus), so the fusion joins two ≤N-row frames; the RRF arithmetic is
+    * identical integer-ratio doubles on both engines, ranked raw and
+    * rounded only in the payload. */
+  def hybridRetrieval(s: SparkSession, d: String,
+                      rrfK: Int = 60, topN: Int = 25): DataFrame = {
+    val lex = bm25Rank(s, d).select(col("doc_id"), col("rank").as("r_lex"))
+    val emb = Tables.embeddings(s, d)
+    val dense = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 25)
+      .select(col("cand_id").as("doc_id"), col("rank").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topN)
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   /** PMI collocation mining: top adjacent word pairs by pointwise mutual
     * information ln(P(ab) / (P(a)·P(b))), the standard statistical test for
     * multi-word expressions (vs raw bigram counts, which just surface

@@ -408,6 +408,67 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("star contraction and LPA at volume: ~102k edges vs union-find / synchronous mirror") {
+    import spark.implicits._
+    // the k-core volume harness extended to the PRODUCTION CC path and the
+    // LPA kernel: the ~99k-edge connected web (circulant core + pendant
+    // paths + star leaves — one component) plus 1,000 disjoint triangles,
+    // so the contraction must both collapse a ~98k-node component to label
+    // 0 AND keep 1,000 small components apart. Truth: driver union-find
+    // (exact, any graph). LPA truth: a 4-round synchronous mirror of the
+    // documented update rule (most frequent neighbor label, ties smallest).
+    def lcg(x: Long): Long = (x * 1103515245L + 12345L) & 0x7fffffffL
+    val core = (0 until 500).flatMap(i => (1 to 2).map(j => (i.toLong, ((i + j) % 500).toLong)))
+    val paths = (0 until 2000).flatMap { p =>
+      val base = 10000L + 10L * p
+      ((p % 500).toLong, base) +: (0 until 9).map(i => (base + i, base + i + 1))
+    }
+    val stars = (30000 until 108000).map(v => (v.toLong, lcg(v) % 500))
+    val tris = (0 until 1000).flatMap { t =>
+      val b = 200000L + 3L * t
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val raw = (core ++ paths ++ stars ++ tris)
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct
+    val pairs = raw.toDF("doc_a", "doc_b")
+    // driver union-find truth
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = raw.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val truth = nodes.map(n => n -> find(n)).toMap
+    val got = Graph.connectedComponentsStar(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got.size === nodes.size)
+    // star contraction labels by the component min; union-find roots are
+    // mins too (we always hang the larger root on the smaller)
+    assert(got === truth, "star contraction must agree with union-find on every node")
+    assert(truth.values.toSet.size === 1001, "one web + 1000 triangles")
+    // LPA: 4-round synchronous driver mirror
+    val adj = (raw ++ raw.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = nodes.map { n =>
+        val counts = adj(n).groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        val best = counts.toSeq.maxBy { case (l, c) => (c, -l) }
+        n -> best._1
+      }.toMap
+    }
+    val lpaGot = Graph.labelPropagation(pairs, rounds = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
+    assert(lpaGot === lbl, "LPA must equal the synchronous mirror after 4 rounds")
+  }
+
   test("pair-graph components stay within the oracle's depth-12 reach from their min node") {
     // the q_cluster_split oracle derives component labels with a depth-12
     // recursive CTE — exact only while every component member is within 12

@@ -699,6 +699,41 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(allIn.forall(_.getAs[Double]("oov_rate") == 0.0))
   }
 
+  test("soft dedup: family-invariant mass, singletons at full weight, no doc dropped") {
+    val rows = operators.Dedup.softDedupWeights(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs, "soft dedup keeps every doc")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      val w = r.getAs[Long]("weight_ppm")
+      assert(n >= 1 && w === 1000000L / n)
+    }
+    assert(rows.filter(_.getAs[Long]("n_members") == 1L).forall(_.getAs[Long]("weight_ppm") == 1000000L))
+    assert(rows.exists(_.getAs[Long]("n_members") > 1L),
+      "corpus must contain planted near-dup families at every SF")
+  }
+
+  test("hybrid retrieval: RRF consistent with leg ranks, both legs represented") {
+    val rows = TextAnalysis.hybridRetrieval(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val rl = Option(r.get(r.fieldIndex("r_lex"))).map(_.asInstanceOf[Int])
+      val rd = Option(r.get(r.fieldIndex("r_dense"))).map(_.asInstanceOf[Int])
+      assert(rl.nonEmpty || rd.nonEmpty, "a fused doc must come from some leg")
+      val expected = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-6)
+    }
+    // a doc ranked in BOTH legs beats the same ranks alone: the top row
+    // must dominate any single-leg doc with an equal-or-worse best rank
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("r_lex")) && !r.isNullAt(r.fieldIndex("r_dense")))
+    if (both.nonEmpty) {
+      val bestBoth = both.map(_.getAs[Double]("rrf")).max
+      val singles = rows.filter(r => r.isNullAt(r.fieldIndex("r_lex")) || r.isNullAt(r.fieldIndex("r_dense")))
+      singles.foreach(s => assert(s.getAs[Double]("rrf") <= bestBoth + 1e-12))
+    }
+  }
+
   test("bigram LM: hand-computed integer ppm scores, short docs absent") {
     import spark.implicits._
     // corpus: doc 1 "a b a b", doc 2 "a a", doc 3 "x" (no bigram → absent).
