@@ -124,6 +124,7 @@ object SparkEntry {
     "q_ann_ivf" -> (IvfIndex.annIvfBound _),
     "q_ann_ivf_q8" -> (IvfIndex.annIvfQ8Bound _),
     "q_ann_ivf_pq" -> (IvfIndex.annIvfPqBound _),
+    "q_stream_ann" -> (IvfIndex.streamAnnGate _),
     "q_centroids" -> (Similarity.labelCentroids _),
     "q_quantize_emb" -> (Similarity.quantizeEmbeddings _),
     "q_label_coherence" -> (Similarity.labelCoherence _),
@@ -1903,6 +1904,15 @@ object SparkEntry {
         |CAST(1 AS INT) AS regret_in_bound
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ann_ivf_q8" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(5 * count(*) AS BIGINT) AS n_exact,
+        |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,
+        |CAST(1 AS INT) AS regret_in_bound
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // streaming model-serving: query vectors drained through foreachBatch
+    // against the persisted IVF index must equal the one-batch probe
+    // (top-k is per-query-independent), collapsed through the same bound
+    "q_stream_ann" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |CAST(5 * count(*) AS BIGINT) AS n_exact,
         |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,

@@ -250,6 +250,59 @@ object IvfIndex {
       minRecall = 0.4, maxRegret = 0.15, minReturnedFrac = 1.0)
   }
 
+  /** STREAMING ANN serving (`q_stream_ann`): a stream of query vectors
+    * scored per micro-batch against the session-memoized (≡ persisted)
+    * IVF index inside `foreachBatch` — the model-serving shape of every
+    * production vector-search pipeline (index built offline, queries
+    * arrive as a stream, each batch probes the broadcast/persisted index;
+    * no stateful operator, so the drained union over batches equals the
+    * one-batch probe EXACTLY — top-k is per-query-independent). The gate
+    * collapses the drained sink through the same probe-quality bound as
+    * the batch IVF row, so a batch-boundary bug (a query scored against a
+    * partial index, or dropped between batches) reds the flags or the
+    * counts. */
+  def streamAnnGate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.probeQualityBound(
+      Similarity.bruteForceTopK(q, emb, 5), streamAnnProbe(s, d),
+      minRecall = 0.6, maxRegret = 0.12, minReturnedFrac = 1.0)
+  }
+
+  /** The drained foreachBatch probe itself (localCheckpointed off its
+    * scratch sink) — [[streamAnnGate]] collapses it through the bound;
+    * IvfStreamSpec asserts it equals the one-batch [[ivfTopK]] EXACTLY. */
+  private[graft] def streamAnnProbe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (assigned, centroids) = index(s, d)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-ann-gate")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      q.repartitionByRange(2, col("vec_id")).write.mode("overwrite").parquet(srcDir)
+      val query = s.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ivfTopK(batch, assigned, centroids, 5)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try query.awaitTermination() finally query.stop()
+      val sink = s.read.parquet(outDir).localCheckpoint(true)
+      graft.streaming.EventsStream.deleteRecursively(base.toFile)
+      sink
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Registered query: quantized two-stage IVF top-5 for the first 5 vectors
     * (rows-only — model + sketch state; recall pinned in IvfStreamSpec). */
   def annIvfQuantized(s: SparkSession, d: String): DataFrame = {

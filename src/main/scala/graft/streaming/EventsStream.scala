@@ -136,7 +136,7 @@ object EventsStream {
     eventsStage.removeIfAll(_ == d)
       .foreach(dir => deleteRecursively(new java.io.File(dir)))
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }

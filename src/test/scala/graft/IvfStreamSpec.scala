@@ -89,6 +89,18 @@ class IvfStreamSpec extends SparkSpec {
     assert(r.getAs[Int]("regret_in_bound") === 1)
   }
 
+  test("streaming ANN serving: drained foreachBatch probe equals the one-batch probe exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val (assigned, centroids) = IvfIndex.index(spark, sf)
+    val batch = IvfIndex.ivfTopK(q, assigned, centroids, 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val streamed = IvfIndex.streamAnnProbe(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.sameElements(batch),
+      "per-query independence: the micro-batched union must be bit-identical to the batch probe")
+  }
+
   test("flatMapGroupsWithState: per-user profiles match a batch computation") {
     val src = Files.createTempDirectory("graft-state-src").toString
     Tables.events(spark, sf).repartitionByRange(6, col("ts"))

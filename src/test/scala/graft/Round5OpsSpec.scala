@@ -699,6 +699,32 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(allIn.forall(_.getAs[Double]("oov_rate") == 0.0))
   }
 
+  test("round-9 operators: physical plans stay off the cartesian/global-sort cliffs") {
+    // the PLANS.md scale claims, pinned: no CartesianProduct anywhere (the
+    // only cross joins are broadcast 1-row/model frames → BroadcastNested-
+    // LoopJoin), the soft-dedup label join broadcasts, and the BM25 leg's
+    // top-k plans as TakeOrderedAndProject (never a global Sort+Window of
+    // the corpus)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val soft = plan(operators.Dedup.softDedupWeights(spark, sf))
+    assert(!soft.contains("CartesianProduct"))
+    assert(soft.contains("BroadcastHashJoin"), "label join must broadcast")
+    val blm = plan(TextAnalysis.bigramLm(spark, sf))
+    assert(!blm.contains("CartesianProduct"))
+    val hyb = plan(TextAnalysis.hybridRetrieval(spark, sf))
+    assert(!hyb.contains("CartesianProduct"))
+    assert(hyb.contains("TakeOrderedAndProject"),
+      "leg top-k must prune before the fuse")
+    val (assigned, centroids) = operators.IvfIndex.index(spark, sf)
+    val (cb, codes) = operators.IvfIndex.pqIndex(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val pq = plan(operators.IvfIndex.ivfTopKPq(
+      emb.filter(col("vec_id") < 10), assigned, centroids, cb, codes, 5))
+    assert(!pq.contains("CartesianProduct"))
+    assert(pq.contains("BroadcastHashJoin"), "LUT/probed joins must broadcast")
+  }
+
   test("soft dedup: family-invariant mass, singletons at full weight, no doc dropped") {
     val rows = operators.Dedup.softDedupWeights(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
