@@ -160,6 +160,17 @@ class PartitionInvarianceSpec extends SparkSpec {
       "unigram log-prob scores")
   }
 
+  test("bigram LM scores are partitioning-invariant (doc-local window + integer ppm claim)") {
+    // the lag window partitions per doc (never global), the model joins are
+    // keyed, and the score is pure integral arithmetic — so any input
+    // partitioning must reproduce every (doc, n_bigrams, sum_ppm, mean_ppm)
+    // exactly, no float-accumulation caveat needed
+    val docs = Tables.documents(spark, sf)
+    assertInvariant(
+      variants(docs, "doc_id").map(graft.operators.TextAnalysis.bigramLmFrame),
+      "bigram LM integer scores")
+  }
+
   test("repeated-passage histogram is partitioning-invariant") {
     val docs = Tables.documents(spark, sf)
     assertInvariant(
