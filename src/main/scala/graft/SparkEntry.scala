@@ -116,7 +116,7 @@ object SparkEntry {
     "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
     "q_near_dup_ml" -> (Dedup.mlRecallBound _),
     "q_near_dup_simhash" -> (Dedup.simhashRecallBound _),
-    "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "q_edit_distance" -> ((s, d) => Dedup.edTruthArtifact(s, d)),
     "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceScaleBound(s, d)),
     // -- similarity search (D3) -------------------------------------------
     "q_ann_brute" -> (Similarity.annBruteForce _),
@@ -281,6 +281,7 @@ object SparkEntry {
     "q_stream_interval_join" -> (streaming.EventsStream.intervalJoinOuterGate _),
     "q_stream_window_agg" -> (streaming.EventsStream.windowedAggGate _),
     "q_stream_recovery" -> (streaming.EventsStream.recoveryGate _),
+    "q_stream_recovery_join" -> (streaming.EventsStream.recoveryJoinGate _),
     "q_stream_rollup" -> (streaming.EventsStream.twoLevelGate _),
     "q_stream_join_agg" -> (streaming.EventsStream.joinAggGate _),
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
@@ -885,6 +886,23 @@ object SparkEntry {
         |CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
         |CAST(1 AS INT) AS restart_ok
         |FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2""".stripMargin,
+    // STATEFUL-JOIN recovery: the outer interval join drained across two
+    // query lifetimes on one checkpoint — views buffered before the cut
+    // must still match purchases arriving after it (lost buffered-rows
+    // state null-pads or drops those pairs), and no pair may emit twice
+    // across the restart; the oracle is the complete batch left join
+    "q_stream_recovery_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        |FROM events WHERE event_type = 'view' AND user_id % 10 = 0)
+        |SELECT purchase_id, p.user_id, view_id,
+        |CAST(floor(epoch(p_ts)) AS BIGINT) AS p_s,
+        |CAST(floor(epoch(v_ts)) AS BIGINT) AS v_s,
+        |CAST(1 AS INT) AS restart_ok
+        |FROM p LEFT JOIN v ON p.user_id = v.v_user
+        |AND v.v_ts <= p.p_ts
+        |AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR""".stripMargin,
     // the chained two-level drain: the oracle rolls the batch hourly truth
     // into days and ENCODES THE APPEND EMISSION RULE — only days whose end
     // <= the final watermark (max sampled ts + 2 h sentinel - 30 min delay)
@@ -1918,7 +1936,7 @@ object SparkEntry {
         |CAST(1 AS INT) AS recall_in_bound, CAST(1 AS INT) AS returned_in_bound,
         |CAST(1 AS INT) AS regret_in_bound
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
-    // IVF+PQ (64× compression, ADC + exact rerank) held to the same
+    // IVF+PQ (~51× compression, ADC + exact rerank) held to the same
     // probe-quality bound family as the float and int8 probes
     "q_ann_ivf_pq" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,

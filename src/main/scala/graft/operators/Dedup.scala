@@ -477,6 +477,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("lev"))
   }
 
+  /** The bounded exact slice truth ([[editDistancePairs]]), memoized per
+    * (session, dir, slice) — the cc-pair/tri-pair staged-truth pattern
+    * (round-9 verdict next #1c): BOTH `q_edit_distance` and
+    * `q_edit_distance_scale` consume the same doc<300 truth, and its
+    * banded-DP cross join is the whole cost of each (~2.8 s per query at
+    * sf0.1 driver-side, paid twice before this artifact existed). The
+    * truth set is slice-bounded (≤ a few hundred rows), so the cached
+    * frame is model-sized. Invalidate via [[invalidateEdTruth]] on corpus
+    * replacement. */
+  @transient private lazy val edTruthCache =
+    new SessionCache[(String, Long), DataFrame](_.unpersist())
+
+  def edTruthArtifact(s: SparkSession, d: String, maxDocId: Long = 300): DataFrame =
+    edTruthCache.getOrCompute(s, (d, maxDocId)) {
+      val t = editDistancePairs(s, d, maxDocId = maxDocId).cache()
+      t.count() // materialize: the artifact contract, not lazy lineage
+      t
+    }
+
+  /** Corpus-replacement invalidation hook for the slice-truth artifact. */
+  def invalidateEdTruth(d: String): Unit =
+    edTruthCache.removeIfAll(_._1 == d).foreach(df => scala.util.Try(df.unpersist()))
+
   /** Edit-distance dedup at corpus scale: the banded minhash candidates
     * (memoized shingle/signature artifacts) prefilter to docs sharing a
     * signature band — a tiny-edit pair shares nearly all its shingles, so
@@ -521,7 +544,7 @@ object Dedup {
     * nearly all shingles — so 0.75 holds with slack). */
   def editDistanceScaleBound(s: SparkSession, d: String, sliceMax: Long = 300,
                              recallBound: Double = 0.75): DataFrame = {
-    val truePairs = editDistancePairs(s, d, maxDocId = sliceMax)
+    val truePairs = edTruthArtifact(s, d, maxDocId = sliceMax)
     val scaleSlice = editDistanceNearDups(s, d)
       .filter(col("doc_a") < sliceMax && col("doc_b") < sliceMax)
       .withColumnRenamed("lev", "lev_sc")

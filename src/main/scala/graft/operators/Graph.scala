@@ -287,14 +287,18 @@ object Graph {
     // the edge set gets no node row, so dividing by |S| would leave
     // teleport+dangling mass summing to <1 and break mass conservation
     val nodeIds = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
     val seedSet = seeds.select(col("node")).distinct().join(nodeIds, Seq("node"))
-    val nS = seedSet.agg(count(lit(1)).as("ns"))
+    // |S ∩ V| is a model-sized driver value (the centroid pattern); an
+    // empty intersection would make s(v) = 0 everywhere and return a
+    // plausible-looking all-zero rank vector, so it fails fast instead
+    val nS = seedSet.agg(count(lit(1))).head().getLong(0)
+    require(nS >= 1,
+      "personalizedPageRank: no seed appears in the edge set (teleport mass would vanish)")
     val nodes = nodeIds
       .join(seedSet.withColumn("is_seed", lit(1)), Seq("node"), "left")
-      .crossJoin(broadcast(nS))
       .select(col("node"),
-        when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+        when(col("is_seed").isNotNull, lit(1.0 / nS))
           .otherwise(lit(0.0)).as("s"))
       .persist()
     val norm = e.select(col("src"), col("dst"),
@@ -325,6 +329,7 @@ object Graph {
     val out = Iterative.cutLineage(ranks)
     norm.unpersist()
     nodes.unpersist()
+    nodeIds.unpersist()
     dangling.unpersist()
     out
   }

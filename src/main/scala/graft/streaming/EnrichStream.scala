@@ -77,26 +77,27 @@ object EnrichStream {
     silverStage.removeIfAll(_ == d)
       .foreach(dir => deleteRecursively(new java.io.File(dir)))
 
-  def enrichedBatch(spark: SparkSession, d: String): DataFrame = {
-    val silverDir = silverStage.getOrCompute(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-enrich-silver")
-      graft.operators.Pipeline.silverBuild(spark, d)
-        .write.mode("overwrite").parquet(dir.toString)
-      dir.toString
+  def enrichedBatch(spark: SparkSession, d: String): DataFrame =
+    EventsStream.memoDrain(spark, d, "enrich") {
+      val silverDir = silverStage.getOrCompute(spark, d) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-enrich-silver")
+        graft.operators.Pipeline.silverBuild(spark, d)
+          .write.mode("overwrite").parquet(dir.toString)
+        dir.toString
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+      val outDir = base.resolve("out").toString
+      val ckptDir = base.resolve("ckpt").toString
+      try {
+        val q = run(spark, silverDir, outDir, ckptDir, graft.ml.LexiconScorer)
+        try q.awaitTermination()
+        finally q.stop()
+        // materialize + cut lineage off the scratch files before the
+        // finally deletes them — repeated bench/verify invocations must
+        // not accumulate sink and checkpoint trees in the temp dir
+        spark.read.parquet(outDir).localCheckpoint(true)
+      } finally deleteRecursively(base.toFile)
     }
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
-    val outDir = base.resolve("out").toString
-    val ckptDir = base.resolve("ckpt").toString
-    val q = run(spark, silverDir, outDir, ckptDir, graft.ml.LexiconScorer)
-    try q.awaitTermination()
-    finally q.stop()
-    // materialize + cut lineage off the scratch files, then delete them —
-    // repeated bench/verify invocations must not accumulate sink and
-    // checkpoint trees in the temp dir
-    val result = spark.read.parquet(outDir).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
-  }
 
   /** The reference's ENTIRE pipeline — timer-driven review ingest
     * (FunctionApp1) plus sentiment enrichment (FunctionApp2) — as one
@@ -112,22 +113,23 @@ object EnrichStream {
     * scoring drift anywhere in the chain reds the row. `d` is unused by
     * construction: the pipeline's input is the replayed feed, which is
     * what makes it closed-form checkable. */
-  def replayPipelineGate(spark: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-pipe-gate")
-    val outDir = base.resolve("out").toString
-    val ckptDir = base.resolve("ckpt").toString
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = runFromReplay(spark, outDir, ckptDir, graft.ml.LexiconScorer,
-        rowsPerBatch = 10, maxRows = 100)
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val result = spark.read.parquet(outDir).localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
-  }
+  def replayPipelineGate(spark: SparkSession, d: String): DataFrame =
+    EventsStream.memoDrain(spark, d, "pipeline") {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-pipe-gate")
+      val outDir = base.resolve("out").toString
+      val ckptDir = base.resolve("ckpt").toString
+      // isolated child session at 8 shuffle partitions — the drainGate
+      // conf contract, without mutating the caller's session
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = runFromReplay(iso, outDir, ckptDir, graft.ml.LexiconScorer,
+          rowsPerBatch = 10, maxRows = 100)
+        try q.processAllAvailable()
+        finally q.stop()
+        iso.read.parquet(outDir).localCheckpoint(true)
+      } finally deleteRecursively(base.toFile)
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

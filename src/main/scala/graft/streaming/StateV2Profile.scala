@@ -84,15 +84,17 @@ object StateV2Profile {
     * one row, a list slot double-occupied by a redelivered id, or state
     * lost between micro-batches all change the hash. */
   def profileGate(spark: SparkSession, d: String): DataFrame =
-    EventsStream.drainGate(spark, "graft-stream-prof-gate") { (out, ckpt) =>
-      runProfiles(spark, EventsStream.stageEvents(spark, d), out, ckpt)
-    } { sink =>
+    EventsStream.memoDrain(spark, d, "profile") {
+      EventsStream.drainGate(spark, "graft-stream-prof-gate") { (iso, out, ckpt) =>
+        runProfiles(iso, EventsStream.stageEvents(spark, d), out, ckpt)
+      } { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("n_events").desc)
       sink.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") === 1 && col("user_id") >= 0)
         .select(col("user_id"), col("n_events"), col("purchase_cents"),
           concat_ws(",", col("recent_purchases")).as("recent"))
+      }
     }
 
   /** Streaming per-user profiles over the events dir; AvailableNow drains

@@ -70,28 +70,29 @@ object UpsertStream {
     * keep-latest per user over the events table: a batch double-applied, a
     * version read-after-write cycle, a redelivered event beating a newer
     * one, or a lost user all change the hash. */
-  def upsertGate(spark: SparkSession, d: String): DataFrame = {
-    val srcDir = EventsStream.stageEventsReplay(spark, d)
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-upsert-gate")
-    val stateDir = base.resolve("state").toString
-    val ckptDir = base.resolve("ckpt").toString
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = runUpsert(spark, srcDir, stateDir, ckptDir)
-      try q.awaitTermination()
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val latest = latestVersion(new java.io.File(stateDir))
-      .getOrElse(sys.error("upsert drain produced no state version"))
-    val result = spark.read.parquet(latest.toString)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        unix_timestamp(col("ts")).as("ts_s"), col("event_type"),
-        floor(col("value") * 100).cast("long").as("cents"))
-      .localCheckpoint(true)
-    deleteRecursively(base.toFile)
-    result
-  }
+  def upsertGate(spark: SparkSession, d: String): DataFrame =
+    EventsStream.memoDrain(spark, d, "upsert") {
+      val srcDir = EventsStream.stageEventsReplay(spark, d)
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-upsert-gate")
+      val stateDir = base.resolve("state").toString
+      val ckptDir = base.resolve("ckpt").toString
+      // isolated child session at 8 shuffle partitions — the drainGate
+      // conf contract, without mutating the caller's session
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = runUpsert(iso, srcDir, stateDir, ckptDir)
+        try q.awaitTermination()
+        finally q.stop()
+        val latest = latestVersion(new java.io.File(stateDir))
+          .getOrElse(sys.error("upsert drain produced no state version"))
+        iso.read.parquet(latest.toString)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            unix_timestamp(col("ts")).as("ts_s"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(base.toFile)
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

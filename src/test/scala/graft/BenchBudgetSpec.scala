@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench-budget lint (round-9 verdict ask #3): the driver runs `graft.Bench`
+  * under a 330 s wall budget on a host that stalls 2-3×, and the registry
+  * has only ever grown — round 9 finished at 321 s of 330 (a 2.7% margin).
+  * This spec projects the driver's wall time from the COMMITTED bench
+  * series and fails BEFORE a commit ships a registry the budget can't hold,
+  * instead of the breach surfacing in the driver artifact a round later.
+  *
+  * Projection model (matches Bench.scala's phases):
+  *   wall ≈ warmup + pass1 + pass2, where pass2 self-limits at
+  *   budget−55 s by construction — so the artifact is only at risk if
+  *   warmup + pass1 alone crowd the retime window. The lint therefore
+  *   bounds warmup + pass1 ≤ PassOneShare × (budget − 55): pass 1 must fit
+  *   well inside the pre-deadline window, leaving the rest as stall
+  *   tolerance and retime room.
+  *
+  * Inputs: the latest committed series `bench_runs/benchrN*_*.json`
+  * (highest round number N). pass1 is estimated as the per-query MAX
+  * across the series (single readings, pessimistic); a registered query
+  * with no committed reading yet (added mid-round) is charged a
+  * conservative default instead of failing, so the lint stays runnable
+  * between the registry edit and the end-of-round bench refresh. */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  private val BudgetSec = 330.0
+  private val RetimeReserve = 55.0
+  /** Warmup wall on the reference host: entry + concurrent builds + the
+    * round-10 concurrent drain stage measured t≈40 s; padded for drift. */
+  private val WarmupEstimateSec = 50.0
+  /** warmup+pass1 may fill at most this share of the pre-deadline window;
+    * the remainder is host-stall tolerance (the documented 20-70× stall
+    * windows land on whatever is running) plus retime room. */
+  private val PassOneShare = 0.85
+  private val DefaultNewQuerySec = 1.5
+
+  test("committed bench series projects inside the driver budget") {
+    val dir = new java.io.File("bench_runs")
+    val series = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("benchr\\d+[a-z]?_\\d\\.json"))
+    assume(series.nonEmpty, "no committed bench series to lint")
+    val round = series.map(_.getName.replaceAll("benchr(\\d+).*", "$1").toInt).max
+    val latest = series.filter(_.getName.startsWith(s"benchr$round"))
+    // one-line JSON; extract the "queries" object's "name":value pairs
+    val pair = """"(q_[a-zA-Z0-9_]+)":(-?\d+(?:\.\d+)?(?:E-?\d+)?)""".r
+    val perQuery = scala.collection.mutable.Map.empty[String, Double]
+    for (f <- latest) {
+      val txt = scala.io.Source.fromFile(f).mkString
+      for (m <- pair.findAllMatchIn(txt)) {
+        val (name, v) = (m.group(1), m.group(2).toDouble)
+        if (v >= 0) perQuery(name) = math.max(perQuery.getOrElse(name, 0.0), v)
+      }
+    }
+    assume(perQuery.nonEmpty, s"benchr$round series parsed to no query timings")
+    val registered = SparkEntry.queries.keySet
+    val missing = registered -- perQuery.keySet
+    val pass1Est = registered.toSeq.map(perQuery.getOrElse(_, DefaultNewQuerySec)).sum
+    val projected = WarmupEstimateSec + pass1Est
+    val ceiling = PassOneShare * (BudgetSec - RetimeReserve)
+    info(f"benchr$round series: pass1 est $pass1Est%.1f s over ${registered.size} queries " +
+      f"(${missing.size} uncommitted @ $DefaultNewQuerySec/q), projected warmup+pass1 " +
+      f"$projected%.1f s vs ceiling $ceiling%.1f s")
+    assert(projected <= ceiling,
+      f"projected warmup+pass1 $projected%.1f s exceeds $ceiling%.1f s — the registry has " +
+        "outgrown the driver bench budget; stage or shed cost before committing " +
+        "(see Bench.scala's warmup-stage pattern)")
+  }
+}

@@ -89,6 +89,26 @@ class IvfStreamSpec extends SparkSpec {
     assert(r.getAs[Int]("regret_in_bound") === 1)
   }
 
+  test("PQ second operating point: 16×256 geometry holds the family bound at lower compression") {
+    // the (m, k*) dial the PQ scaladoc claims, exercised at a second point
+    // (round-9 verdict stretch #8): 16 subspaces × 256 codes ship 16 code
+    // bytes/vector (16× vs float32) against the shipped 8×32's 5 bytes
+    // (~51×) — finer codebooks at a quarter of the compression must hold
+    // the SAME family-standard probe-quality bound as the shipped point.
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val (assigned, centroids) = IvfIndex.index(spark, sf)
+    val cb = IvfIndex.pqCodebooks(emb, m = 16, k = 256)
+    val codes = IvfIndex.pqEncode(assigned, cb, m = 16)
+    val r = Similarity.probeQualityBound(
+      Similarity.bruteForceTopK(q, emb, 5),
+      IvfIndex.ivfTopKPq(q, assigned, centroids, cb, codes, 5),
+      minRecall = 0.6, maxRegret = 0.12, minReturnedFrac = 1.0).head()
+    assert(r.getAs[Int]("recall_in_bound") === 1)
+    assert(r.getAs[Int]("returned_in_bound") === 1)
+    assert(r.getAs[Int]("regret_in_bound") === 1)
+  }
+
   test("streaming ANN serving: drained foreachBatch probe equals the one-batch probe exactly") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)

@@ -23,7 +23,14 @@ object MeasureAnnMain {
       val lsh = operators.Similarity.lshTopK(q, emb, 5)
       val (cb, codes) = operators.IvfIndex.pqIndex(spark, d)
       val pq = operators.IvfIndex.ivfTopKPq(q, assigned, centroids, cb, codes, 5)
-      for ((name, probe) <- Seq("ivf" -> ivf, "q8" -> q8, "lsh" -> lsh, "pq" -> pq)) {
+      // PQ operating-point sweep: the shipped default (8,10) prints as
+      // `pq`; the rejected (6,6) point and the neighbors bracket it — the
+      // q_ann_ivf_pq bound is pinned against the worst SF of the shipped
+      // point (0.70 at sf0.01 → minRecall 0.6).
+      val pqSweep = Seq((6, 6), (8, 8), (10, 10)).map { case (np, rr) =>
+        s"pq_np${np}_rr$rr" -> operators.IvfIndex.ivfTopKPq(q, assigned, centroids, cb, codes, 5, nProbe = np, rerank = rr)
+      }
+      for ((name, probe) <- Seq("ivf" -> ivf, "q8" -> q8, "lsh" -> lsh, "pq" -> pq) ++ pqSweep) {
         val r = operators.Similarity.probeQualityMeasured(brute, probe).head()
         println(f"$sf $name recall=${r.getDouble(0)}%.3f returned=${r.getDouble(1)}%.3f max_regret=${r.getDouble(2)}%.5f")
       }
