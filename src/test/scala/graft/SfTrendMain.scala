@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend evidence harness (test scope; round-9 verdict stretch #7):
+  * BASELINE.md argues Spark's fixed per-job overhead "amortizes at scale" —
+  * this measures it instead of arguing it. Builds deterministic ×2 and ×5
+  * replicas of the sf0.1 fact tables (shifted keys per copy; document
+  * words suffixed per copy so no cross-copy exact/near dups distort pair
+  * volumes; small dims copied as-is) and times ten representative heavy
+  * queries at ×1/×2/×5, best-of-2 after an untimed artifact stage —
+  * the same protocol as Bench. Prints one JSON line for
+  * bench_runs/sf_trend_r10.json.
+  *
+  * Query choice: shuffle-heavy aggregates and windows (events), joins
+  * (TPC-H), iterative graph (pagerank), text scoring (bigram LM), exact
+  * dedup, and the O(|Q|·n) brute-force ANN scan — shapes whose cost is
+  * data-proportional by design. Pair-structure-sensitive queries
+  * (banded near-dup, cosine LSH) are excluded: replication changes their
+  * candidate distributions, so their trend would measure the corpus
+  * construction, not the operator.
+  */
+object SfTrendMain {
+
+  private val Scales = Seq(1, 2, 5)
+
+  private def scaledDir(spark: SparkSession, src: String, k: Int, base: String): String = {
+    val dir = s"$base/x$k"
+    if (new java.io.File(s"$dir/_done").exists()) return dir
+    new java.io.File(dir).mkdirs()
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => if (i == 0) df else shift(df, i)).reduce(_ unionByName _)
+    // events: same time range at k× density; ids/users shifted per copy
+    copies(Tables.events(spark, src)) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * 10000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // lineitem/orders/customer: join keys shifted CONSISTENTLY per copy
+    copies(spark.read.parquet(s"$src/lineitem.parquet")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    copies(spark.read.parquet(s"$src/orders.parquet")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    copies(spark.read.parquet(s"$src/customer.parquet")) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // documents: per-copy word suffix → distinct vocab per copy (no
+    // cross-copy dup pairs); within-copy dup structure preserved exactly
+    copies(Tables.documents(spark, src)) { (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "), w => concat(w, lit(s"_$i")))))
+        .withColumn("n_chars", length(col("text")))
+    }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: small deterministic per-copy offset (keeps the metric
+    // space sane; brute-force cost is n-proportional regardless)
+    copies(Tables.embeddings(spark, src)) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i * 0.01f)))
+    }.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (t <- Seq("nation", "region", "supplier", "part"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    new java.io.File(s"$dir/_done").createNewFile()
+    dir
+  }
+
+  private val TrendQueries = Seq(
+    "q_pagerank", "q_session_windows", "q_events_hourly", "q_window_range",
+    "q_approx_distinct", "q_weighted_median", "q_tpch_q3", "q_bigram_lm",
+    "q_dedup_exact", "q_ann_brute")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/tmp/graft-sftrend"
+    val src = "/root/testdata/sf0.1"
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
+    for (k <- Scales) {
+      val dir = scaledDir(spark, src, k, base)
+      // untimed artifact stage, as in Bench warmup (graph edges feed
+      // pagerank; the other nine are artifact-free by construction)
+      operators.Graph.graphArtifacts(spark, dir)
+      for (name <- TrendQueries) {
+        val fn = SparkEntry.queries(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        results(name) = results.getOrElse(name, Map.empty) + (k -> t)
+        System.err.println(f"[sftrend] x$k $name $t%.2f s")
+      }
+    }
+    val qjson = results.map { case (n, m) =>
+      val xs = Scales.map(k => f""""x$k":${m(k)}%.3f""").mkString(",")
+      val slope51 = m(5) / math.max(m(1), 1e-9)
+      f""""$n":{$xs,"ratio_x5_x1":$slope51%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf_trend","src":"$src","scales":[1,2,5],"queries":$qjson}""")
+    spark.stop()
+  }
+}
