@@ -115,6 +115,7 @@ object SparkEntry {
     "q_dedup_canonical_lsh" -> (Dedup.lshCanonicalBound _),
     "q_dedup_canonical" -> (Dedup.canonicalPerCluster _),
     "q_near_dup_ml" -> (Dedup.mlRecallBound _),
+    "q_near_dup_incremental" -> ((s, d) => Dedup.incrementalNearDupBound(s, d)),
     "q_near_dup_simhash" -> (Dedup.simhashRecallBound _),
     "q_edit_distance" -> ((s, d) => Dedup.edTruthArtifact(s, d)),
     "q_edit_distance_scale" -> ((s, d) => Dedup.editDistanceScaleBound(s, d)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "q_funnel_ordered" -> (Relational.orderedFunnel _),
     "q_ols_by_group" -> (Relational.olsByGroup _),
     "q_token_alloc" -> ((s, d) => Corpus.tokenBudgetAlloc(s, d)),
+    "q_mix_schedule" -> ((s, d) => Corpus.mixSchedule(s, d)),
     "q_graph_degree" -> (Graph.degreeHistogram _),
     "q_temperature_mix" -> ((s, d) => Corpus.temperatureMix(s, d)),
     "q_dsir" -> (Corpus.dsirWeights _),
@@ -2398,6 +2400,28 @@ object SparkEntry {
         |SELECT lang, w AS chars,
         |CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r""".stripMargin,
+    // annealed mixture schedule: natural→uniform linear interpolation in
+    // non-negative integer weight space (Spark DIV ≡ DuckDB // there),
+    // largest-remainder apportionment per step — every step sums exactly
+    // to 100000 (= 1000000 DIV 10 steps)
+    "q_mix_schedule" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(chars) AS BIGINT) AS ctot,
+        |CAST(count(*) AS BIGINT) AS nsrc FROM s),
+        |st AS (SELECT g.step, source, chars,
+        |(10 - g.step) * chars + (g.step - 1) * (ctot // nsrc) AS w
+        |FROM s CROSS JOIN t CROSS JOIN generate_series(1, 10) AS g(step)),
+        |wt AS (SELECT step, CAST(sum(w) AS BIGINT) AS wtot FROM st GROUP BY step),
+        |b AS (SELECT st.step, source, w,
+        |(100000 * w) // wtot AS base, (100000 * w) % wtot AS rem
+        |FROM st JOIN wt ON st.step = wt.step),
+        |r AS (SELECT step, source, w, base,
+        |row_number() OVER (PARTITION BY step ORDER BY rem DESC, source ASC) AS rk,
+        |100000 - sum(base) OVER (PARTITION BY step) AS deficit FROM b)
+        |SELECT CAST(step AS BIGINT) AS step, source, CAST(w AS BIGINT) AS w,
+        |CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
     // ⌊√w⌋ tempered weights: IEEE sqrt is correctly rounded in both
     // engines, so the floor (and everything after it) is exact integer
     "q_temperature_mix" ->
@@ -2495,6 +2519,22 @@ object SparkEntry {
         |len(a.grams) AS na, len(b.grams) AS nb
         |FROM g a, g b WHERE a.doc_id < b.doc_id)
         |SELECT count(*) AS n_true_high, CAST(1 AS INT) AS recall_in_bound
+        |FROM p WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5""".stripMargin,
+    // incremental near-dup probe (new batch = doc_id % 10 = 6 vs the rest):
+    // the CROSS-SET slice truth — exactly one side in the new batch; the
+    // banded probe's recall and exact-verify precision collapse to flags
+    "q_near_dup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |FROM documents WHERE doc_id < 500),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS grams
+        |FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT len(list_intersect(a.grams, b.grams)) AS ni,
+        |len(a.grams) AS na, len(b.grams) AS nb
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |AND ((a.doc_id % 10 = 6) != (b.doc_id % 10 = 6)))
+        |SELECT count(*) AS n_true_cross, CAST(1 AS INT) AS precision_ok,
+        |CAST(1 AS INT) AS recall_in_bound
         |FROM p WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5""".stripMargin,
     "q_near_dup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

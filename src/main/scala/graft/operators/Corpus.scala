@@ -379,6 +379,46 @@ object Corpus {
       budget)
       .withColumnRenamed("w", "tempered_w")
 
+  /** Annealed mixture SCHEDULE (`q_mix_schedule`) — curriculum data
+    * scheduling: the training mix is not ONE weight vector but a per-step
+    * sequence, here linearly annealed from the natural
+    * (volume-proportional) source mix at step 1 to the uniform mix at
+    * step `steps` — the standard curriculum that starts on the head
+    * distribution and flattens toward balanced coverage. Integer end to
+    * end: the interpolated weight is
+    * w_s = (S−s)·chars + (s−1)·(ctot DIV nsrc) — both terms non-negative,
+    * so Spark `DIV` ≡ DuckDB `//` everywhere — and each step's
+    * allocations are largest-remainder apportioned (the
+    * [[tokenBudgetAlloc]] contract, window partitioned by step) so every
+    * step sums EXACTLY to budget DIV steps; no float ever appears.
+    * Scale shape: one |sources| partial-agg shuffle; all schedule
+    * arithmetic runs on the steps×sources frame (tens of rows at any
+    * corpus size). */
+  def mixSchedule(s: SparkSession, d: String, budget: Long = 1000000L,
+                  steps: Int = 10): DataFrame = {
+    val stepBudget = budget / steps
+    val bySrc = Tables.documents(s, d)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+    val tot = bySrc.agg(sum(col("chars")).as("ctot"), count(lit(1)).as("nsrc"))
+    val stepped = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("chars"), col("ctot"), col("nsrc"),
+        explode(sequence(lit(1L), lit(steps.toLong))).as("step"))
+      .withColumn("w",
+        (lit(steps.toLong) - col("step")) * col("chars")
+          + (col("step") - lit(1L)) * expr("ctot div nsrc"))
+    val wStep = Window.partitionBy(col("step"))
+    val wRem = Window.partitionBy(col("step")).orderBy(col("rem").desc, col("source").asc)
+    stepped
+      .withColumn("wtot", sum(col("w")).over(wStep))
+      .withColumn("base", expr(s"($stepBudget * w) div wtot"))
+      .withColumn("rem", expr(s"($stepBudget * w) % wtot"))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("deficit", lit(stepBudget) - sum(col("base")).over(wStep))
+      .select(col("step"), col("source"), col("w"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling): score every training document by how much more likely its
     * hashed bigram features are under a target/benchmark distribution than

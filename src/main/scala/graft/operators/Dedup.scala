@@ -630,6 +630,74 @@ object Dedup {
     recallBoundVsHighJaccard(s, d,
       nearDupPairs(s, d, 0.2).select(col("doc_a"), col("doc_b")), minRecall = 0.5)
 
+  /** INCREMENTAL near-dup dedup — the continuous-ingest shape every
+    * crawl-fed training pipeline runs: a NEW batch of documents probed
+    * against the EXISTING corpus's banded signature table, without ever
+    * re-banding the corpus against itself. [[incrementalDedup]] covers the
+    * exact-hash rung (Bloom-pruned anti-join); this is the near-dup rung
+    * above it. The batch is `doc_id % batchMod == batchRem` (a held-out
+    * tenth — at real scale, today's crawl delta); the corpus band keys are
+    * derived from the MEMOIZED signature artifact (at scale: the persisted
+    * band table the ingest pass maintains), so the probe is one equi-join
+    * on (band_id, band_hash) whose cost is NEW-BATCH-proportional, plus
+    * the candidate-proportional exact-Jaccard verify. Emits
+    * (new_doc, dup_of, jaccard) — the drop/keep decision feed. */
+  def incrementalNearDupPairs(s: SparkSession, d: String, batchMod: Long = 10,
+                              batchRem: Long = 6, threshold: Double = 0.5,
+                              bands: Int = 8, rows: Int = 4): DataFrame = {
+    val (sh, sig) = shingleArtifacts(s, d)
+    def bandKeys(sigDf: DataFrame): DataFrame = sigDf.select(
+      col("doc_id"),
+      posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, concat_ws(',', slice(sig, b * $rows + 1, $rows))))"))
+        .as(Seq("band_id", "band_hash")))
+    val isNew = col("doc_id") % batchMod === batchRem
+    val corpusBands = bandKeys(sig.filter(!isNew))
+    val newBands = bandKeys(sig.filter(isNew))
+    val cand = newBands
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(corpusBands.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_hash"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // threshold on the UNROUNDED ratio — the identical double-division
+    // predicate the exact slice truth applies, so the bound's precision
+    // flag can never red on a 4dp rounding edge (j ≈ 0.49997 → "0.5")
+    verifyJaccard(sh, cand)
+      .filter(col("n_common") / (col("size_a") + col("size_b") - col("n_common")) >= threshold)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"), col("jaccard"))
+  }
+
+  /** Incremental near-dup, bound-oracled (`q_near_dup_incremental`
+    * promotion — the [[minhashProductionRecallBound]] pattern on the
+    * CROSS-SET truth): DuckDB recomputes the exact high-Jaccard pairs in
+    * the doc<500 slice that straddle the batch boundary (exactly one side
+    * in the new batch); the banded probe must recover ≥ `minRecall` of
+    * them (recall flag), and every emitted slice pair must be in the
+    * truth (precision flag — the verify stage computes exact Jaccard, so
+    * any miss is a wiring bug). batchRem=6 is chosen measured: the slice
+    * truth has cross-set pairs at EVERY SF for it (3/5/1), including the
+    * single sf0.1 pair the production banding is already proven to
+    * surface (`q_near_dup_minhash` green at sf0.1 with n_true_high=1). */
+  def incrementalNearDupBound(s: SparkSession, d: String,
+                              minRecall: Double = 0.5): DataFrame = {
+    val emitted = incrementalNearDupPairs(s, d)
+      .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
+        greatest(col("new_doc"), col("dup_of")).as("doc_b"))
+      .filter(col("doc_a") < 500 && col("doc_b") < 500)
+    val truth = exactShingleJaccardPairs(s, d, 500)
+      .filter(col("j") >= 0.5)
+      .filter((col("doc_a") % 10 === 6) =!= (col("doc_b") % 10 === 6))
+      .select(col("doc_a"), col("doc_b"))
+    val hit = truth.join(emitted, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val bad = emitted.join(truth, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    truth.agg(count(lit(1)).as("n_true_cross")).crossJoin(hit).crossJoin(bad)
+      .select(col("n_true_cross"),
+        (col("n_bad") === 0).cast("int").as("precision_ok"),
+        (col("n_hit") >= col("n_true_cross") * minRecall).cast("int").as("recall_in_bound"))
+  }
+
   /** SimHash path, bound-oracled (`q_near_dup_simhash` promotion): the
     * 16-bit-block candidates at Hamming ≤ 8 must recover ≥ 75% of the
     * high-Jaccard slice truth (measured 0.92–1.0 across SFs — a tiny edit

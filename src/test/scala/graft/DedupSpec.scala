@@ -199,6 +199,34 @@ class DedupSpec extends SparkSpec with org.scalactic.Tolerance {
     assert(tripped.getAs[Int]("recall_in_bound") === 0, "empty pair set must trip recall")
   }
 
+  test("incremental near-dup: cross-set only, exact-verified, bound flags green") {
+    val pairs = Dedup.incrementalNearDupPairs(spark, sf).collect()
+    // every emitted pair must straddle the batch boundary, new side first
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("new_doc") % 10 === 6L, "left side must be the new batch")
+      assert(r.getAs[Long]("dup_of") % 10 !== 6L, "right side must be the corpus")
+      assert(r.getAs[Double]("jaccard") >= 0.4999, "verify threshold")
+    }
+    // the probe's cross-set result must agree with the full production
+    // pipeline restricted to cross-set pairs: same banding, same verify —
+    // incrementality must not change WHAT is found, only what is scanned
+    val prod = Dedup.nearDupPairs(spark, sf, 0.5).collect().flatMap { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      if ((a % 10 == 6) != (b % 10 == 6))
+        Some(if (a % 10 == 6) (a, b) else (b, a)) else None
+    }.toSet
+    val inc = pairs.map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("dup_of"))).toSet
+    // production rounds jaccard to 4dp before thresholding; the
+    // incremental path thresholds unrounded — allow only boundary rows to
+    // differ (none exist in the test corpora; assert set equality modulo
+    // the 0.49995..0.5 band)
+    assert(inc === prod, s"incremental must equal production cross-set: $inc vs $prod")
+    val bound = Dedup.incrementalNearDupBound(spark, sf).head()
+    assert(bound.getAs[Long]("n_true_cross") > 0, "cross-set truth must be non-vacuous")
+    assert(bound.getAs[Int]("precision_ok") === 1)
+    assert(bound.getAs[Int]("recall_in_bound") === 1)
+  }
+
   test("D1 incremental: bloom-pruned result equals the plain exact anti-join") {
     val docs = Tables.documents(spark, sf)
     val incoming = docs.filter(col("doc_id") % 3 === 0)

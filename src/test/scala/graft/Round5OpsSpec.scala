@@ -177,6 +177,25 @@ class Round5OpsSpec extends SparkSpec with org.scalactic.Tolerance {
     }
   }
 
+  test("mix schedule: exact per-step budgets, natural start, uniform end") {
+    val rows = Corpus.mixSchedule(spark, sf).collect()
+    val byStep = rows.groupBy(_.getAs[Long]("step"))
+    assert(byStep.keySet === (1L to 10L).toSet)
+    // largest-remainder apportionment: EVERY step sums exactly to the
+    // step budget — annealing never drifts the total
+    byStep.foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("alloc")).sum === 100000L, s"step $s total")
+    }
+    // step 1 is the natural mix (alloc ordering = char-volume ordering);
+    // step 10 is uniform (largest-remainder on equal weights → allocs
+    // within 1 of each other)
+    val s1 = byStep(1L).map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc"))
+    val w1 = byStep(1L).map(r => r.getAs[String]("source") -> r.getAs[Long]("w"))
+    assert(s1.sortBy(-_._2).map(_._1).toSeq === w1.sortBy(-_._2).map(_._1).toSeq)
+    val s10 = byStep(10L).map(_.getAs[Long]("alloc"))
+    assert(s10.max - s10.min <= 1L, s"uniform end: ${s10.toSeq}")
+  }
+
   test("degree histogram accounts for every node and respects bipartite bounds") {
     val rows = Graph.degreeHistogram(spark, sf).collect()
     val pairs = Tables.lineitem(spark, sf)
