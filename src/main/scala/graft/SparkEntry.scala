@@ -164,6 +164,7 @@ object SparkEntry {
     "q_lang_source_mi" -> (Corpus.langSourceMi _),
     "q_chi2_independence" -> (Corpus.langSourceChi2 _),
     "q_ks_test" -> ((s, d) => Corpus.ksLengthTest(s, d)),
+    "q_psi_drift" -> ((s, d) => Relational.psiDrift(s, d)),
     "q_gini_tokens" -> (Corpus.tokenGini _),
     "q_novelty" -> (Dedup.noveltyScores _),
     "q_passage_dedup" -> ((s, d) => Dedup.passageDedupDecision(s, d)),
@@ -1966,6 +1967,27 @@ object SparkEntry {
         |SELECT round(max(abs(cum_a / tot.na - cum_b / tot.nb)), 6) AS ks_d,
         |CAST(max(tot.na) AS BIGINT) AS n_a, CAST(max(tot.nb) AS BIGINT) AS n_b
         |FROM cum CROSS JOIN tot""".stripMargin,
+    // PSI drift monitor: integer epoch cut, fixed width-50 bins, exact
+    // long counts + add-one smoothing; only the final Σ(p−q)·ln(p/q) is
+    // float, shipped at the 4dp ln() convention
+    "q_psi_drift" ->
+      """WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events),
+        |c AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS cut_s FROM ev),
+        |b AS (SELECT CAST(CASE WHEN ts_s < cut_s THEN 1 ELSE 0 END AS BIGINT) AS is_ref,
+        |least(greatest(CAST(floor(value / 50.0) AS INT), 0), 9) AS bin
+        |FROM ev CROSS JOIN c),
+        |cells AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ca,
+        |CAST(sum(1 - is_ref) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |dense AS (SELECT g.bin, COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+        |COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+        |FROM generate_series(0, 9) AS g(bin) LEFT JOIN cells ON cells.bin = g.bin),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM dense),
+        |x AS (SELECT (ca + 1.0) / (na + 10) AS p, (cb + 1.0) / (nb + 10) AS q, na, nb
+        |FROM dense CROSS JOIN t),
+        |agg AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi,
+        |CAST(max(na) AS BIGINT) AS n_ref, CAST(max(nb) AS BIGINT) AS n_cur FROM x)
+        |SELECT psi, n_ref, n_cur,
+        |CAST(psi >= 0.1 AS INT) AS drift_flag FROM agg""".stripMargin,
     "q_gini_tokens" ->
       """WITH f AS (SELECT tok, count(*) AS c FROM (
         |SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

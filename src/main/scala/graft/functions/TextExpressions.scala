@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx.toColumn
@@ -33,16 +32,19 @@ object TextFunctions {
 }
 
 /** One-pass SimHash: per-token xxhash64 (seed 42, matching SQL `xxhash64`),
-  * ±1 vote per bit, sign-collapsed to a 64-bit signature. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  * ±1 vote per bit, sign-collapsed to a 64-bit signature. Codegen'd via
+  * one virtual call per row into [[compute]] (the MarkerCounts pattern) —
+  * the signature projection sits in the production simhash dedup scan, so
+  * a CodegenFallback here broke the scan's whole-stage span into
+  * interpreted row boxing exactly where corpus volume flows. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got ${t.simpleString}")
   }
 
-  override def nullSafeEval(a: Any): Any = {
-    val tokens = a.asInstanceOf[ArrayData]
+  def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val tally = new Array[Int](64)
     var i = 0
@@ -65,6 +67,16 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       b += 1
     }
     sig
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)

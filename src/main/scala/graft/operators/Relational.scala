@@ -945,6 +945,48 @@ object Relational {
         (abs(col("cus")) === col("mx")).cast("int").as("is_peak"))
   }
 
+  /** Population Stability Index between the first and second half of the
+    * event stream (`q_psi_drift`) — the standard production drift monitor
+    * a feature/data pipeline runs per release: the value distribution of
+    * the current window scored against the reference window over FIXED
+    * bins, PSI = Σ (p−q)·ln(p/q). Complements [[Corpus.ksLengthTest]]
+    * (two-sample shape test) with the binned, smoothed form dashboards
+    * alert on (PSI ≥ 0.1 = moderate shift, the emitted flag's threshold).
+    * Engine-exact by construction everywhere floats allow: the time cut
+    * is integer epoch-second arithmetic ((min+max) DIV 2), bins are fixed
+    * width-50 buckets (floor of the identical IEEE division — never a
+    * percentile edge, whose cross-engine ulp could flip a boundary row),
+    * counts are exact longs with add-one smoothing, and only the final
+    * Σ(p−q)·ln(p/q) is float — shipped at the 4dp rounding the ln()
+    * convention requires. Scale shape: one scan → 10-cell aggregate;
+    * everything after runs on 10 rows. */
+  def psiDrift(s: SparkSession, d: String, bins: Int = 10,
+               binWidth: Double = 50.0): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(unix_timestamp(col("ts")).as("ts_s"), col("value"))
+    val cut = ev.agg(expr("(min(ts_s) + max(ts_s)) div 2").as("cut_s"))
+    val cells = ev.crossJoin(broadcast(cut))
+      .select((col("ts_s") < col("cut_s")).cast("long").as("is_ref"),
+        least(greatest(floor(col("value") / binWidth).cast("int"), lit(0)),
+          lit(bins - 1)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_ref")).as("ca"), sum(lit(1L) - col("is_ref")).as("cb"))
+    // densify to all bins: an empty cell must contribute its smoothed
+    // mass, not vanish from the sum
+    val dense = cut.select(explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+      .join(cells, Seq("bin"), "left")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = dense.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    dense.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("na") + bins).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("nb") + bins).cast("double"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"),
+        max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"))
+      .select(col("psi"), col("n_ref"), col("n_cur"),
+        (col("psi") >= 0.1).cast("int").as("drift_flag"))
+  }
+
   /** RFM (recency/frequency/monetary) customer segmentation — the classic
     * CRM rollup. One keyed agg collapses orders to a row per customer;
     * recency anchors on the 1-row corpus max date; the three 1–5 scores

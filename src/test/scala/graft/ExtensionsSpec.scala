@@ -18,6 +18,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(3) === ((('a' * 257L + 'b') % 1000000007L * 257L + 'c') % 1000000007L))
   }
 
+  test("simhash64 generates a direct compute call, not interpreted-eval fallback") {
+    // the signature projection sits in the production simhash dedup scan:
+    // a CodegenFallback there emits `references[i].eval(row)` — boxed
+    // interpreted execution inside the span. The upgraded expression must
+    // emit a typed call into SimHash64.compute instead.
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val df = Tables.documents(spark, sf).limit(5)
+      .select(graft.functions.TextFunctions.simhash64(
+        split(lower(col("text")), "\\s+")).as("sh"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(code.contains("graft.functions.SimHash64"),
+      "generated code must reference the typed expression object")
+    assert(code.contains(".compute("),
+      "generated code must call compute directly (no eval fallback)")
+  }
+
   test("rp_signatures from SQL returns `tables` signatures of `bits` bits") {
     GraftExtensions.install(spark)
     val sigs = spark.sql(

@@ -196,6 +196,35 @@ class SeriesAndSamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum == total)
   }
 
+  test("PSI drift matches a driver recomputation and is non-negative") {
+    val r = Relational.psiDrift(spark, sf).head()
+    val psi = r.getAs[Double]("psi")
+    // PSI is a sum of (p−q)ln(p/q) terms, each ≥ 0
+    assert(psi >= 0.0, s"psi=$psi")
+    assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cur") > 0)
+    assert(r.getAs[Int]("drift_flag") === (if (psi >= 0.1) 1 else 0))
+    // exact driver mirror of the whole computation (integer cut, fixed
+    // bins, add-one smoothing) — the operator is a pure function of the
+    // event set
+    val ev = Tables.events(spark, sf)
+      .select(unix_timestamp(col("ts")).as("ts_s"), col("value"))
+      .collect().map(x => (x.getAs[Long]("ts_s"), x.getAs[Double]("value")))
+    val cut = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val ca = new Array[Long](10); val cb = new Array[Long](10)
+    ev.foreach { case (t, v) =>
+      val bin = math.min(math.max(math.floor(v / 50.0).toInt, 0), 9)
+      if (t < cut) ca(bin) += 1 else cb(bin) += 1
+    }
+    val (na, nb) = (ca.sum, cb.sum)
+    val expected = (0 until 10).map { i =>
+      val p = (ca(i) + 1).toDouble / (na + 10)
+      val q = (cb(i) + 1).toDouble / (nb + 10)
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(math.abs(psi - expected) < 1e-3, s"psi=$psi expected=$expected")
+    assert(r.getAs[Long]("n_ref") === na && r.getAs[Long]("n_cur") === nb)
+  }
+
   test("rfm scores stay in 1..5 and partition every customer") {
     val rows = Relational.rfmSegments(spark, sf).collect()
     assert(rows.nonEmpty)
