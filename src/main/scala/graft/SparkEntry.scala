@@ -402,35 +402,43 @@ object SparkEntry {
         |SELECT event_type, min(hour) AS island_start, max(hour) AS island_end,
         |count(*) AS n_hours, CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM g GROUP BY event_type, grp""".stripMargin,
+    // interpolation in exact integer arithmetic (round-10 hardening: the
+    // old round(sum,2)/round(·,4) payload sat on a 4dp half-point at
+    // sf0.001 — the midpoint of two 2dp endpoints — where Spark's
+    // decimal-string HALF_UP and DuckDB's binary round diverge): per-event
+    // floor(value*100) cents summed exactly, gap fill =
+    // (c0·(t1−t) + c1·(t−t0))·10⁴ // (t1−t0) on non-negative longs
     "q_interpolate" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-        |round(sum(value), 2) AS v_obs FROM events GROUP BY 1, 2),
+        |CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c_obs
+        |FROM events GROUP BY 1, 2),
         |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
         |date_trunc('hour', max(ts)) AS h1 FROM events),
         |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
         |FROM span),
         |types AS (SELECT DISTINCT event_type FROM events),
-        |sparse AS (SELECT s.hour, t.event_type, h.v_obs FROM spine s
+        |sparse AS (SELECT s.hour, t.event_type, h.c_obs FROM spine s
         |CROSS JOIN types t
         |LEFT JOIN h ON h.hour = s.hour AND h.event_type = t.event_type),
-        |g AS (SELECT hour, event_type, v_obs,
-        |count(v_obs) OVER (PARTITION BY event_type ORDER BY hour ASC
+        |g AS (SELECT hour, event_type, c_obs,
+        |count(c_obs) OVER (PARTITION BY event_type ORDER BY hour ASC
         |ROWS UNBOUNDED PRECEDING) AS gp,
-        |count(v_obs) OVER (PARTITION BY event_type ORDER BY hour DESC
+        |count(c_obs) OVER (PARTITION BY event_type ORDER BY hour DESC
         |ROWS UNBOUNDED PRECEDING) AS gn FROM sparse),
-        |b AS (SELECT hour, event_type, v_obs,
-        |max(v_obs) OVER (PARTITION BY event_type, gp) AS prev_v,
-        |max(CASE WHEN v_obs IS NOT NULL THEN hour END)
+        |b AS (SELECT hour, event_type, c_obs,
+        |max(c_obs) OVER (PARTITION BY event_type, gp) AS prev_c,
+        |max(CASE WHEN c_obs IS NOT NULL THEN hour END)
         |OVER (PARTITION BY event_type, gp) AS prev_h,
-        |max(v_obs) OVER (PARTITION BY event_type, gn) AS next_v,
-        |max(CASE WHEN v_obs IS NOT NULL THEN hour END)
+        |max(c_obs) OVER (PARTITION BY event_type, gn) AS next_c,
+        |max(CASE WHEN c_obs IS NOT NULL THEN hour END)
         |OVER (PARTITION BY event_type, gn) AS next_h FROM g)
         |SELECT hour, event_type,
-        |round(CASE WHEN v_obs IS NOT NULL THEN v_obs
-        |ELSE prev_v + (next_v - prev_v) *
-        |(CAST(epoch(hour) - epoch(prev_h) AS DOUBLE) /
-        |CAST(epoch(next_h) - epoch(prev_h) AS DOUBLE)) END, 4) AS value_filled,
-        |CAST(v_obs IS NOT NULL AS INT) AS observed
+        |CAST(CASE WHEN c_obs IS NOT NULL THEN c_obs * 10000
+        |ELSE (prev_c * (CAST(floor(epoch(next_h)) AS BIGINT) - CAST(floor(epoch(hour)) AS BIGINT))
+        | + next_c * (CAST(floor(epoch(hour)) AS BIGINT) - CAST(floor(epoch(prev_h)) AS BIGINT)))
+        | * 10000 // (CAST(floor(epoch(next_h)) AS BIGINT) - CAST(floor(epoch(prev_h)) AS BIGINT))
+        |END AS BIGINT) AS cents_e4,
+        |CAST(c_obs IS NOT NULL AS INT) AS observed
         |FROM b""".stripMargin,
     "q_cume_distinct_users" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day

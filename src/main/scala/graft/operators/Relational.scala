@@ -674,14 +674,21 @@ object Relational {
     * non-null-count trick (count(v) over the ordered frame is constant
     * within a gap, so the gap joins its bracketing observation via a
     * group-max window) — no IGNORE NULLS dependence, identical semantics on
-    * any engine. Determinism: observed values are rounded BEFORE
-    * interpolation, so both engines interpolate bit-identical inputs with
-    * the same literal expression order. */
+    * any engine. Determinism: exact long cents in, one integral
+    * interpolation expression out — no float and no rounding step exists
+    * anywhere in the payload (see the half-point note below). */
   def interpolateHourly(s: SparkSession, d: String): DataFrame = {
     val events = Tables.events(s, d)
+    // exact LONG cents (per-event floor, then sum — the streaming-gate
+    // money convention): the round-10 full-surface sf0.001 probe caught
+    // the old round(sum,2)/round(·,4) payload on a half-point — the
+    // midpoint of two 2dp endpoints sits exactly on a 4dp .xx5, where
+    // Spark's decimal-string HALF_UP and DuckDB's binary round diverge.
+    // The interpolation below is integral end to end (cents × epoch
+    // seconds, one final DIV), so no rounding step exists to diverge.
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(round(sum(col("value")), 2).as("v_obs"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("c_obs"))
     val span = events.agg(
       date_trunc("hour", min(col("ts"))).as("h0"),
       date_trunc("hour", max(col("ts"))).as("h1"))
@@ -695,23 +702,26 @@ object Relational {
     val wDesc = Window.partitionBy(col("event_type")).orderBy(col("hour").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val grouped = sparse
-      .withColumn("gp", count(col("v_obs")).over(wAsc))
-      .withColumn("gn", count(col("v_obs")).over(wDesc))
+      .withColumn("gp", count(col("c_obs")).over(wAsc))
+      .withColumn("gn", count(col("c_obs")).over(wDesc))
     val wp = Window.partitionBy(col("event_type"), col("gp"))
     val wn = Window.partitionBy(col("event_type"), col("gn"))
     grouped
-      .withColumn("prev_v", max(col("v_obs")).over(wp))
-      .withColumn("prev_h", max(when(col("v_obs").isNotNull, col("hour"))).over(wp))
-      .withColumn("next_v", max(col("v_obs")).over(wn))
-      .withColumn("next_h", max(when(col("v_obs").isNotNull, col("hour"))).over(wn))
-      .withColumn("value_filled", round(
-        when(col("v_obs").isNotNull, col("v_obs"))
-          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
-            ((unix_timestamp(col("hour")) - unix_timestamp(col("prev_h"))).cast("double") /
-              (unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))).cast("double"))),
-        4))
-      .select(col("hour"), col("event_type"), col("value_filled"),
-        col("v_obs").isNotNull.cast("int").as("observed"))
+      .withColumn("prev_c", max(col("c_obs")).over(wp))
+      .withColumn("prev_h", max(when(col("c_obs").isNotNull, col("hour"))).over(wp))
+      .withColumn("next_c", max(col("c_obs")).over(wn))
+      .withColumn("next_h", max(when(col("c_obs").isNotNull, col("hour"))).over(wn))
+      // linear interpolation as one integral expression in ten-thousandths
+      // of a cent: (c0·(t1−t) + c1·(t−t0)) · 10⁴ DIV (t1−t0) — every term
+      // non-negative, so Spark DIV ≡ DuckDB //
+      .withColumn("cents_e4",
+        when(col("c_obs").isNotNull, col("c_obs") * 10000L)
+          .otherwise(expr(
+            """(prev_c * (unix_timestamp(next_h) - unix_timestamp(hour))
+              | + next_c * (unix_timestamp(hour) - unix_timestamp(prev_h)))
+              | * 10000L div (unix_timestamp(next_h) - unix_timestamp(prev_h))""".stripMargin)))
+      .select(col("hour"), col("event_type"), col("cents_e4"),
+        col("c_obs").isNotNull.cast("int").as("observed"))
   }
 
   /** Cumulative distinct users per day — the growth-dashboard line that is

@@ -21,16 +21,19 @@ class SeriesAndSamplingSpec extends SparkSpec {
       val obsIdx = byHour.zipWithIndex.filter(_._1.getAs[Int]("observed") == 1).map(_._2)
       assert(obsIdx.nonEmpty)
       byHour.zipWithIndex.foreach { case (r, i) =>
-        val v = Option(r.getAs[java.lang.Double]("value_filled")).map(_.toDouble)
-        if (r.getAs[Int]("observed") == 1) assert(v.isDefined)
-        else if (i < obsIdx.head || i > obsIdx.last) assert(v.isEmpty, s"edge row $i must be null")
+        val v = Option(r.getAs[java.lang.Long]("cents_e4")).map(_.toLong)
+        if (r.getAs[Int]("observed") == 1) {
+          assert(v.isDefined)
+          assert(v.get % 10000L === 0L, "observed rows are whole cents × 10⁴")
+        } else if (i < obsIdx.head || i > obsIdx.last) assert(v.isEmpty, s"edge row $i must be null")
         else {
           val prev = obsIdx.filter(_ < i).last
           val next = obsIdx.filter(_ > i).head
-          val a = byHour(prev).getAs[Double]("value_filled")
-          val b = byHour(next).getAs[Double]("value_filled")
+          val a = byHour(prev).getAs[Long]("cents_e4")
+          val b = byHour(next).getAs[Long]("cents_e4")
           assert(v.isDefined)
-          assert(v.get >= math.min(a, b) - 1e-4 && v.get <= math.max(a, b) + 1e-4,
+          // integral DIV floors, so allow the one-unit truncation slack
+          assert(v.get >= math.min(a, b) - 1L && v.get <= math.max(a, b) + 1L,
             s"gap row $i=$v outside [$a, $b]")
         }
       }
