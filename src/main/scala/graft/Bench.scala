@@ -74,6 +74,12 @@ object Bench {
     // reuses — overlapping it with the builds just re-pays that init once
     // per thread.
     warm("entry")(SparkEntry.entry(spark).write.format("noop").mode("overwrite").save())
+    // Per-gate drain wall times (round-10 ask #1): the timed q_stream_* rows
+    // read memoized payloads (~0.02 s), so without this map a drain
+    // regressing 2 s → 20 s is invisible until it eats the wall budget.
+    // Each gate's REAL drain cost lands here from the warmup stage and is
+    // emitted as a `drains` object in the artifact.
+    val drainSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     // One-off model/index/artifact builds are NOT the measured operators —
     // scoring and probing are. They stage here untimed, the same contract
     // as a shipped model / persisted index table. The builds are mutually
@@ -152,15 +158,30 @@ object Bench {
       "streaming-drains-stage" -> (() => {
         val gates = SparkEntry.queries.filter(_._1.startsWith("q_stream_")).toSeq.sortBy(_._1)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-        gates.map { case (n, fn) =>
-          pool.submit(new Runnable { def run(): Unit =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); () }
-            catch { case e: Throwable =>
-              // pass 1 retries (the memo cell stays uninitialized on
-              // failure) and records the failure properly there
-              System.err.println(s"[bench] drain '$n' failed in warmup: ${e.getMessage}") } })
-        }.foreach(_.get())
-        pool.shutdown()
+        try {
+          gates.map { case (n, fn) =>
+            n -> pool.submit(new Runnable { def run(): Unit = {
+              val d0 = System.nanoTime()
+              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                drainSecs.put(n, (System.nanoTime() - d0) / 1e9); () }
+              catch { case e: Throwable =>
+                // pass 1 retries (the memo cell stays uninitialized on
+                // failure) and records the failure properly there
+                System.err.println(s"[bench] drain '$n' failed in warmup: ${e.getMessage}") } } })
+          }.foreach { case (n, f) =>
+            // Per-drain timeout (ADVICE r10): one hung drain must cost ONE
+            // gate, not the artifact. Waits are sequential over concurrent
+            // futures, so completed gates consume no timeout budget; an
+            // abandoned gate's memo cell stays uninitialized and pass 1
+            // records the failure (or blocks and the watchdog still emits).
+            try f.get(150, java.util.concurrent.TimeUnit.SECONDS)
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                f.cancel(true)
+                System.err.println(s"[bench] drain '$n' exceeded 150 s in warmup; abandoned")
+            }
+          }
+        } finally pool.shutdownNow()
       }),
       // the embedding covariance is a corpus build (one Gram pass): the PCA
       // bound query and any whitening consumer read the memoized model
@@ -195,7 +216,8 @@ object Bench {
       }
       .foreach(_.get()) // warm() swallows per-task failures; get() only rethrows interrupts
     warmPool.shutdown()
-    System.err.println(f"[bench] warmup complete (t=${elapsedSec}%.0f)")
+    val warmupSec = elapsedSec
+    System.err.println(f"[bench] warmup complete (t=$warmupSec%.0f)")
     @volatile var failed = List.empty[String]
     @volatile var flaky = List.empty[String]
     @volatile var skipped = List.empty[String]
@@ -215,7 +237,23 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"skipped":${arr(allSkipped)},"sf":"$sfDir"}""")
+      // `drains`: the per-gate REAL drain wall times measured in the warmup
+      // stage. `staged`: every query whose TIMED reading is a read of a
+      // warmup-memoized payload, not a recomputation — the 14 q_stream_*
+      // rows (long-lived-query contract: the drain runs once, consumers
+      // read the sink) and q_edit_distance (the cached slice-truth frame
+      // itself). Cross-engine ratio claims over these rows must carry this
+      // caveat: DuckDB recomputes what these rows only read. Other queries
+      // read staged index/model artifacts but do real probe/scoring work
+      // in the timed pass.
+      val drains = {
+        import scala.jdk.CollectionConverters._
+        drainSecs.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      }
+      val staged = arr(ordered.collect {
+        case (n, _) if n.startsWith("q_stream_") => n }.toList ::: List("q_edit_distance"))
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drains":$drains,"staged":$staged,"warmup_s":${f"$warmupSec%.1f"},"wall_s":${f"$elapsedSec%.1f"},"failed":${arr(failed)},"flaky":${arr(flaky)},"skipped":${arr(allSkipped)},"sf":"$sfDir"}""")
       System.out.flush()
     }
     // Watchdog: the budget check below only runs BETWEEN queries, so a

@@ -131,10 +131,27 @@ object EventsStream {
     new graft.operators.SessionCache[String, String](
       dir => deleteRecursively(new java.io.File(dir)))
 
-  /** Corpus-replacement invalidation hook for the staged event files. */
-  def invalidateEventsStage(d: String): Unit =
+  /** Corpus-replacement invalidation hook for the staged event files.
+    * The drained gate payloads DERIVE from the staged files, so dropping
+    * the stage must drop them too — otherwise every gate keeps serving the
+    * replaced corpus's memoized sink (round-10 ask #6: these hooks existed
+    * but nothing chained them). */
+  def invalidateEventsStage(d: String): Unit = {
     eventsStage.removeIfAll(_ == d)
       .foreach(dir => deleteRecursively(new java.io.File(dir)))
+    invalidateDrains(d)
+  }
+
+  /** Whole-corpus replacement hook: drop every dir-keyed memoized artifact
+    * derived from `d` across the streaming layer AND the document-derived
+    * slice-truth cache. Call this when the parquet tables under `d` are
+    * rewritten in place (a compaction, a backfill, a test fixture swap);
+    * the next gate/truth access recomputes from the new files. */
+  def invalidateCorpus(d: String): Unit = {
+    invalidateEventsStage(d)
+    invalidateEventsReplayStage(d)
+    graft.operators.Dedup.invalidateEdTruth(d)
+  }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -192,8 +209,10 @@ object EventsStream {
     * engine-neutral. */
   def intervalJoinOuterGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "interval_join") {
-      drainGate(spark, "graft-stream-ssj-gate") { (iso, out, ckpt) =>
-        runIntervalJoinOuter(iso, stageEvents(spark, d), out, ckpt)
+      val src = stageEvents(spark, d)
+      drainGate(spark, "graft-stream-ssj-gate",
+        stateBound = heldJoinBound(spark, src)) { (iso, out, ckpt) =>
+        runIntervalJoinOuter(iso, src, out, ckpt)
       } { sink =>
         sink.filter(col("purchase_id") >= 0)
           .select(col("purchase_id"), col("user_id"), col("view_id"),
@@ -227,6 +246,61 @@ object EventsStream {
                               (body: => DataFrame): DataFrame =
     drainedPayloads.getOrCompute(spark, (d, gate))(body)
 
+  /** The STATE-SIZE side of the watermark contract (round-10 ask #4): the
+    * recovery gates prove state RESTORES; nothing pinned that it stays
+    * BOUNDED by the watermark horizon — an eviction regression (state rows
+    * growing with stream lifetime instead of the horizon) would pass every
+    * value gate and only surface as an executor OOM at production scale.
+    * These helpers derive an upper bound on the rows a drained query may
+    * legally still hold at termination FROM THE STAGED FILES, so the bound
+    * scales with the horizon's tail density, never with total volume.
+    *
+    * Both read the scratch source dir (sentinel included — it is max(ts)
+    * there): final watermark = max_staged − 30 min delay; the real corpus
+    * ends 2 h earlier (the sentinel gap).
+    *
+    * Windowed aggregation: a (1-h window × event_type) group is held iff
+    * its window end > final watermark ⇔ floor_hour(ts) > wm − 1 h. The
+    * filter below uses the superset ts > wm − 2 h (safe under eviction-
+    * boundary slack), so the bound covers the sentinel group plus roughly
+    * the corpus's last half hour of groups — versus ALL groups over the
+    * corpus lifetime if eviction broke. */
+  private[graft] def heldWindowBound(spark: SparkSession, srcDir: String): Long = {
+    val ev = spark.read.parquet(srcDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmFinal = mx.getTime - 30L * 60 * 1000
+    ev.filter(col("ts") > lit(new java.sql.Timestamp(wmFinal - 2L * 3600 * 1000)))
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count() + 2
+  }
+
+  /** Interval join: a buffered row is evictable once the watermark clears
+    * its join horizon (1 h window + 30 min delay past the row's ts).
+    * Bound = rows inside 2.5 h of the final watermark (one extra hour of
+    * eviction-boundary slack) + the sentinel pair and null-pad slack —
+    * the corpus's final hour of events, never its lifetime. */
+  private[graft] def heldJoinBound(spark: SparkSession, srcDir: String): Long = {
+    val ev = spark.read.parquet(srcDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmFinal = mx.getTime - 30L * 60 * 1000
+    ev.filter(col("ts") > lit(new java.sql.Timestamp(wmFinal - 150L * 60 * 1000)))
+      .count() + 4
+  }
+
+  /** Red the drain if the terminated query's final state exceeds the
+    * horizon-derived bound. Scans recentProgress newest-first for the last
+    * entry that reports state operators (the AvailableNow flush batch);
+    * a bounded gate that cannot find one fails loudly rather than passing
+    * vacuously. */
+  private def requireStateBounded(q: StreamingQuery, bound: Long, what: String): Unit = {
+    val last = q.recentProgress.reverseIterator
+      .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+    require(last.isDefined, s"$what: no progress with state operators to bound-check")
+    val rows = last.get.stateOperators.map(_.numRowsTotal).sum
+    require(rows <= bound,
+      s"$what: final state holds $rows rows, above the watermark-horizon bound $bound — " +
+        "eviction is not keeping state horizon-bounded")
+  }
+
   /** Shared drain harness for every streaming gate query: scratch sink +
     * checkpoint dirs, the stream fully terminated before the sink is read
     * back, the payload localCheckpointed off the scratch files, the
@@ -236,8 +310,11 @@ object EventsStream {
     * per-batch delta files is pure checkpoint-IO overhead at the sampled
     * volume, and a child session carries the setting without mutating the
     * caller's conf — which also makes concurrent drains (the warmup-pool
-    * shape) race-free by construction. */
-  private[graft] def drainGate(spark: SparkSession, prefix: String)
+    * shape) race-free by construction. Gates that pass a `stateBound`
+    * additionally assert the terminated query's state stayed inside the
+    * watermark horizon (see [[heldWindowBound]]/[[heldJoinBound]]). */
+  private[graft] def drainGate(spark: SparkSession, prefix: String,
+                               stateBound: Long = Long.MaxValue)
                        (start: (SparkSession, String, String) => StreamingQuery)
                        (payload: DataFrame => DataFrame): DataFrame = {
     val iso = spark.newSession()
@@ -249,6 +326,7 @@ object EventsStream {
       val q = start(iso, outDir, ckptDir)
       try q.awaitTermination()
       finally q.stop()
+      if (stateBound != Long.MaxValue) requireStateBounded(q, stateBound, prefix)
       payload(iso.read.parquet(outDir)).localCheckpoint(true)
     } finally deleteRecursively(base.toFile)
   }
@@ -280,8 +358,10 @@ object EventsStream {
     * the sentinel's watermark all fail the hash. */
   def windowedAggGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "window_agg") {
-      drainGate(spark, "graft-stream-wagg-gate") { (iso, out, ckpt) =>
-        windowedCents(readEvents(iso, stageEvents(spark, d)))
+      val src = stageEvents(spark, d)
+      drainGate(spark, "graft-stream-wagg-gate",
+        stateBound = heldWindowBound(spark, src)) { (iso, out, ckpt) =>
+        windowedCents(readEvents(iso, src))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckpt)
           .format("parquet").option("path", out).start()
@@ -310,7 +390,8 @@ object EventsStream {
     * cost is one read of the per-partition store, not data-sized. */
   def recoveryGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "recovery") {
-      twoLifetimeDrain(spark, d, "graft-stream-recov-gate") { (iso, src, out, ckpt) =>
+      twoLifetimeDrain(spark, d, "graft-stream-recov-gate",
+        stateBound = heldWindowBound(spark, _)) { (iso, src, out, ckpt) =>
         windowedCents(readEvents(iso, src, maxFilesPerTrigger = 2))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckpt)
@@ -333,7 +414,8 @@ object EventsStream {
     * the `restart_ok` flag. */
   def recoveryJoinGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "recovery_join") {
-      twoLifetimeDrain(spark, d, "graft-stream-recovj-gate") { (iso, src, out, ckpt) =>
+      twoLifetimeDrain(spark, d, "graft-stream-recovj-gate",
+        stateBound = heldJoinBound(spark, _)) { (iso, src, out, ckpt) =>
         purchasesWithRecentViewsOuter(readEvents(iso, src, maxFilesPerTrigger = 2))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckpt)
@@ -362,7 +444,8 @@ object EventsStream {
     * isolated child session at 8 shuffle partitions (the [[drainGate]]
     * contract); the scratch tree dies in finally, failure paths
     * included. */
-  private def twoLifetimeDrain(spark: SparkSession, d: String, prefix: String)
+  private def twoLifetimeDrain(spark: SparkSession, d: String, prefix: String,
+      stateBound: String => Long = _ => Long.MaxValue)
       (mkQuery: (SparkSession, String, String, String) => StreamingQuery)
       (payload: DataFrame => DataFrame): DataFrame = {
     val iso = spark.newSession()
@@ -436,6 +519,12 @@ object EventsStream {
       orderTier(parquetFiles() -- tier2)
       val q2 = start()
       try q2.awaitTermination() finally q2.stop()
+      // the restart axis must not trade recovery for retention: lifetime 2's
+      // final state is held to the same watermark-horizon bound as the
+      // single-lifetime drains (bound computed over the fully staged source,
+      // sentinel included)
+      val bound = stateBound(srcDir)
+      if (bound != Long.MaxValue) requireStateBounded(q2, bound, prefix)
       val c2 = commitCount()
       val sink = iso.read.parquet(outDir)
       val sFinal = sink.count()

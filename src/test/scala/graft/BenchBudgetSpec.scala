@@ -27,9 +27,12 @@ class BenchBudgetSpec extends AnyFunSuite {
 
   private val BudgetSec = 330.0
   private val RetimeReserve = 55.0
-  /** Warmup wall on the reference host: entry + concurrent builds + the
-    * round-10 concurrent drain stage measured t≈40 s; padded for drift. */
-  private val WarmupEstimateSec = 50.0
+  /** Fallback warmup wall when the committed series predates the
+    * `warmup_s` artifact field (pre-round-12): entry + concurrent builds +
+    * the concurrent drain stage measured t≈40 s, padded for drift. When
+    * the series carries measured `warmup_s` values, the projection uses
+    * their max instead (round-10 ask #1: measured, not a constant). */
+  private val WarmupFallbackSec = 50.0
   /** warmup+pass1 may fill at most this share of the pre-deadline window;
     * the remainder is host-stall tolerance (the documented 20-70× stall
     * windows land on whatever is running) plus retime room. */
@@ -45,23 +48,38 @@ class BenchBudgetSpec extends AnyFunSuite {
     val latest = series.filter(_.getName.startsWith(s"benchr$round"))
     // one-line JSON; extract the "queries" object's "name":value pairs
     val pair = """"(q_[a-zA-Z0-9_]+)":(-?\d+(?:\.\d+)?(?:E-?\d+)?)""".r
+    val warmupField = """"warmup_s":(\d+(?:\.\d+)?)""".r
     val perQuery = scala.collection.mutable.Map.empty[String, Double]
+    var warmupMeasured = List.empty[Double]
     for (f <- latest) {
       val txt = scala.io.Source.fromFile(f).mkString
-      for (m <- pair.findAllMatchIn(txt)) {
+      // Parse ONLY the `queries` object: since round 12 the artifact also
+      // carries a `drains` object keyed by the same q_stream_* names with
+      // the REAL per-gate drain seconds — warmup wall, already inside
+      // warmup_s; folding those into the pass-1 estimate would double-count
+      // the drain family (~25 s) against the ceiling.
+      val qObj = txt.indexOf("\"queries\":{") match {
+        case -1 => txt
+        case i => txt.substring(i, txt.indexOf('}', i).max(i))
+      }
+      for (m <- pair.findAllMatchIn(qObj)) {
         val (name, v) = (m.group(1), m.group(2).toDouble)
         if (v >= 0) perQuery(name) = math.max(perQuery.getOrElse(name, 0.0), v)
       }
+      warmupMeasured = warmupField.findFirstMatchIn(txt).map(_.group(1).toDouble).toList ::: warmupMeasured
     }
     assume(perQuery.nonEmpty, s"benchr$round series parsed to no query timings")
     val registered = SparkEntry.queries.keySet
     val missing = registered -- perQuery.keySet
     val pass1Est = registered.toSeq.map(perQuery.getOrElse(_, DefaultNewQuerySec)).sum
-    val projected = WarmupEstimateSec + pass1Est
+    val warmupEst =
+      if (warmupMeasured.nonEmpty) warmupMeasured.max else WarmupFallbackSec
+    val projected = warmupEst + pass1Est
     val ceiling = PassOneShare * (BudgetSec - RetimeReserve)
     info(f"benchr$round series: pass1 est $pass1Est%.1f s over ${registered.size} queries " +
-      f"(${missing.size} uncommitted @ $DefaultNewQuerySec/q), projected warmup+pass1 " +
-      f"$projected%.1f s vs ceiling $ceiling%.1f s")
+      f"(${missing.size} uncommitted @ $DefaultNewQuerySec/q), warmup " +
+      f"$warmupEst%.1f s (${if (warmupMeasured.nonEmpty) "measured" else "fallback"}), " +
+      f"projected warmup+pass1 $projected%.1f s vs ceiling $ceiling%.1f s")
     assert(projected <= ceiling,
       f"projected warmup+pass1 $projected%.1f s exceeds $ceiling%.1f s — the registry has " +
         "outgrown the driver bench budget; stage or shed cost before committing " +

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Corpus-replacement invalidation (round-10 ask #6): the memoized drain
+  * payloads and the edit-distance slice truth are keyed by corpus DIR, so
+  * rewriting the parquet tables in place (compaction, backfill, fixture
+  * swap) silently keeps serving the old corpus until the invalidation hooks
+  * run. Before round 12 the hooks existed but nothing chained them; this
+  * spec pins the whole path: the memo IS stale after an in-place swap, and
+  * [[EventsStream.invalidateCorpus]] makes the next access recompute from
+  * the new files — for the staged events, the drained gate payloads, and
+  * the document-derived truth cache alike. */
+class InvalidationSpec extends SparkSpec {
+
+  test("invalidateCorpus recomputes drains and ed truth after an in-place swap") {
+    val d = Files.createTempDirectory("graft-corpus-swap").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val sum1 = EventsStream.windowedAggGate(spark, d)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val truth1 = operators.Dedup.edTruthArtifact(spark, d).count()
+
+    // In-place swap BY AN EXTERNAL WRITER (filesystem move, not this
+    // session's DataFrameWriter — an in-session overwrite fires
+    // refreshByPath and hides exactly the staleness this hook exists for):
+    // events cut to the first half of the time range (fewer windows AND
+    // fewer events — the payload's sum(n_events) must strictly drop);
+    // documents replaced by a doc<100 slice plus an EXACT copy of each at
+    // doc_id+100 (lev = 0 pairs, admissible under any threshold).
+    def swapExternally(v2: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-swap-stage").toString
+      v2.write.mode("overwrite").parquet(tmp)
+      EventsStream.deleteRecursively(new java.io.File(s"$d/$table"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(s"$d/$table"))
+    }
+    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val cut = new java.sql.Timestamp(mm.getTimestamp(0).getTime +
+      (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2)
+    swapExternally(ev.filter(col("ts") < lit(cut)), "events.parquet")
+    val base = docs.filter(col("doc_id") < 100)
+    val baseCount = base.count()
+    assert(baseCount > 0, "fixture must have docs under id 100")
+    swapExternally(
+      base.unionByName(base.withColumn("doc_id", col("doc_id") + 100)),
+      "documents.parquet")
+
+    // WITHOUT invalidation both memos still serve the replaced corpus —
+    // the hazard this hook exists for.
+    val staleSum = EventsStream.windowedAggGate(spark, d)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val staleTruth = operators.Dedup.edTruthArtifact(spark, d).count()
+    assert(staleSum === sum1, "drain memo unexpectedly recomputed without invalidation")
+    assert(staleTruth === truth1, "ed truth memo unexpectedly recomputed without invalidation")
+
+    EventsStream.invalidateCorpus(d)
+
+    val freshSum = EventsStream.windowedAggGate(spark, d)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(freshSum < sum1,
+      s"post-invalidation drain must see the halved corpus ($freshSum vs $sum1)")
+    // every (i, i+100) planted pair is exact → lev 0; >= admits incidental
+    // same-text pairs without depending on them
+    val planted = operators.Dedup.edTruthArtifact(spark, d)
+      .filter(col("lev") === 0 && col("doc_b") === col("doc_a") + 100).count()
+    assert(planted >= baseCount,
+      s"post-invalidation truth must contain the $baseCount planted exact pairs (got $planted)")
+
+    EventsStream.invalidateCorpus(d) // drop the swap corpus's artifacts
+    EventsStream.deleteRecursively(new java.io.File(d))
+  }
+}
