@@ -713,7 +713,11 @@ object Relational {
       .withColumn("next_h", max(when(col("c_obs").isNotNull, col("hour"))).over(wn))
       // linear interpolation as one integral expression in ten-thousandths
       // of a cent: (c0·(t1−t) + c1·(t−t0)) · 10⁴ DIV (t1−t0) — every term
-      // non-negative, so Spark DIV ≡ DuckDB //
+      // non-negative, so Spark DIV ≡ DuckDB //. The non-negativity is a
+      // FIXTURE CONTRACT (hourly cents sums ≥ 0), pinned by
+      // SeriesAndSamplingSpec's "integral DIV contract" test: on negative
+      // dividends DIV truncates toward zero while // floors, and the
+      // oracle equivalence silently breaks.
       .withColumn("cents_e4",
         when(col("c_obs").isNotNull, col("c_obs") * 10000L)
           .otherwise(expr(

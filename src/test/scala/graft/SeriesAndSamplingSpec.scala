@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 class SeriesAndSamplingSpec extends SparkSpec {
 
+  test("interpolation's integral DIV contract: every hourly cents sum is non-negative") {
+    // The q_interpolate payload relies on Spark `DIV` ≡ DuckDB `//`, which
+    // holds ONLY for non-negative dividends (they truncate toward zero vs
+    // floor on negatives). The dividend is built from the bracketing hourly
+    // sums, so the contract is: no (event_type, hour) group may sum to
+    // negative cents. Checked here against the live fixture (also verified
+    // ≥ 21 / ≥ 26 / ≥ 33009 at sf0.001/0.01/0.1 when this pin was added);
+    // a fixture regen that breaks it reds this spec, not the driver hash.
+    val minHourly = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("c"))
+      .agg(min(col("c"))).head().getLong(0)
+    assert(minHourly >= 0L,
+      s"negative hourly cents sum ($minHourly): Spark DIV and DuckDB // diverge " +
+        "on negative dividends — q_interpolate's oracle equivalence is void")
+  }
+
   test("interpolated values are bracketed by their neighbors; observed rows pass through") {
     val rows = Relational.interpolateHourly(spark, sf).collect()
     assert(rows.nonEmpty)
