@@ -74,6 +74,30 @@ object SfTrendMain {
     "q_approx_distinct", "q_weighted_median", "q_tpch_q3", "q_bigram_lm",
     "q_dedup_exact", "q_ann_brute")
 
+  /** Deep tier (round-10 ask #2): the ×5 ratios came out 0.97–1.56× — still
+    * overhead-bound, proving amortization but not data-bound scaling. ×20
+    * (2× a TPC-H SF1 fact volume) pushes the 5 heaviest kernels into the
+    * regime where per-row work dominates fixed cost; a super-linear ratio
+    * here is a real scale bug, not noise. The banded near-dup IS
+    * trend-meaningful under this corpus construction: per-copy vocab
+    * suffixes mean zero cross-copy shingle collisions, so candidate pairs
+    * scale exactly ×k. Each deep query is timed at ×1 and ×20 with its
+    * corpus artifacts (graph edges, shingle signatures, IVF index) staged
+    * untimed at BOTH scales — the same contract as Bench's warmup. */
+  private val DeepScale = 20
+  private val DeepQueries = Seq("q_pagerank", "q_near_dup_minhash",
+    "q_bigram_lm", "q_attribution", "q_ann_ivf")
+
+  private def stageArtifacts(spark: SparkSession, dir: String): Unit = {
+    operators.Graph.graphArtifacts(spark, dir)
+    val (sh, sig) = operators.Dedup.shingleArtifacts(spark, dir)
+    sh.write.format("noop").mode("overwrite").save()
+    sig.write.format("noop").mode("overwrite").save()
+    val (assigned, centroids) = operators.IvfIndex.index(spark, dir)
+    assigned.write.format("noop").mode("overwrite").save()
+    centroids.write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -106,7 +130,28 @@ object SfTrendMain {
       val slope51 = m(5) / math.max(m(1), 1e-9)
       f""""$n":{$xs,"ratio_x5_x1":$slope51%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"sf_trend","src":"$src","scales":[1,2,5],"queries":$qjson}""")
+    // deep tier: ×1 and ×20 with artifacts staged untimed at both scales
+    val deep = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
+    for (k <- Seq(1, DeepScale)) {
+      val dir = scaledDir(spark, src, k, base)
+      stageArtifacts(spark, dir)
+      for (name <- DeepQueries) {
+        val fn = SparkEntry.queries(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        deep(name) = deep.getOrElse(name, Map.empty) + (k -> t)
+        System.err.println(f"[sftrend-deep] x$k $name $t%.2f s")
+      }
+    }
+    val djson = deep.map { case (n, m) =>
+      val r = m(DeepScale) / math.max(m(1), 1e-9)
+      f""""$n":{"x1":${m(1)}%.3f,"x$DeepScale":${m(DeepScale)}%.3f,"ratio_x${DeepScale}_x1":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf_trend","src":"$src","scales":[1,2,5],"queries":$qjson,"deep_scale":$DeepScale,"deep":$djson}""")
     spark.stop()
   }
 }
