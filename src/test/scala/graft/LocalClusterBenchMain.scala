@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-executor smoke bench (round-10 stretch #7): everything else in the
+  * project measures `local[32]` — one JVM, where every "shuffle" is an
+  * in-process byte copy and a broadcast is a pointer. `local-cluster[4,8,
+  * 4096]` launches 4 REAL executor JVMs (8 cores / 4 GB each) through the
+  * standalone deploy path, so serialized task binaries, real broadcast
+  * transport, cross-JVM shuffle fetch, and executor-side codegen all
+  * actually happen. The 20 heaviest BATCH queries (per the committed
+  * benchr10c best-of series) run once after the same untimed artifact
+  * staging Bench uses; the interesting output is the per-query
+  * local-cluster/local ratio — a query whose ratio is an outlier depends
+  * on single-JVM locality in a way that would bite on a real cluster.
+  * Streaming drains are excluded: their cost is checkpoint IO against
+  * local scratch dirs, which multi-JVM changes nothing about.
+  *
+  * Run with SPARK_HOME=/opt/spark (the worker/executor launch path needs
+  * the distribution, not just the jars). Prints one JSON line for
+  * bench_runs/local_cluster_r12.json. */
+object LocalClusterBenchMain {
+
+  private val Heavy20 = Seq(
+    "q_pagerank", "q_approx_distinct", "q_ppr", "q_cosine_near_dup_lsh",
+    "q_near_dup_incremental", "q_pagerank_directed", "q_ann_ivf_pq",
+    "q_ann_ivf_q8", "q_weighted_median", "q_cc_star", "q_file_audit",
+    "q_naive_bayes", "q_modularity", "q_near_dup_ml", "q_bigram_lm",
+    "q_near_dup_minhash", "q_minhash_est", "q_containment_scale",
+    "q_growth_accounting", "q_contamination")
+
+  def main(args: Array[String]): Unit = {
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster mode needs SPARK_HOME (the executor launch path)")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    // executors are separate JVMs: they need the graft classes on their
+    // classpath and the same JDK17 add-opens the driver gets from build.sbt
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[4,8,4096]")
+      .config("spark.executor.extraClassPath", classes)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the same untimed artifact staging contract as Bench's warmup pool,
+    // restricted to what the 20 heavy queries read
+    def warm(what: String)(body: => Unit): Unit =
+      try { body; System.err.println(s"[lcbench] staged $what") }
+      catch { case e: Throwable => System.err.println(s"[lcbench] stage '$what' failed: ${e.getMessage}") }
+    warm("entry")(SparkEntry.entry(spark).write.format("noop").mode("overwrite").save())
+    warm("graph-edges") { val (n, no, p) = operators.Graph.graphArtifacts(spark, sfDir)
+      Seq(n, no, p).foreach(_.write.format("noop").mode("overwrite").save()) }
+    warm("shingles") { val (sh, sig) = operators.Dedup.shingleArtifacts(spark, sfDir)
+      Seq(sh, sig).foreach(_.write.format("noop").mode("overwrite").save()) }
+    warm("ivf-pq") { val (a, c) = operators.IvfIndex.index(spark, sfDir)
+      val (cb, codes) = operators.IvfIndex.pqIndex(spark, sfDir)
+      Seq(a, c, cb, codes).foreach(_.write.format("noop").mode("overwrite").save()) }
+    warm("rp-signatures") { val (s1, s2) = operators.Similarity.rpSigArtifacts(spark, sfDir,
+      operators.Similarity.CosineLshTables, operators.Similarity.CosineLshBits)
+      Seq(s1, s2).foreach(_.write.format("noop").mode("overwrite").save()) }
+    warm("containment") { val (p, s) = operators.Dedup.containmentArtifacts(spark, sfDir)
+      Seq(p, s).foreach(_.write.format("noop").mode("overwrite").save()) }
+    warm("source-shingles")(operators.Corpus.sourceShingleArtifact(spark, sfDir, 8)
+      .write.format("noop").mode("overwrite").save())
+
+    val times = Heavy20.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      System.err.println(f"[lcbench] $name $t%.2f s")
+      name -> t
+    }
+    val qs = times.map { case (n, t) => f""""$n":$t%.3f""" }.mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    println(f"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":$total%.1f,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
