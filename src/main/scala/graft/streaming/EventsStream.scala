@@ -286,6 +286,62 @@ object EventsStream {
       .count() + 4
   }
 
+  /** Session windows (30-min gap, 30-min delay): a session is held iff its
+    * end (last event + gap) > final watermark ⇒ its last event is inside
+    * (wm − gap, ∞). Bound = distinct users with an event inside 2 h of the
+    * final watermark (gap + delay + 1 h eviction slack) + the sentinel
+    * user — versus EVERY (user, session) the corpus ever produced if
+    * merge/evict broke. */
+  private[graft] def heldSessionBound(spark: SparkSession, srcDir: String): Long = {
+    val ev = spark.read.parquet(srcDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmFinal = mx.getTime - 30L * 60 * 1000
+    ev.filter(col("ts") > lit(new java.sql.Timestamp(wmFinal - 2L * 3600 * 1000)))
+      .select(col("user_id")).distinct().count() + 2
+  }
+
+  /** dropDuplicatesWithinWatermark keeps an id until the watermark clears
+    * ts + delay; with no sentinel in the replay stage the final watermark
+    * is max(real) − 30 min, so held ids live within (wm − delay, ∞).
+    * Bound = ids inside 2.5 h of the final watermark (delay + 2 h slack) —
+    * versus the whole id space if eviction broke (the classic unbounded-
+    * dedup-state failure). */
+  private[graft] def heldDedupBound(spark: SparkSession, srcDir: String): Long = {
+    val ev = spark.read.parquet(srcDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmFinal = mx.getTime - 30L * 60 * 1000
+    ev.filter(col("ts") > lit(new java.sql.Timestamp(wmFinal - 150L * 60 * 1000)))
+      .select(col("event_id")).distinct().count() + 4
+  }
+
+  /** Chained agg→agg: level 1 holds the [[heldWindowBound]] groups; level 2
+    * holds the (day × type) windows whose end > final watermark — the last
+    * partial day — bounded by the distinct (day, type) groups inside 2 days
+    * of the watermark (1-day window + slack). */
+  private[graft] def heldRollupBound(spark: SparkSession, srcDir: String): Long = {
+    val ev = spark.read.parquet(srcDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmFinal = mx.getTime - 30L * 60 * 1000
+    val lvl2 = ev
+      .filter(col("ts") > lit(new java.sql.Timestamp(wmFinal - 48L * 3600 * 1000)))
+      .select(date_trunc("day", col("ts")), col("event_type")).distinct().count()
+    heldWindowBound(spark, srcDir) + lvl2 + 2
+  }
+
+  /** Chained join→agg: the join buffers ride [[heldJoinBound]]; the
+    * downstream hourly window's watermark is additionally delayed by the
+    * interval condition's slack (~1 h), so its held windows are bounded by
+    * the distinct purchase hours inside 4 h of the final watermark. */
+  private[graft] def heldJoinAggBound(spark: SparkSession, srcDir: String): Long = {
+    val ev = spark.read.parquet(srcDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmFinal = mx.getTime - 30L * 60 * 1000
+    val aggHeld = ev
+      .filter(col("ts") > lit(new java.sql.Timestamp(wmFinal - 4L * 3600 * 1000)))
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    heldJoinBound(spark, srcDir) + aggHeld + 2
+  }
+
   /** Red the drain if the terminated query's final state exceeds the
     * horizon-derived bound. Scans recentProgress newest-first for the last
     * entry that reports state operators (the AvailableNow flush batch);
@@ -570,8 +626,10 @@ object EventsStream {
   /** Chained two-level rollup AS a gate query (`q_stream_rollup`). */
   def twoLevelGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "rollup") {
-      drainGate(spark, "graft-stream-rollup-gate") { (iso, out, ckpt) =>
-        twoLevelRollup(readEvents(iso, stageEvents(spark, d)))
+      val src = stageEvents(spark, d)
+      drainGate(spark, "graft-stream-rollup-gate",
+        stateBound = heldRollupBound(spark, src)) { (iso, out, ckpt) =>
+        twoLevelRollup(readEvents(iso, src))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckpt)
           .format("parquet").option("path", out).start()
@@ -602,8 +660,10 @@ object EventsStream {
   /** Chained join→agg AS a gate query (`q_stream_join_agg`). */
   def joinAggGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "join_agg") {
-      drainGate(spark, "graft-stream-jagg-gate") { (iso, out, ckpt) =>
-        joinThenWindowAgg(readEvents(iso, stageEvents(spark, d)))
+      val src = stageEvents(spark, d)
+      drainGate(spark, "graft-stream-jagg-gate",
+        stateBound = heldJoinAggBound(spark, src)) { (iso, out, ckpt) =>
+        joinThenWindowAgg(readEvents(iso, src))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckpt)
           .format("parquet").option("path", out).start()
@@ -632,8 +692,10 @@ object EventsStream {
     * ≥gap pause, or emitted with a partial count fails the hash. */
   def sessionGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "sessions") {
-      drainGate(spark, "graft-stream-sess-gate") { (iso, out, ckpt) =>
-        sessionCounts(readEvents(iso, stageEvents(spark, d)))
+      val src = stageEvents(spark, d)
+      drainGate(spark, "graft-stream-sess-gate",
+        stateBound = heldSessionBound(spark, src)) { (iso, out, ckpt) =>
+        sessionCounts(readEvents(iso, src))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckpt)
           .format("parquet").option("path", out).start()
@@ -678,8 +740,10 @@ object EventsStream {
     * first arrival wrongly dropped, fails the hash. */
   def dedupGate(spark: SparkSession, d: String): DataFrame =
     memoDrain(spark, d, "dedup") {
-      drainGate(spark, "graft-stream-dedup-gate") { (iso, out, ckpt) =>
-        readEvents(iso, stageEventsReplay(spark, d))
+      val src = stageEventsReplay(spark, d)
+      drainGate(spark, "graft-stream-dedup-gate",
+        stateBound = heldDedupBound(spark, src)) { (iso, out, ckpt) =>
+        readEvents(iso, src)
           .withWatermark("ts", "30 minutes")
           .dropDuplicatesWithinWatermark(Seq("event_id"))
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
