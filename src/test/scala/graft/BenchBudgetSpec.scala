@@ -44,8 +44,17 @@ class BenchBudgetSpec extends AnyFunSuite {
     val series = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("benchr\\d+[a-z]?_\\d\\.json"))
     assume(series.nonEmpty, "no committed bench series to lint")
-    val round = series.map(_.getName.replaceAll("benchr(\\d+).*", "$1").toInt).max
-    val latest = series.filter(_.getName.startsWith(s"benchr$round"))
+    // latest series = highest (round, letter) — matching closing_state.py.
+    // Pooling every same-round series would fold in pre-refresh runs from
+    // older code (and the worst host-stall window of the round) and lint a
+    // registry that no longer exists.
+    def key(f: java.io.File) = {
+      val m = "benchr(\\d+)([a-z]?)_".r.findFirstMatchIn(f.getName).get
+      (m.group(1).toInt, m.group(2))
+    }
+    val top = series.map(key).max
+    val latest = series.filter(key(_) == top)
+    val round = s"${top._1}${top._2}"
     // one-line JSON; extract the "queries" object's "name":value pairs
     val pair = """"(q_[a-zA-Z0-9_]+)":(-?\d+(?:\.\d+)?(?:E-?\d+)?)""".r
     val warmupField = """"warmup_s":(\d+(?:\.\d+)?)""".r
