@@ -76,4 +76,25 @@ class InvalidationSpec extends SparkSpec {
     EventsStream.invalidateCorpus(d) // drop the swap corpus's artifacts
     EventsStream.deleteRecursively(new java.io.File(d))
   }
+
+  test("state-bound machinery is live: an impossible bound reds the drain") {
+    // The in-gate watermark-horizon bounds only protect if the require
+    // actually fires — this drives a real drain through drainGate with a
+    // bound below the sentinel's own held rows (always >= 2) and pins the
+    // red path; the green path is every bounded gate at three SFs.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val src = EventsStream.stageEvents(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      EventsStream.drainGate(spark, "graft-bound-red-gate", stateBound = 1L) {
+        (iso, out, ckpt) =>
+          EventsStream.windowedCents(EventsStream.readEvents(iso, src))
+            .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", out).start()
+      }((df: DataFrame) => df)
+    }
+    assert(e.getMessage.contains("watermark-horizon bound"),
+      s"wrong failure path: ${e.getMessage}")
+  }
 }
