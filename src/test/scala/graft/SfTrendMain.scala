@@ -84,7 +84,7 @@ object SfTrendMain {
     * scale exactly ×k. Each deep query is timed at ×1 and ×20 with its
     * corpus artifacts (graph edges, shingle signatures, IVF index) staged
     * untimed at BOTH scales — the same contract as Bench's warmup. */
-  private val DeepScale = 20
+  private val DeepScale = sys.env.getOrElse("SPARK_GRAFT_DEEP_SCALE", "20").toInt
   private val DeepQueries = Seq("q_pagerank", "q_near_dup_minhash",
     "q_bigram_lm", "q_attribution", "q_ann_ivf")
 
