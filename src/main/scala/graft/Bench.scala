@@ -57,6 +57,77 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- artifact machinery, declared BEFORE warmup (round 12): the
+    // watchdog must cover the warmup phase too — a host stall landing
+    // inside a drain or index build used to ride past the outer timeout
+    // with NOTHING printed (the BENCH_r04 failure class, previously only
+    // guarded between queries). Armed here, a hung warmup degrades to an
+    // all-skipped-but-well-formed artifact instead of rc=124.
+    @volatile var failed = List.empty[String]
+    @volatile var flaky = List.empty[String]
+    @volatile var skipped = List.empty[String]
+    @volatile var warmupSec = -1.0
+    val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // Per-gate drain wall times (round-10 ask #1): the timed q_stream_* rows
+    // read memoized payloads (~0.02 s), so without this map a drain
+    // regressing 2 s → 20 s is invisible until it eats the wall budget.
+    // Each gate's REAL drain cost lands here from the warmup stage and is
+    // emitted as a `drains` object in the artifact.
+    val drainSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The one printing path, callable from the main thread (normal end) or
+    // the watchdog (stalled mid-query or mid-warmup). Every completed timing
+    // is in `done` the moment it finishes; anything absent reports as
+    // skipped.
+    def emit(): Unit = if (emitted.compareAndSet(false, true)) {
+      val results = ordered.map { case (name, _) =>
+        name -> (if (done.containsKey(name)) done.get(name)
+                 else { -1.0 }) }
+      val missing = ordered.collect {
+        case (name, _) if !done.containsKey(name) && !failed.contains(name) => name }
+      val allSkipped = (skipped ++ missing).distinct
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // `drains`: the per-gate REAL drain wall times measured in the warmup
+      // stage. `staged`: every query whose TIMED reading is a read of a
+      // warmup-memoized payload, not a recomputation — the q_stream_*
+      // rows (long-lived-query contract: the drain runs once, consumers
+      // read the sink) and q_edit_distance (the cached slice-truth frame
+      // itself). Cross-engine ratio claims over these rows must carry this
+      // caveat: DuckDB recomputes what these rows only read. Other queries
+      // read staged index/model artifacts but do real probe/scoring work
+      // in the timed pass.
+      val drains = {
+        import scala.jdk.CollectionConverters._
+        drainSecs.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      }
+      val staged = arr(ordered.collect {
+        case (n, _) if n.startsWith("q_stream_") => n }.toList ::: List("q_edit_distance"))
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drains":$drains,"staged":$staged,"warmup_s":${f"$warmupSec%.1f"},"wall_s":${f"$elapsedSec%.1f"},"failed":${arr(failed)},"flaky":${arr(flaky)},"skipped":${arr(allSkipped)},"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    // Watchdog: the budget check in the timed passes only runs BETWEEN
+    // queries, and warmup has no check at all — so a 20-70x host stall
+    // landing mid-query or mid-drain could carry the process past the
+    // outer timeout with nothing printed. This daemon emits whatever has
+    // completed at budget+20 s and halts; the partial artifact beats the
+    // rc=124 nothing.
+    val watchdog = new Thread(() => {
+      try {
+        val sleepMs = ((budgetSec + 20) * 1000 - elapsedSec * 1000).toLong
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        if (!emitted.get()) {
+          System.err.println("[bench] watchdog fired: emitting partial artifact")
+          emit()
+          Runtime.getRuntime.halt(0)
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
     // Untimed warmup: JIT + codegen + scan-path initialization otherwise
     // lands on whichever queries run first (observed 10× first-run noise).
     // Each warmup step is independently guarded and logged: a failure in one
@@ -74,12 +145,6 @@ object Bench {
     // reuses — overlapping it with the builds just re-pays that init once
     // per thread.
     warm("entry")(SparkEntry.entry(spark).write.format("noop").mode("overwrite").save())
-    // Per-gate drain wall times (round-10 ask #1): the timed q_stream_* rows
-    // read memoized payloads (~0.02 s), so without this map a drain
-    // regressing 2 s → 20 s is invisible until it eats the wall budget.
-    // Each gate's REAL drain cost lands here from the warmup stage and is
-    // emitted as a `drains` object in the artifact.
-    val drainSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     // One-off model/index/artifact builds are NOT the measured operators —
     // scoring and probing are. They stage here untimed, the same contract
     // as a shipped model / persisted index table. The builds are mutually
@@ -216,65 +281,8 @@ object Bench {
       }
       .foreach(_.get()) // warm() swallows per-task failures; get() only rethrows interrupts
     warmPool.shutdown()
-    val warmupSec = elapsedSec
+    warmupSec = elapsedSec
     System.err.println(f"[bench] warmup complete (t=$warmupSec%.0f)")
-    @volatile var failed = List.empty[String]
-    @volatile var flaky = List.empty[String]
-    @volatile var skipped = List.empty[String]
-    val done = new java.util.concurrent.ConcurrentHashMap[String, Double]()
-    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // The one printing path, callable from the main thread (normal end) or
-    // the watchdog (stalled mid-query). Every completed timing is in `done`
-    // the moment it finishes; anything absent reports as skipped.
-    def emit(): Unit = if (emitted.compareAndSet(false, true)) {
-      val results = ordered.map { case (name, _) =>
-        name -> (if (done.containsKey(name)) done.get(name)
-                 else { -1.0 }) }
-      val missing = ordered.collect {
-        case (name, _) if !done.containsKey(name) && !failed.contains(name) => name }
-      val allSkipped = (skipped ++ missing).distinct
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      def arr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // `drains`: the per-gate REAL drain wall times measured in the warmup
-      // stage. `staged`: every query whose TIMED reading is a read of a
-      // warmup-memoized payload, not a recomputation — the 14 q_stream_*
-      // rows (long-lived-query contract: the drain runs once, consumers
-      // read the sink) and q_edit_distance (the cached slice-truth frame
-      // itself). Cross-engine ratio claims over these rows must carry this
-      // caveat: DuckDB recomputes what these rows only read. Other queries
-      // read staged index/model artifacts but do real probe/scoring work
-      // in the timed pass.
-      val drains = {
-        import scala.jdk.CollectionConverters._
-        drainSecs.asScala.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      }
-      val staged = arr(ordered.collect {
-        case (n, _) if n.startsWith("q_stream_") => n }.toList ::: List("q_edit_distance"))
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drains":$drains,"staged":$staged,"warmup_s":${f"$warmupSec%.1f"},"wall_s":${f"$elapsedSec%.1f"},"failed":${arr(failed)},"flaky":${arr(flaky)},"skipped":${arr(allSkipped)},"sf":"$sfDir"}""")
-      System.out.flush()
-    }
-    // Watchdog: the budget check below only runs BETWEEN queries, so a
-    // 20-70x host stall landing mid-query (the documented threat model)
-    // could still carry the process past the outer timeout with nothing
-    // printed — the BENCH_r04 failure. This daemon emits whatever has
-    // completed at budget+20 s and halts; the partial artifact beats the
-    // rc=124 nothing.
-    val watchdog = new Thread(() => {
-      try {
-        val sleepMs = ((budgetSec + 20) * 1000 - elapsedSec * 1000).toLong
-        if (sleepMs > 0) Thread.sleep(sleepMs)
-        if (!emitted.get()) {
-          System.err.println("[bench] watchdog fired: emitting partial artifact")
-          emit()
-          Runtime.getRuntime.halt(0)
-        }
-      } catch { case _: InterruptedException => () }
-    })
-    watchdog.setDaemon(true)
-    watchdog.start()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  recordFailure: Boolean): Double = {
       val q0 = System.nanoTime()
