@@ -445,6 +445,14 @@ object Corpus {
   @transient private lazy val dsirCache =
     new SessionCache[String, DataFrame](_.unpersist())
 
+  /** Whole-module corpus-replacement hook (round-12 ADVICE): drop the
+    * dir-keyed DSIR feature table and source-shingle sets for `d`.
+    * Chained from [[graft.streaming.EventsStream.invalidateCorpus]]. */
+  def invalidateCorpus(d: String): Unit = {
+    dsirCache.invalidateIfAll(_ == d)
+    sourceShingleCache.invalidateIfAll(_._1 == d)
+  }
+
   def dsirFeatureArtifact(s: SparkSession, d: String): DataFrame =
     dsirCache.getOrCompute(s, d) {
       Tables.documents(s, d)

@@ -500,6 +500,23 @@ object Dedup {
   def invalidateEdTruth(d: String): Unit =
     edTruthCache.removeIfAll(_._1 == d).foreach(df => scala.util.Try(df.unpersist()))
 
+  /** Whole-module corpus-replacement hook (round-12 ADVICE): drop EVERY
+    * dir-keyed memoized artifact this module derives from `d` — shingle
+    * signatures, passage shingles, containment prunes, the cc/tri exact
+    * pair sets, both cluster-label tables, and the ed slice truth. Chained
+    * from [[graft.streaming.EventsStream.invalidateCorpus]] so an in-place
+    * corpus rewrite can't leave any batch-layer memo serving stale data. */
+  def invalidateCorpus(d: String): Unit = {
+    shingleCache.invalidateIfAll(_ == d)
+    passageCache.invalidateIfAll(_._1 == d)
+    containmentCache.invalidateIfAll(_._1 == d)
+    ccPairCache.invalidateIfAll(_ == d)
+    triPairCache.invalidateIfAll(_ == d)
+    labelCache.invalidateIfAll(_ == d)
+    lshLabelCache.invalidateIfAll(_ == d)
+    invalidateEdTruth(d)
+  }
+
   /** Edit-distance dedup at corpus scale: the banded minhash candidates
     * (memoized shingle/signature artifacts) prefilter to docs sharing a
     * signature band — a tiny-edit pair shares nearly all its shingles, so

@@ -80,6 +80,12 @@ object Embeddings {
   def covarianceModel(s: SparkSession, d: String): (Long, Array[Double], Array[Double]) =
     covCache.getOrCompute(s, d) { buildCovarianceModel(s, d) }
 
+  /** Corpus-replacement hook (round-12 ADVICE): drop the memoized
+    * covariance model for `d`. Chained from
+    * [[graft.streaming.EventsStream.invalidateCorpus]]. */
+  def invalidateCorpus(d: String): Unit =
+    covCache.invalidateIfAll(_ == d)
+
   private def buildCovarianceModel(s: SparkSession, d: String): (Long, Array[Double], Array[Double]) = {
     import s.implicits._
     val vecs = Tables.embeddings(s, d).select(col("embedding")).as[Array[Float]]

@@ -461,6 +461,14 @@ object Graph {
       connectedComponentsStar(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
     }
 
+  /** Whole-module corpus-replacement hook (round-12 ADVICE): drop the
+    * dir-keyed edge-list build and the doc<200 component labels for `d`.
+    * Chained from [[graft.streaming.EventsStream.invalidateCorpus]]. */
+  def invalidateCorpus(d: String): Unit = {
+    edgeCache.invalidateIfAll(_ == d)
+    triLabelCache.invalidateIfAll(_ == d)
+  }
+
   /** `q_cc_star` gate: star contraction over the SAME memoized exact
     * bounded pair set as `q_cc_recursive` ([[Dedup.ccPairArtifact]]) — two
     * independent component algorithms checked against one recursive-CTE

@@ -306,7 +306,17 @@ object IvfIndex {
           }
           .start()
         try query.awaitTermination() finally query.stop()
-        iso.read.parquet(outDir).localCheckpoint(true)
+        // KEYSPACE state bounds (round-12 verdict #1): serving is
+        // stateless by design (each batch probes the persisted index; no
+        // stateful operator) — pinned — and the sink is keyed by (query id,
+        // rank), so it may never exceed |query ids| × k. A batch re-emitted
+        // across restarts, or a probe that stopped limiting to top-k, grows
+        // the sink past the keyspace and reds here.
+        graft.streaming.EventsStream.requireStateless(query, "graft-stream-ann-gate")
+        val sink = iso.read.parquet(outDir)
+        graft.streaming.EventsStream.requireKeyspaceBounded(
+          sink.count(), q.count() * 5, "graft-stream-ann-gate sink")
+        sink.localCheckpoint(true)
       } finally
         // failure path included: a drain error must not leak the scratch
         // tree (the payload is localCheckpointed before this runs)
@@ -360,6 +370,16 @@ object IvfIndex {
     indexCache.removeIfAll(_ == d).foreach { case (assigned, centroids) =>
       scala.util.Try { assigned.unpersist(); centroids.unpersist() }
     }
+
+  /** Whole-module corpus-replacement hook (round-12 ADVICE): drop the
+    * coarse IVF index AND the PQ codebooks/code table for `d` — the PQ
+    * artifacts derive from the same embeddings, so invalidating one
+    * without the other would rerank against a stale geometry. Chained
+    * from [[graft.streaming.EventsStream.invalidateCorpus]]. */
+  def invalidateCorpus(d: String): Unit = {
+    invalidateIndex(d)
+    pqCache.invalidateIfAll(_ == d)
+  }
 
   /** Registered query: IVF top-5 for the first 5 vectors (rows-only — the
     * k-means cells are model state, not SQL; recall pinned in IvfSpec).

@@ -96,6 +96,15 @@ private[graft] final class SessionCache[K, V](
     out.result()
   }
 
+  /** Corpus-replacement form of [[removeIfAll]]: drop matching entries
+    * across ALL sessions and run this cache's OWN release callback on each
+    * evicted value (unpersist / scratch-dir delete — whatever the cache
+    * was constructed with). Every per-module `invalidateCorpus` hook rides
+    * this, so the release semantics live in one place per cache instead of
+    * being re-stated at each hook site. */
+  def invalidateIfAll(pred: K => Boolean): Unit =
+    removeIfAll(pred).foreach(v => scala.util.Try(release(v)))
+
   /** Drop matching entries across ALL sessions (corpus-replacement hooks
     * that invalidate by data dir, session-agnostic); returns evicted
     * values. */

@@ -234,6 +234,12 @@ object Similarity {
   @transient private lazy val rpSigCache =
     new SessionCache[(String, Int, Int), (DataFrame, DataFrame)]({ case (sigs, normed) => sigs.unpersist(); normed.unpersist() })
 
+  /** Corpus-replacement hook (round-12 ADVICE): drop the memoized RP
+    * signature/normed frames for `d` at every (tables, bits) geometry.
+    * Chained from [[graft.streaming.EventsStream.invalidateCorpus]]. */
+  def invalidateCorpus(d: String): Unit =
+    rpSigCache.invalidateIfAll(_._1 == d)
+
   def rpSigArtifacts(s: SparkSession, d: String,
                      tables: Int, bits: Int): (DataFrame, DataFrame) =
     rpSigCache.getOrCompute(s, (d, tables, bits)) {

@@ -92,10 +92,22 @@ object EnrichStream {
         val q = run(spark, silverDir, outDir, ckptDir, graft.ml.LexiconScorer)
         try q.awaitTermination()
         finally q.stop()
+        // KEYSPACE state bounds (round-12 verdict #1): the whole stream is
+        // a narrow map — no stateful operator, pinned stateless — and the
+        // sink is keyed by record id, so it may never exceed the staged
+        // silver table's pending-row count (the record-id space). A
+        // re-delivered micro-batch that double-landed rows would outgrow
+        // the keyspace and red here before the oracle's hash even runs.
+        EventsStream.requireStateless(q, "graft-stream-enrich-gate")
+        val pending = spark.read.parquet(silverDir)
+          .filter(col("processed") === 0).count()
         // materialize + cut lineage off the scratch files before the
         // finally deletes them — repeated bench/verify invocations must
         // not accumulate sink and checkpoint trees in the temp dir
-        spark.read.parquet(outDir).localCheckpoint(true)
+        val sink = spark.read.parquet(outDir).localCheckpoint(true)
+        EventsStream.requireKeyspaceBounded(sink.count(), pending,
+          "graft-stream-enrich-gate sink")
+        sink
       } finally deleteRecursively(base.toFile)
     }
 
@@ -127,7 +139,17 @@ object EnrichStream {
           rowsPerBatch = 10, maxRows = 100)
         try q.processAllAvailable()
         finally q.stop()
-        iso.read.parquet(outDir).localCheckpoint(true)
+        // KEYSPACE state bounds (round-12 verdict #1): ingest → score →
+        // sink is stateless end to end (the replay source's offset is
+        // checkpoint bookkeeping, not operator state) — pinned — and the
+        // sink is keyed by the replayed feed's row index, capped at
+        // maxRows; a page delivered twice lands duplicate record ids and
+        // outgrows the keyspace here.
+        EventsStream.requireStateless(q, "graft-stream-pipe-gate")
+        val sink = iso.read.parquet(outDir).localCheckpoint(true)
+        EventsStream.requireKeyspaceBounded(sink.count(), 100L,
+          "graft-stream-pipe-gate sink")
+        sink
       } finally deleteRecursively(base.toFile)
     }
 

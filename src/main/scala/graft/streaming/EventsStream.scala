@@ -142,15 +142,27 @@ object EventsStream {
     invalidateDrains(d)
   }
 
-  /** Whole-corpus replacement hook: drop every dir-keyed memoized artifact
-    * derived from `d` across the streaming layer AND the document-derived
-    * slice-truth cache. Call this when the parquet tables under `d` are
+  /** Whole-corpus replacement hook: drop EVERY dir-keyed memoized artifact
+    * derived from `d` — the streaming layer (staged events, replay stage,
+    * drained payloads, staged silver) AND every batch-layer module cache
+    * (shingle/containment/pair/label artifacts, graph edge builds, the
+    * IVF/PQ index, RP signatures, DSIR features, the covariance model, the
+    * ed slice truth). Call this when the parquet tables under `d` are
     * rewritten in place (a compaction, a backfill, a test fixture swap);
-    * the next gate/truth access recomputes from the new files. */
+    * the next access to any of them recomputes from the new files.
+    * (Round-12 ADVICE: before round 13 only the streaming caches and the
+    * ed truth were chained — a dozen batch-layer caches kept serving the
+    * replaced corpus, the exact hazard this hook documents.) */
   def invalidateCorpus(d: String): Unit = {
     invalidateEventsStage(d)
     invalidateEventsReplayStage(d)
-    graft.operators.Dedup.invalidateEdTruth(d)
+    EnrichStream.invalidateSilver(d)
+    graft.operators.Dedup.invalidateCorpus(d)
+    graft.operators.Graph.invalidateCorpus(d)
+    graft.operators.IvfIndex.invalidateCorpus(d)
+    graft.operators.Embeddings.invalidateCorpus(d)
+    graft.operators.Similarity.invalidateCorpus(d)
+    graft.operators.Corpus.invalidateCorpus(d)
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
@@ -343,19 +355,46 @@ object EventsStream {
   }
 
   /** Red the drain if the terminated query's final state exceeds the
-    * horizon-derived bound. Scans recentProgress newest-first for the last
+    * derived bound. Scans recentProgress newest-first for the last
     * entry that reports state operators (the AvailableNow flush batch);
     * a bounded gate that cannot find one fails loudly rather than passing
-    * vacuously. */
-  private def requireStateBounded(q: StreamingQuery, bound: Long, what: String): Unit = {
+    * vacuously. `kind` names what derived the bound — "watermark-horizon"
+    * for the time-bounded gates, "keyspace" for gates whose state is keyed
+    * by a finite id space (distinct users / query ids) rather than time. */
+  private def requireStateBounded(q: StreamingQuery, bound: Long, what: String,
+                                  kind: String = "watermark-horizon"): Unit = {
     val last = q.recentProgress.reverseIterator
       .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
     require(last.isDefined, s"$what: no progress with state operators to bound-check")
     val rows = last.get.stateOperators.map(_.numRowsTotal).sum
     require(rows <= bound,
-      s"$what: final state holds $rows rows, above the watermark-horizon bound $bound — " +
-        "eviction is not keeping state horizon-bounded")
+      s"$what: final state holds $rows rows, above the $kind bound $bound — " +
+        s"state must stay $kind-bounded, not grow with stream lifetime")
   }
+
+  /** The stateless half of the state contract (round-12 verdict #1): the
+    * enrich/pipeline/ann gates are narrow maps — no stateful operator at
+    * all, which is itself a scale property worth pinning (a stateful op
+    * creeping into one of these plans would add a state store that grows
+    * with whatever it keys on). Reds the drain if ANY progress entry of the
+    * terminated query reported state rows. */
+  private[graft] def requireStateless(q: StreamingQuery, what: String): Unit = {
+    val rows = q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatten)
+      .map(_.numRowsTotal).sum
+    require(rows == 0L,
+      s"$what: stateless-by-design drain reported $rows state rows — " +
+        "a stateful operator crept into the plan")
+  }
+
+  /** Keyspace-bound assertion for gates whose retained rows live OUTSIDE
+    * the Spark state store (the upsert gate's versioned snapshot, a
+    * foreachBatch sink) — same red semantics as [[requireStateBounded]],
+    * applied to a counted materialization instead of progress metrics. */
+  private[graft] def requireKeyspaceBounded(rows: Long, bound: Long, what: String): Unit =
+    require(rows <= bound,
+      s"$what: holds $rows rows, above the keyspace bound $bound — " +
+        "retained rows must scale with the key space, not stream lifetime")
 
   /** Shared drain harness for every streaming gate query: scratch sink +
     * checkpoint dirs, the stream fully terminated before the sink is read
@@ -370,7 +409,8 @@ object EventsStream {
     * additionally assert the terminated query's state stayed inside the
     * watermark horizon (see [[heldWindowBound]]/[[heldJoinBound]]). */
   private[graft] def drainGate(spark: SparkSession, prefix: String,
-                               stateBound: Long = Long.MaxValue)
+                               stateBound: Long = Long.MaxValue,
+                               boundKind: String = "watermark-horizon")
                        (start: (SparkSession, String, String) => StreamingQuery)
                        (payload: DataFrame => DataFrame): DataFrame = {
     val iso = spark.newSession()
@@ -382,7 +422,7 @@ object EventsStream {
       val q = start(iso, outDir, ckptDir)
       try q.awaitTermination()
       finally q.stop()
-      if (stateBound != Long.MaxValue) requireStateBounded(q, stateBound, prefix)
+      if (stateBound != Long.MaxValue) requireStateBounded(q, stateBound, prefix, boundKind)
       payload(iso.read.parquet(outDir)).localCheckpoint(true)
     } finally deleteRecursively(base.toFile)
   }

@@ -29,6 +29,20 @@ object StateV2Profile {
   /** Keep the newest `RecentK` purchase amounts (by event id) per user. */
   val RecentK = 5
 
+  /** KEYSPACE state bound (round-12 verdict #1): profile state is keyed by
+    * user id with TTL NONE, so it legally grows with DISTINCT USERS — a
+    * finite id space — never with event volume or stream lifetime. Per user
+    * the store holds one `counts` row plus at most [[RecentK]] `recent`
+    * list entries; the RocksDB progress metric counts list elements as
+    * rows, so the bound is users × (RecentK + 1) plus the sentinel user and
+    * slack. An upstream change that keyed state by (user, something
+    * unbounded) — or a column-family leak that stopped clearing the list — reds
+    * the drain here long before it would OOM an executor at scale. */
+  private[graft] def keyspaceBound(spark: SparkSession, srcDir: String): Long = {
+    val users = spark.read.parquet(srcDir).select(col("user_id")).distinct().count()
+    users * (RecentK + 1) + 4
+  }
+
   class ProfileProcessor extends StatefulProcessor[Long, Ev, Profile] {
     @transient private var counts: ValueState[Counts] = _
     @transient private var recent: ListState[(Long, Long)] = _
@@ -85,8 +99,10 @@ object StateV2Profile {
     * lost between micro-batches all change the hash. */
   def profileGate(spark: SparkSession, d: String): DataFrame =
     EventsStream.memoDrain(spark, d, "profile") {
-      EventsStream.drainGate(spark, "graft-stream-prof-gate") { (iso, out, ckpt) =>
-        runProfiles(iso, EventsStream.stageEvents(spark, d), out, ckpt)
+      val src = EventsStream.stageEvents(spark, d)
+      EventsStream.drainGate(spark, "graft-stream-prof-gate",
+        stateBound = keyspaceBound(spark, src), boundKind = "keyspace") { (iso, out, ckpt) =>
+        runProfiles(iso, src, out, ckpt)
       } { sink =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("n_events").desc)

@@ -84,8 +84,22 @@ object UpsertStream {
         val q = runUpsert(iso, srcDir, stateDir, ckptDir)
         try q.awaitTermination()
         finally q.stop()
+        // KEYSPACE state bounds (round-12 verdict #1), both layers of this
+        // gate's state: the streaming query itself holds NO state store
+        // (the merge lives in foreachBatch) — pinned stateless — and the
+        // versioned snapshot is keyed by user id, so the final version may
+        // never exceed the staged files' distinct-user count (keep-latest
+        // retains exactly one row per user; a merge that stopped collapsing
+        // keys would grow with event volume and red here, the snapshot
+        // analog of an eviction regression).
+        EventsStream.requireStateless(q, "graft-stream-upsert-gate")
+        val userBound = iso.read.parquet(srcDir)
+          .select(col("user_id")).distinct().count()
         val latest = latestVersion(new java.io.File(stateDir))
           .getOrElse(sys.error("upsert drain produced no state version"))
+        EventsStream.requireKeyspaceBounded(
+          iso.read.parquet(latest.toString).count(), userBound,
+          "graft-stream-upsert-gate snapshot")
         iso.read.parquet(latest.toString)
           .select(col("user_id"), col("event_id").as("last_event_id"),
             unix_timestamp(col("ts")).as("ts_s"), col("event_type"),

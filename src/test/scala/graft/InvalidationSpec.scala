@@ -26,6 +26,10 @@ class InvalidationSpec extends SparkSpec {
     val sum1 = EventsStream.windowedAggGate(spark, d)
       .agg(sum(col("n_events"))).head().getLong(0)
     val truth1 = operators.Dedup.edTruthArtifact(spark, d).count()
+    // a BATCH-layer dir-keyed cache (round-12 ADVICE: before round 13 these
+    // were NOT chained — the shingle artifact kept serving the replaced
+    // corpus while the streaming memos recomputed)
+    val sig1 = operators.Dedup.shingleArtifacts(spark, d)._2.count()
 
     // In-place swap BY AN EXTERNAL WRITER (filesystem move, not this
     // session's DataFrameWriter — an in-session overwrite fires
@@ -57,8 +61,10 @@ class InvalidationSpec extends SparkSpec {
     val staleSum = EventsStream.windowedAggGate(spark, d)
       .agg(sum(col("n_events"))).head().getLong(0)
     val staleTruth = operators.Dedup.edTruthArtifact(spark, d).count()
+    val staleSig = operators.Dedup.shingleArtifacts(spark, d)._2.count()
     assert(staleSum === sum1, "drain memo unexpectedly recomputed without invalidation")
     assert(staleTruth === truth1, "ed truth memo unexpectedly recomputed without invalidation")
+    assert(staleSig === sig1, "shingle memo unexpectedly recomputed without invalidation")
 
     EventsStream.invalidateCorpus(d)
 
@@ -72,6 +78,12 @@ class InvalidationSpec extends SparkSpec {
       .filter(col("lev") === 0 && col("doc_b") === col("doc_a") + 100).count()
     assert(planted >= baseCount,
       s"post-invalidation truth must contain the $baseCount planted exact pairs (got $planted)")
+    // the batch-layer cache must also see the swapped corpus: the doc set
+    // went from the full table to 2×(doc<100), so the per-doc signature
+    // row count (MinhashPerms rows per doc) must change with it
+    val freshSig = operators.Dedup.shingleArtifacts(spark, d)._2.count()
+    assert(freshSig !== sig1,
+      s"post-invalidation shingle artifact must reflect the swapped corpus ($freshSig vs $sig1)")
 
     EventsStream.invalidateCorpus(d) // drop the swap corpus's artifacts
     EventsStream.deleteRecursively(new java.io.File(d))
@@ -96,5 +108,32 @@ class InvalidationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("watermark-horizon bound"),
       s"wrong failure path: ${e.getMessage}")
+  }
+
+  test("keyspace-bound machinery is live: an impossible bound reds the profile drain") {
+    // Round-12 verdict #1 completed the in-gate state contract to 13/13 by
+    // deriving KEYSPACE bounds for the five gates whose state is keyed by a
+    // finite id space rather than time. Same liveness obligation as the
+    // watermark red path above: drive a real transformWithState drain
+    // through drainGate with a bound below one user's state rows and pin
+    // that the require fires; the green path is every keyspace gate at
+    // three SFs.
+    import org.apache.spark.sql.DataFrame
+    val src = EventsStream.stageEvents(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      EventsStream.drainGate(spark, "graft-keyspace-red-gate", stateBound = 1L,
+        boundKind = "keyspace") { (iso, out, ckpt) =>
+        streaming.StateV2Profile.runProfiles(iso, src, out, ckpt)
+      }((df: DataFrame) => df)
+    }
+    assert(e.getMessage.contains("keyspace bound"),
+      s"wrong failure path: ${e.getMessage}")
+    // the snapshot/sink variant (upsert/ann/enrich/pipeline gates) is a
+    // pure check — red path pinned directly
+    val e2 = intercept[IllegalArgumentException] {
+      EventsStream.requireKeyspaceBounded(5L, 4L, "red-path")
+    }
+    assert(e2.getMessage.contains("keyspace bound"),
+      s"wrong failure path: ${e2.getMessage}")
   }
 }
