@@ -71,6 +71,79 @@ class PlanAuditSpec extends SparkSpec {
         s"$n lost its broadcast small side:\n${plan(n)}")
   }
 
+  test("fact-fact joins stay SortMergeJoin when nothing is broadcastable") {
+    // The 100 TB shape (round-12 verdict #3): with the auto-broadcast
+    // threshold OFF — at scale neither side of a fact-fact join fits an
+    // executor — the orderkey joins must plan as SMJ on the one shuffle
+    // both facts already need, and the EXPLICIT broadcast() dims must
+    // STILL broadcast (that is what the hint is for; size estimation at
+    // the test SF would otherwise broadcast the facts too and assert
+    // nothing). A join reorder that turns the fact join into a nested
+    // loop, or a lost dim hint, fails here. Child session: these three
+    // queries read tables only, no session-cached artifacts.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (n <- Seq("q_ship_delay", "q_tpch_q3", "q_tpch_q5")) {
+      val p = SparkEntry.queries(n)(iso, sf).queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"$n lost its fact-fact SMJ:\n$p")
+    }
+    val q5 = SparkEntry.queries("q_tpch_q5")(iso, sf).queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastExchange"),
+      s"q_tpch_q5's explicit dim broadcasts must survive threshold -1:\n$q5")
+  }
+
+  /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
+    * every site is a crossJoin(broadcast(...)) of a 1-row/model-sized
+    * aggregate (totals, bounds, fitted models) or a documented bounded
+    * all-pairs baseline (the Similarity.scala maxVecId=500 family, the
+    * doc<80 containment/jaccard baselines — scale paths exist for each,
+    * see PLANS.md "Known all-pairs queries"). ADDING a name here requires
+    * the same documentation; an undocumented BNLJ is a cartesian-sized
+    * scale hazard the moment the broadcast side stops being tiny. */
+  private val AllowedBnlj: Set[String] = Set(
+    // crossJoin(broadcast(1-row aggregate)) — totals/bounds/thresholds/
+    // fitted-model frames joined under every row; the broadcast side is a
+    // single row by construction
+    "q_ab_test", "q_chi2_independence", "q_cms_hh", "q_cusum",
+    "q_densify_hours", "q_dsir", "q_funnel", "q_funnel_ordered",
+    "q_growth_accounting", "q_interpolate", "q_ks_test",
+    "q_length_deciles", "q_mix_schedule", "q_pack_sequences",
+    "q_pagination_keyset", "q_pareto", "q_psi_drift", "q_rfm",
+    "q_temperature_mix", "q_token_alloc", "q_upsample_balance",
+    "q_value_histogram", "q_wau",
+    // model-/vocab-sized broadcast frames (fitted NB/LM/IDF tables,
+    // codebooks, seeds) under a corpus scan
+    "q_bigram_lm", "q_bm25", "q_hybrid_retrieval", "q_lang_source_mi",
+    "q_naive_bayes", "q_tfidf_keywords", "q_unigram_logprob",
+    // ANN probe family: |queries|-sized frame (vec_id < 5/10) against
+    // centroids/cells — the query side is the tiny side by design
+    "q_ann_brute", "q_ann_ivf", "q_ann_ivf_pq", "q_ann_ivf_q8",
+    "q_ann_lsh", "q_ann_recall", "q_minhash_est", "q_semantic_dedup",
+    // documented bounded all-pairs baselines + their bound/recall gates
+    // (PLANS.md "Known all-pairs queries": doc<80 / vec<500 slices;
+    // scale paths are the banded/bucketed variants)
+    "q_containment", "q_cosine_near_dup", "q_cosine_near_dup_lsh",
+    "q_dedup_canonical_lsh", "q_dedup_clusters_lsh", "q_edit_distance",
+    "q_edit_distance_scale", "q_hard_negatives", "q_near_dup_incremental",
+    "q_near_dup_minhash", "q_near_dup_ml", "q_near_dup_simhash",
+    "q_ngram_jaccard", "q_pmi_bigrams",
+    // the explicit cross-join gate itself (5×5 dims, oracle-pinned)
+    "q_join_cross",
+    // cluster-split: leakage stats crossJoin the 1-row corpus totals
+    "q_cluster_split")
+
+  test("BroadcastNestedLoopJoin appears only at the documented bounded sites") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    val undocumented = offenders -- AllowedBnlj
+    val stale = AllowedBnlj -- offenders
+    assert(undocumented.isEmpty,
+      s"undocumented BroadcastNestedLoopJoin in: ${undocumented.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning BNLJ (prune them): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("filters reach the parquet scan where the scan order is the feature") {
     // the pushed filter must appear in the SCAN's PushedFilters list, not
     // as a post-scan Filter only (PLANS.md rows; q_explode_tokens is the
