@@ -74,6 +74,17 @@ object Bench {
     // Each gate's REAL drain cost lands here from the warmup stage and is
     // emitted as a `drains` object in the artifact.
     val drainSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // Per-build wall times (round-12 verdict #4): the non-drain staging
+    // costs — index/model/truth builds — previously landed as one
+    // undifferentiated `warmup_s`, so a regression in ONE build (the ed
+    // truth doubling, a PQ fit gone quadratic) hid inside a 39-47 s
+    // aggregate. Every warm task records here; emitted as `builds`.
+    val buildSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // All JSON numbers format under Locale.ROOT (round-12 ADVICE): the f
+    // interpolator is default-locale-sensitive, and a comma-decimal locale
+    // would emit invalid JSON and break closing_state.py/BenchBudgetSpec.
+    def jnum(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // The one printing path, callable from the main thread (normal end) or
@@ -99,14 +110,14 @@ object Bench {
       // caveat: DuckDB recomputes what these rows only read. Other queries
       // read staged index/model artifacts but do real probe/scoring work
       // in the timed pass.
-      val drains = {
+      def cmap(m: java.util.concurrent.ConcurrentHashMap[String, Double]): String = {
         import scala.jdk.CollectionConverters._
-        drainSecs.asScala.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        m.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + jnum(v, 3) }.mkString("{", ",", "}")
       }
       val staged = arr(ordered.collect {
         case (n, _) if n.startsWith("q_stream_") => n }.toList ::: List("q_edit_distance"))
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drains":$drains,"staged":$staged,"warmup_s":${f"$warmupSec%.1f"},"wall_s":${f"$elapsedSec%.1f"},"failed":${arr(failed)},"flaky":${arr(flaky)},"skipped":${arr(allSkipped)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"drains":${cmap(drainSecs)},"builds":${cmap(buildSecs)},"staged":$staged,"warmup_s":${jnum(warmupSec, 1)},"wall_s":${jnum(elapsedSec, 1)},"failed":${arr(failed)},"flaky":${arr(flaky)},"skipped":${arr(allSkipped)},"sf":"$sfDir"}""")
       System.out.flush()
     }
     // Watchdog: the budget check in the timed passes only runs BETWEEN
@@ -137,6 +148,7 @@ object Bench {
     def warm(what: String)(body: => Unit): Unit = {
       val w0 = System.nanoTime()
       try { body
+        buildSecs.put(what, (System.nanoTime() - w0) / 1e9)
         System.err.println(f"[bench] warmup '$what' ${(System.nanoTime() - w0) / 1e9}%.1f s (t=${elapsedSec}%.0f)")
       } catch { case e: Throwable => System.err.println(s"[bench] warmup '$what' failed: ${e.getMessage}") }
     }

@@ -88,9 +88,14 @@ object LocalClusterBenchMain {
       System.err.println(f"[lcbench] $name $t%.2f s")
       name -> t
     }
-    val qs = times.map { case (n, t) => f""""$n":$t%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT formatting (round-12 ADVICE): the f interpolator is
+    // default-locale-sensitive; a comma-decimal locale would emit invalid
+    // JSON and break the downstream parsers.
+    def jnum(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    val qs = times.map { case (n, t) => s""""$n":${jnum(t, 3)}""" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(f"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":$total%.1f,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":${jnum(total, 1)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,7 +89,12 @@ object SfTrendMain {
     "q_bigram_lm", "q_attribution", "q_ann_ivf")
 
   private def stageArtifacts(spark: SparkSession, dir: String): Unit = {
-    operators.Graph.graphArtifacts(spark, dir)
+    // force the graph frames with an action (round-12 ADVICE): persist()
+    // alone is lazy, so an unforced edge build would land inside the first
+    // timed q_pagerank run at each scale — noop-save them like
+    // LocalClusterBenchMain does
+    val (norm, nodes, pairs) = operators.Graph.graphArtifacts(spark, dir)
+    Seq(norm, nodes, pairs).foreach(_.write.format("noop").mode("overwrite").save())
     val (sh, sig) = operators.Dedup.shingleArtifacts(spark, dir)
     sh.write.format("noop").mode("overwrite").save()
     sig.write.format("noop").mode("overwrite").save()
@@ -111,8 +116,10 @@ object SfTrendMain {
     for (k <- Scales) {
       val dir = scaledDir(spark, src, k, base)
       // untimed artifact stage, as in Bench warmup (graph edges feed
-      // pagerank; the other nine are artifact-free by construction)
-      operators.Graph.graphArtifacts(spark, dir)
+      // pagerank; the other nine are artifact-free by construction) —
+      // FORCED with an action, persist() alone is lazy (round-12 ADVICE)
+      val (gn, gno, gp) = operators.Graph.graphArtifacts(spark, dir)
+      Seq(gn, gno, gp).foreach(_.write.format("noop").mode("overwrite").save())
       for (name <- TrendQueries) {
         val fn = SparkEntry.queries(name)
         def once(): Double = {
@@ -125,10 +132,14 @@ object SfTrendMain {
         System.err.println(f"[sftrend] x$k $name $t%.2f s")
       }
     }
+    // Locale.ROOT formatting (round-12 ADVICE): the f interpolator is
+    // default-locale-sensitive; comma decimals would emit invalid JSON
+    def jnum(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     val qjson = results.map { case (n, m) =>
-      val xs = Scales.map(k => f""""x$k":${m(k)}%.3f""").mkString(",")
+      val xs = Scales.map(k => s""""x$k":${jnum(m(k), 3)}""").mkString(",")
       val slope51 = m(5) / math.max(m(1), 1e-9)
-      f""""$n":{$xs,"ratio_x5_x1":$slope51%.2f}"""
+      s""""$n":{$xs,"ratio_x5_x1":${jnum(slope51, 2)}}"""
     }.mkString("{", ",", "}")
     // deep tier: ×1 and ×20 with artifacts staged untimed at both scales
     val deep = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
@@ -149,7 +160,7 @@ object SfTrendMain {
     }
     val djson = deep.map { case (n, m) =>
       val r = m(DeepScale) / math.max(m(1), 1e-9)
-      f""""$n":{"x1":${m(1)}%.3f,"x$DeepScale":${m(DeepScale)}%.3f,"ratio_x${DeepScale}_x1":$r%.2f}"""
+      s""""$n":{"x1":${jnum(m(1), 3)},"x$DeepScale":${jnum(m(DeepScale), 3)},"ratio_x${DeepScale}_x1":${jnum(r, 2)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"sf_trend","src":"$src","scales":[1,2,5],"queries":$qjson,"deep_scale":$DeepScale,"deep":$djson}""")
     spark.stop()
