@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite wall-time guard (round-12 verdict #5): the judge-run `sbt test`
+  * wall went 13m11s (round 11) → 19m14s (round 12), mostly the 510k/200k
+  * VolumeTruthSpec corpora — two more volume specs at that size and the
+  * suite outgrows a driver session the way the bench once did
+  * (BenchBudgetSpec exists because of that history). This lints the LAST
+  * COMMITTED suite wall, recorded in CLOSING.md by `tools/closing_state.py
+  * --test-log` at each round's close, against a documented ceiling — so a
+  * wall-doubling spec fails the NEXT `sbt test` run instead of surfacing
+  * as a driver-session timeout a round later.
+  *
+  * Ceiling rationale: 28 min ≈ 1.45× today's 19m14s — room for organic
+  * growth and host drift, red if a new volume spec doubles the wall. A
+  * legitimate ceiling raise must come with staging/sampling work or a
+  * documented decision here, the BenchBudgetSpec convention. Costed
+  * hot spots as of round 13 (for whoever trims): VolumeTruthSpec banding
+  * truth ~510k docs / IVF+PQ recall ~200k vectors ≈ 6 min of the wall;
+  * the 13 streaming drains ≈ 5 min across their suites. */
+class SuiteBudgetSpec extends AnyFunSuite {
+
+  private val CeilingMinutes = 28.0
+
+  test("last committed suite wall stays inside the driver ceiling") {
+    val f = new java.io.File("CLOSING.md")
+    assume(f.exists(), "no CLOSING.md yet — run tools/closing_state.py")
+    val txt = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val m = """\*\*Suite wall:\*\* (\d+)m(\d+)s""".r.findFirstMatchIn(txt)
+    assume(m.isDefined,
+      "CLOSING.md predates the suite-wall field — regenerate with --test-log")
+    val minutes = m.get.group(1).toInt + m.get.group(2).toInt / 60.0
+    info(f"last committed suite wall $minutes%.1f min vs ceiling $CeilingMinutes%.0f min")
+    assert(minutes <= CeilingMinutes,
+      f"suite wall $minutes%.1f min exceeds the $CeilingMinutes%.0f min driver ceiling — " +
+        "stage or sample the new cost (see VolumeTruthSpec's subsampling pattern) " +
+        "or raise the ceiling WITH a documented decision")
+  }
+}

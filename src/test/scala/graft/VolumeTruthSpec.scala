@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * (cross-family cosine concentrates near 0 at dim 64 — the max over all
   * query×corpus pairs stays ≲0.7 versus ≥0.999 within a family, so the
   * true top-5 IS the family). All randomness is xxhash64/seeded-k-means —
-  * fully deterministic. */
+  * fully deterministic.
+  *
+  * MEASURED COST (round-12 suite, the price of the volume): the 510k-doc
+  * banding test ≈ 3.5 min and the 200k-vector IVF/PQ test ≈ 2.5 min of
+  * the 19m14s judge-run wall — this suite is the single largest line item.
+  * SuiteBudgetSpec lints the committed wall against its ceiling; a new
+  * volume test at this scale must either subsample (the 1-in-5 codebook
+  * pattern below) or budget for the ceiling discussion there. */
 class VolumeTruthSpec extends SparkSpec {
 
   test("banding recall at volume: 510k docs, 10k planted near-dup pairs") {
