@@ -312,23 +312,37 @@ object TextAnalysis {
     * then context totals derived from them — the NaiveBayesLang
     * sufficient-statistics pattern) plus the unigram table; scoring joins
     * the bigram stream against the vocab²-bounded (distinct-bigram-sized)
-    * model — AQE broadcasts it at test scale, keyed join beyond; the lag
-    * window partitions per doc (no global window); the 1-row N rides the
-    * in-plan broadcast cross-join. Docs with <2 tokens have no bigram and
-    * are absent on both engines. */
+    * model — AQE broadcasts it at test scale, keyed join beyond; the 1-row
+    * N rides the in-plan broadcast cross-join. Docs with <2 tokens have no
+    * bigram and are absent on both engines.
+    *
+    * The bigram stream itself is a NARROW map (round-12 stretch #8): a
+    * token's successor lives in the SAME row's array, so adjacent pairs
+    * come from an in-row `arrays_zip(slice, slice)` over the filtered
+    * token array — no per-doc window, which previously shuffled and
+    * sorted EVERY token by doc_id just to run lag(1). zip+slice beat a
+    * lambda `transform` pairing too (both are narrow, but ArrayTransform
+    * evaluates an interpreted lambda per row where slice/arrays_zip are
+    * native expressions): measured min-of-2, window-lag / transform /
+    * zip-slice = 1.66 / 1.46 / 1.06 s at ×1 and 6.75 / 5.76 / 4.67 s at
+    * the ×50 deep tier (MeasurePerfMain A/B/C); the trend artifact's ×50
+    * point dropped 11.10 → 4.67 s and the ratio-to-×1 15.1 → 5.4
+    * (`bench_runs/sf_trend_r13.json` vs `sf_trend_r12b.json`). The
+    * remaining cost is the genuinely token-proportional c12 partial agg
+    * and the model join. The bigram multiset per doc is unchanged
+    * (filter preserves order), so the oracle is byte-identical. */
   def bigramLm(s: SparkSession, d: String): DataFrame =
     bigramLmFrame(Tables.documents(s, d))
 
   def bigramLmFrame(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = toks
-      .select(col("doc_id"), lag(col("tok"), 1).over(w).as("w1"), col("tok").as("w2"))
-      .filter(col("w1").isNotNull)
+    val withArr = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("a"))
+    val toks = withArr.select(col("doc_id"), explode(col("a")).as("tok"))
+    val big = withArr
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))")).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val uni = toks.groupBy(col("tok").as("w2")).agg(count(lit(1)).as("c2"))
