@@ -144,6 +144,19 @@ class PlanAuditSpec extends SparkSpec {
       s"allowlist entries no longer planning BNLJ (prune them): ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("narrow-by-design token pipelines plan no Window operator") {
+    // the round-13 bigram-LM rewrite made adjacent-pair extraction an
+    // in-row arrays_zip over the token array — a narrow map off the scan.
+    // A Window here means someone reintroduced the per-doc lag(1) shape,
+    // which shuffles and sorts EVERY token by doc_id (the 2.4× ×50
+    // regression this gate exists to prevent). topBigrams/PMI share the
+    // array-pairing idiom but legitimately rank via an ordered window on
+    // their AGGREGATED (vocab-sized) output, so only the LM — whose plan
+    // is window-free end to end — is pinned.
+    assert(!plan("q_bigram_lm").contains("Window"),
+      s"q_bigram_lm reintroduced a Window (per-doc lag pairing?):\n${plan("q_bigram_lm")}")
+  }
+
   test("filters reach the parquet scan where the scan order is the feature") {
     // the pushed filter must appear in the SCAN's PushedFilters list, not
     // as a post-scan Filter only (PLANS.md rows; q_explode_tokens is the
