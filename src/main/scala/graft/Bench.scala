@@ -74,6 +74,13 @@ object Bench {
     // Each gate's REAL drain cost lands here from the warmup stage and is
     // emitted as a `drains` object in the artifact.
     val drainSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // Gates whose warmup drain was abandoned at the 150 s timeout (round-12
+    // ADVICE #4): the cancelled thread may still hold the gate's memo-cell
+    // computation, so pass 1 touching that cell could block until the
+    // watchdog. Pass 1 skips these outright — one hung drain costs ONE
+    // gate, unconditionally, not "in the common case".
+    val abandonedDrains =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // Per-build wall times (round-12 verdict #4): the non-drain staging
     // costs — index/model/truth builds — previously landed as one
     // undifferentiated `warmup_s`, so a regression in ONE build (the ed
@@ -248,14 +255,17 @@ object Bench {
           }.foreach { case (n, f) =>
             // Per-drain timeout (ADVICE r10): one hung drain must cost ONE
             // gate, not the artifact. Waits are sequential over concurrent
-            // futures, so completed gates consume no timeout budget; an
-            // abandoned gate's memo cell stays uninitialized and pass 1
-            // records the failure (or blocks and the watchdog still emits).
+            // futures, so completed gates consume no timeout budget. An
+            // abandoned gate lands in `abandonedDrains`, and pass 1 SKIPS
+            // it rather than touching a memo cell the cancelled thread may
+            // still hold (round-12 ADVICE #4 — the old block-then-watchdog
+            // worst case is gone; the gate is recorded in `skipped`).
             try f.get(150, java.util.concurrent.TimeUnit.SECONDS)
             catch {
               case _: java.util.concurrent.TimeoutException =>
                 f.cancel(true)
-                System.err.println(s"[bench] drain '$n' exceeded 150 s in warmup; abandoned")
+                abandonedDrains.add(n)
+                System.err.println(s"[bench] drain '$n' exceeded 150 s in warmup; abandoned — pass 1 will skip it")
             }
           }
         } finally pool.shutdownNow()
@@ -310,7 +320,12 @@ object Bench {
     // a query started near the line can finish and the JSON still prints
     // inside the outer timeout.
     val pass1 = ordered.map { case (name, fn) =>
-      if (elapsedSec > budgetSec - 15) { skipped ::= name; name -> -1.0 }
+      if (abandonedDrains.contains(name)) {
+        // the gate's memo cell may still be held by the cancelled warmup
+        // thread — timing it could block, not fail (round-12 ADVICE #4)
+        System.err.println(s"[bench] $name skipped: its warmup drain was abandoned")
+        skipped ::= name; name -> -1.0
+      } else if (elapsedSec > budgetSec - 15) { skipped ::= name; name -> -1.0 }
       else {
         val t = timeOnce(name, fn, recordFailure = true)
         if (t >= 0) done.put(name, t)
