@@ -72,6 +72,36 @@ def main():
                 best[q] = min(best.get(q, float("inf")), v)
     best_sum = round(sum(best.values()), 1)
 
+    # staged list of the latest series (identical across runs of a series —
+    # it names the queries whose Spark timing is a memoized read)
+    staged = set()
+    for f in latest:
+        staged |= set(json.load(open(os.path.join(bdir, f))).get("staged", []))
+    nonstaged_sum = round(sum(v for q, v in best.items() if q not in staged), 1)
+
+    # Cross-engine column (round-13: derived here so BASELINE's narrative
+    # can't desync from the numbers): latest duckdb_oracle_sf01_r*.json,
+    # cross-checked against the registry. The staged-fair Spark side is
+    # recomputed from THIS series' best-of (not the pass-1 snapshot pinned
+    # inside the duckdb artifact at generation time).
+    duck_lines = []
+    ducks = [f for f in os.listdir(bdir)
+             if re.match(r"duckdb_oracle_sf01_r\d+[a-z_]*\.json$", f)]
+    if ducks:
+        dfile = max(ducks, key=lambda f: int(re.search(r"_r(\d+)", f).group(1)))
+        duck = json.load(open(os.path.join(bdir, dfile)))
+        if set(duck["queries"]) == queries and not duck.get("errors"):
+            dtot = round(sum(duck["queries"].values()), 1)
+            drecomp = round(sum(v for q, v in duck["queries"].items()
+                                if q not in staged), 1)
+            duck_lines = [
+                f"- **Cross-engine ({dfile}):** DuckDB {dtot} s vs Spark "
+                f"best-of {best_sum} s — ratio {best_sum / dtot:.2f}",
+                f"- **Staged-fair (the {len(queries) - len(staged)} queries "
+                f"both engines recompute):** DuckDB {drecomp} s vs Spark "
+                f"{nonstaged_sum} s — ratio {nonstaged_sum / drecomp:.2f}",
+            ]
+
     tests = suites = wall = None
     if args.test_log:
         log = open(args.test_log).read()
@@ -112,6 +142,7 @@ def main():
         + f" — best-of-series sum {best_sum} s over {len(best)} queries",
         f"- **Bench health:** failed={sorted(bad['failed'])} "
         f"flaky={sorted(bad['flaky'])} skipped={sorted(bad['skipped'])}",
+        *duck_lines,
         "",
         "Regenerate: `python3 tools/closing_state.py --test-log <sbt-test.log>`",
     ]
