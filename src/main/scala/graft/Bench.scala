@@ -155,7 +155,11 @@ object Bench {
     def warm(what: String)(body: => Unit): Unit = {
       val w0 = System.nanoTime()
       try { body
-        buildSecs.put(what, (System.nanoTime() - w0) / 1e9)
+        // the drains stage is itemized per-gate in `drains` — recording its
+        // stage wall here too would double-count the whole stage for any
+        // consumer summing builds + drains (round-13 ADVICE)
+        if (what != "streaming-drains-stage")
+          buildSecs.put(what, (System.nanoTime() - w0) / 1e9)
         System.err.println(f"[bench] warmup '$what' ${(System.nanoTime() - w0) / 1e9}%.1f s (t=${elapsedSec}%.0f)")
       } catch { case e: Throwable => System.err.println(s"[bench] warmup '$what' failed: ${e.getMessage}") }
     }

@@ -55,13 +55,21 @@ def main(sf_dir, out_dir, reps=3, bench_json=None):
     if bench_json:
         bench = json.load(open(bench_json))
         staged = set(bench.get("staged", []))
-        recomputed = {k: v for k, v in times.items() if k not in staged}
-        spark_recomputed = {k: v for k, v in bench.get("queries", {}).items()
-                            if k not in staged and v >= 0}
+        # Both sums run over the SAME key set: non-staged queries with a
+        # valid time in BOTH engines (round-13 ADVICE: summing Spark over
+        # v >= 0 while DuckDB kept every non-staged entry let a Spark
+        # skip/failure silently deflate the Spark side and flatter the
+        # ratio). Excluded names are emitted — the no-silent-caps rule.
+        spark_times = bench.get("queries", {})
+        both = {k for k in times
+                if k not in staged and spark_times.get(k, -1) >= 0}
+        dropped = sorted((set(times) - staged) - both)
         out["staged_excluded"] = sorted(staged & set(times))
-        out["n_recomputed"] = len(recomputed)
-        out["total_sec_recomputed"] = round(sum(recomputed.values()), 2)
-        out["spark_total_sec_recomputed"] = round(sum(spark_recomputed.values()), 2)
+        out["recomputed_dropped"] = dropped  # non-staged but invalid in Spark
+        out["n_recomputed"] = len(both)
+        out["total_sec_recomputed"] = round(sum(times[k] for k in both), 2)
+        out["spark_total_sec_recomputed"] = round(
+            sum(spark_times[k] for k in both), 2)
         if out["total_sec_recomputed"] > 0:
             out["ratio_recomputed"] = round(
                 out["spark_total_sec_recomputed"] / out["total_sec_recomputed"], 3)

@@ -88,9 +88,24 @@ def main():
     ducks = [f for f in os.listdir(bdir)
              if re.match(r"duckdb_oracle_sf01_r\d+[a-z_]*\.json$", f)]
     if ducks:
-        dfile = max(ducks, key=lambda f: int(re.search(r"_r(\d+)", f).group(1)))
+        # key on (round int, letter suffix) like the benchrN selection above
+        # (round-13 ADVICE: keying on the int alone let _r13 vs _r13b tie and
+        # follow unordered os.listdir order — nondeterministic across hosts)
+        def duck_key(f):
+            m = re.search(r"_r(\d+)([a-z]?)", f)
+            return (int(m.group(1)), m.group(2))
+        dfile = max(ducks, key=duck_key)
         duck = json.load(open(os.path.join(bdir, dfile)))
-        if set(duck["queries"]) == queries and not duck.get("errors"):
+        # Both ratios must sum the SAME key set on both sides (round-13
+        # ADVICE: a query negative in every Spark run — likelier now via the
+        # abandoned-drain skip — would shrink best/nonstaged_sum while the
+        # DuckDB sums kept the full registry, skewing both ratios silently).
+        skipped_everywhere = sorted(queries - set(best))
+        if skipped_everywhere:
+            duck_lines = [f"- **Cross-engine:** SUPPRESSED — no valid Spark "
+                          f"time in any run of {series_name} for: "
+                          f"{', '.join(skipped_everywhere)}"]
+        elif set(duck["queries"]) == queries and not duck.get("errors"):
             dtot = round(sum(duck["queries"].values()), 1)
             drecomp = round(sum(v for q, v in duck["queries"].items()
                                 if q not in staged), 1)
