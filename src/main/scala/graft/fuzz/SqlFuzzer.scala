@@ -1,0 +1,328 @@
+package graft.fuzz
+
+import scala.util.Random
+
+/** Seeded generator of engine-portable SQL plans for randomized
+  * differential testing (round-13 verdict next-#1: the 238 curated oracles
+  * can only catch bugs someone thought to write a query for; a seeded
+  * generator covers planner edge cases the curated set misses).
+  *
+  * Each plan is ONE SQL string executed verbatim by BOTH Spark SQL
+  * (graft.FuzzMain) and DuckDB (tools/compare_oracle.py) over the driver's
+  * parquet tables; results are compared row-for-row. The grammar covers
+  * filter/project/distinct, group-agg (+HAVING), inner/left equi-joins,
+  * analytic windows (row_number/rank/dense_rank/lag + running sum), set
+  * ops (UNION ALL / INTERSECT / EXCEPT), and nested derived tables with
+  * post-agg filters — the relational core where a planner bug (pushdown
+  * through the wrong projection, a misfired join reorder, a bad null-frame)
+  * would silently corrupt results.
+  *
+  * Portability rules (the repo's hard-won oracle rules — PLANS.md and the
+  * round playbook; each was learned from a red row):
+  *  - payload columns are BIGINT/INT/STRING only; SUM always carries an
+  *    outer CAST(... AS BIGINT) — DuckDB widens sum(BIGINT) to HUGEINT,
+  *    which the pandas read renders as float64 (round-8's two red rows)
+  *  - doubles enter integer space ONLY via CAST(FLOOR(x) AS BIGINT):
+  *    a direct double→BIGINT cast truncates in Spark but ROUNDS in DuckDB;
+  *    floor-then-cast is exact in both
+  *  - every ORDER BY key spells ASC/DESC AND NULLS FIRST/LAST (Spark
+  *    defaults ASC→NULLS FIRST, DuckDB ASC→NULLS LAST), and orders the
+  *    FULL output column list before any LIMIT so the cut prefix is a
+  *    deterministic multiset even with duplicate rows
+  *  - selective predicates are modulo-form ((col % k) cmp r): selectivity
+  *    is data-range-independent and the arithmetic is exact in both engines
+  *  - row_number ORDER BY keys always include the table's unique key;
+  *    rank/dense_rank may order by non-unique expressions (per-row rank
+  *    over a multiset is deterministic even under ties)
+  *  - timestamps never reach the payload; they enter only via year(ts)
+  *    (both engines: exact integer)
+  *
+  * Determinism: java.util.Random's LCG is specified by the JDK spec, so
+  * (seed, index) → SQL is stable across hosts; the committed artifact
+  * records the seed and every plan is reproducible from it.
+  */
+object SqlFuzzer {
+
+  final case class Col(name: String, kind: String) // long | int | double | string | ts
+  final case class Tbl(name: String, cols: Seq[Col], unique: Seq[String]) {
+    def ints: Seq[Col]    = cols.filter(c => c.kind == "long" || c.kind == "int")
+    def doubles: Seq[Col] = cols.filter(_.kind == "double")
+    def strs: Seq[Col]    = cols.filter(_.kind == "string")
+    def tss: Seq[Col]     = cols.filter(_.kind == "ts")
+  }
+
+  /** TESTDATA.md schemas (probed via pyarrow each round). documents.text is
+    * deliberately excluded: multi-KB multilingual payloads add compare cost
+    * without adding planner coverage (n_chars already carries its length). */
+  val tables: Seq[Tbl] = Seq(
+    Tbl("lineitem", Seq(
+      Col("l_orderkey", "long"), Col("l_partkey", "long"), Col("l_suppkey", "long"),
+      Col("l_linenumber", "int"), Col("l_quantity", "double"), Col("l_extendedprice", "double"),
+      Col("l_discount", "double"), Col("l_tax", "double"), Col("l_returnflag", "string"),
+      Col("l_linestatus", "string"), Col("l_shipdate", "ts")),
+      Seq("l_orderkey", "l_linenumber")),
+    Tbl("orders", Seq(
+      Col("o_orderkey", "long"), Col("o_custkey", "long"), Col("o_orderstatus", "string"),
+      Col("o_totalprice", "double"), Col("o_orderdate", "ts"), Col("o_orderpriority", "string")),
+      Seq("o_orderkey")),
+    Tbl("customer", Seq(
+      Col("c_custkey", "long"), Col("c_name", "string"), Col("c_nationkey", "int"),
+      Col("c_acctbal", "double"), Col("c_mktsegment", "string")),
+      Seq("c_custkey")),
+    Tbl("supplier", Seq(
+      Col("s_suppkey", "long"), Col("s_name", "string"), Col("s_nationkey", "int"),
+      Col("s_acctbal", "double")),
+      Seq("s_suppkey")),
+    Tbl("part", Seq(
+      Col("p_partkey", "long"), Col("p_name", "string"), Col("p_brand", "string"),
+      Col("p_type", "string"), Col("p_size", "int"), Col("p_retailprice", "double")),
+      Seq("p_partkey")),
+    Tbl("nation", Seq(
+      Col("n_nationkey", "int"), Col("n_name", "string"), Col("n_regionkey", "int")),
+      Seq("n_nationkey")),
+    Tbl("region", Seq(Col("r_regionkey", "int"), Col("r_name", "string")),
+      Seq("r_regionkey")),
+    Tbl("events", Seq(
+      Col("event_id", "long"), Col("ts", "ts"), Col("user_id", "long"),
+      Col("event_type", "string"), Col("value", "double")),
+      Seq("event_id")),
+    Tbl("documents", Seq(
+      Col("doc_id", "long"), Col("lang", "string"), Col("source", "string"),
+      Col("n_chars", "long")),
+      Seq("doc_id"))
+  )
+
+  /** TPC-H-shaped equi-join pairs (left table, right table, left key, right key). */
+  val joins: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"))
+
+  private def byName(n: String): Tbl = tables.find(_.name == n).get
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+
+  /** Integer-typed expression over `t`'s columns (BIGINT or INT in both engines). */
+  private def intExpr(r: Random, t: Tbl, depth: Int = 1): String = {
+    val choices = Seq.newBuilder[() => String]
+    if (t.ints.nonEmpty) {
+      choices += (() => pick(r, t.ints).name)
+      choices += (() => s"(${pick(r, t.ints).name} % ${2 + r.nextInt(12)})")
+      choices += (() => s"(${pick(r, t.ints).name} + ${1 + r.nextInt(50)})")
+    }
+    if (t.doubles.nonEmpty)
+      choices += (() => s"CAST(FLOOR(${pick(r, t.doubles).name}) AS BIGINT)")
+    if (t.strs.nonEmpty)
+      choices += (() => s"length(${pick(r, t.strs).name})")
+    if (t.tss.nonEmpty)
+      choices += (() => s"year(${pick(r, t.tss).name})")
+    if (depth > 0)
+      choices += (() =>
+        s"(CASE WHEN ${pred(r, t, 0)} THEN ${intExpr(r, t, depth - 1)} ELSE ${intExpr(r, t, depth - 1)} END)")
+    pick(r, choices.result())()
+  }
+
+  /** String-typed expression over `t`'s columns. */
+  private def strExpr(r: Random, t: Tbl): String = {
+    val c = pick(r, t.strs).name
+    r.nextInt(3) match {
+      case 0 => c
+      case 1 => s"upper($c)"
+      case _ => s"substr($c, 1, ${1 + r.nextInt(4)})"
+    }
+  }
+
+  private val cmps = Seq("=", "<>", "<", "<=", ">", ">=")
+
+  /** Boolean predicate over `t`'s columns; depth bounds AND/OR/NOT nesting. */
+  private def pred(r: Random, t: Tbl, depth: Int = 2): String = {
+    def atom: String = {
+      val kinds = Seq.newBuilder[() => String]
+      if (t.ints.nonEmpty || t.doubles.nonEmpty) {
+        kinds += { () =>
+          val k = 2 + r.nextInt(12)
+          s"(${intExpr(r, t, 0)} % $k) ${pick(r, cmps)} ${r.nextInt(k)}"
+        }
+        kinds += { () =>
+          val k = 4 + r.nextInt(10)
+          val vals = (0 until (1 + r.nextInt(3))).map(_ => r.nextInt(k)).distinct
+          s"(${intExpr(r, t, 0)} % $k) IN (${vals.mkString(", ")})"
+        }
+      }
+      if (t.strs.nonEmpty) {
+        kinds += (() => s"upper(${pick(r, t.strs).name}) LIKE '%${('A' + r.nextInt(26)).toChar}%'")
+        kinds += { () =>
+          val lo = ('a' + r.nextInt(13)).toChar
+          s"substr(lower(${pick(r, t.strs).name}), 1, 1) BETWEEN '$lo' AND '${(lo + 1 + r.nextInt(12)).toChar}'"
+        }
+        kinds += (() => s"${pick(r, t.strs).name} IS NOT NULL")
+      }
+      pick(r, kinds.result())()
+    }
+    if (depth <= 0 || r.nextInt(3) == 0) atom
+    else r.nextInt(3) match {
+      case 0 => s"(${pred(r, t, depth - 1)} AND ${pred(r, t, depth - 1)})"
+      case 1 => s"(${pred(r, t, depth - 1)} OR ${pred(r, t, depth - 1)})"
+      case _ => s"(NOT ${pred(r, t, depth - 1)})"
+    }
+  }
+
+  /** One aggregate with alias `c$i`; int/string payload only, SUM cast to BIGINT. */
+  private def aggExpr(r: Random, t: Tbl, i: Int): String = r.nextInt(6) match {
+    case 0 => s"COUNT(*) AS c$i"
+    case 1 => s"CAST(SUM(${intExpr(r, t, 0)}) AS BIGINT) AS c$i"
+    case 2 => s"${pick(r, Seq("MIN", "MAX"))}(${intExpr(r, t, 0)}) AS c$i"
+    case 3 if t.strs.nonEmpty => s"${pick(r, Seq("MIN", "MAX"))}(${strExpr(r, t)}) AS c$i"
+    case 4 => s"COUNT(DISTINCT ${intExpr(r, t, 0)}) AS c$i"
+    case _ => s"CAST(SUM(CASE WHEN ${pred(r, t, 1)} THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+  }
+
+  /** Any-typed projection expression (int- or string-typed). */
+  private def projExpr(r: Random, t: Tbl): String =
+    if (t.strs.nonEmpty && r.nextInt(3) == 0) strExpr(r, t) else intExpr(r, t)
+
+  /** ORDER BY over output aliases c0..c{n-1}: full column list, explicit
+    * direction AND null placement on every key (engine defaults differ). */
+  private def orderByAll(r: Random, n: Int): String =
+    (0 until n).map { i =>
+      val dir = if (r.nextBoolean()) "ASC" else "DESC"
+      val nul = if (r.nextBoolean()) "NULLS FIRST" else "NULLS LAST"
+      s"c$i $dir $nul"
+    }.mkString("ORDER BY ", ", ", "")
+
+  // ---- plan kinds -------------------------------------------------------
+
+  private def filterProject(r: Random, t: Tbl): String = {
+    val n = 2 + r.nextInt(3)
+    val proj = (0 until n).map(i => s"${projExpr(r, t)} AS c$i").mkString(", ")
+    val distinct = if (r.nextInt(4) == 0) "DISTINCT " else ""
+    s"SELECT $distinct$proj FROM ${t.name} WHERE ${pred(r, t)} " +
+      s"${orderByAll(r, n)} LIMIT ${200 + r.nextInt(1800)}"
+  }
+
+  private def groupAgg(r: Random, t: Tbl): String = {
+    val ng = 1 + r.nextInt(2)
+    val keys = (0 until ng).map { i =>
+      val e = if (t.strs.nonEmpty && r.nextInt(2) == 0) strExpr(r, t)
+              else s"(${intExpr(r, t, 0)} % ${2 + r.nextInt(20)})"
+      s"$e AS c$i"
+    }
+    val na = 1 + r.nextInt(3)
+    val aggs = (0 until na).map(i => aggExpr(r, t, ng + i))
+    val having = if (r.nextInt(3) == 0) s" HAVING COUNT(*) > ${r.nextInt(5)}" else ""
+    s"SELECT ${(keys ++ aggs).mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)} " +
+      s"GROUP BY ${(1 to ng).mkString(", ")}$having"
+  }
+
+  private def joinAgg(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    val left = r.nextBoolean()
+    // LEFT JOIN keeps its right-side predicate in the ON clause so the
+    // left-preserving semantics are actually exercised (a WHERE on the
+    // right side would collapse it back to inner in both engines)
+    val (joinSql, whereSql) =
+      if (left)
+        (s"$ln LEFT JOIN $rn ON $lk = $rk AND ${pred(r, rt, 1)}", s"WHERE ${pred(r, lt, 1)}")
+      else
+        (s"$ln JOIN $rn ON $lk = $rk", s"WHERE (${pred(r, lt, 1)} AND ${pred(r, rt, 1)})")
+    if (r.nextInt(3) == 0) {
+      // no-agg join: project both sides, full-order + limit
+      val n = 2 + r.nextInt(2)
+      val proj = (0 until n).map { i =>
+        val side = if (r.nextBoolean()) lt else rt
+        s"${projExpr(r, side)} AS c$i"
+      }
+      s"SELECT ${proj.mkString(", ")} FROM $joinSql $whereSql " +
+        s"${orderByAll(r, n)} LIMIT ${200 + r.nextInt(1800)}"
+    } else {
+      val key = if (r.nextBoolean() && rt.strs.nonEmpty) strExpr(r, rt)
+                else s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(15)})"
+      // aggregate over the RIGHT side under LEFT join: COUNT(col) vs
+      // COUNT(*) over null-extended rows is exactly the classic bug site
+      val na = 1 + r.nextInt(2)
+      val aggs = (0 until na).map { i =>
+        if (left && r.nextInt(2) == 0) s"COUNT(${pick(r, rt.ints).name}) AS c${1 + i}"
+        else aggExpr(r, if (r.nextBoolean()) lt else rt, 1 + i)
+      }
+      s"SELECT $key AS c0, ${aggs.mkString(", ")} FROM $joinSql $whereSql GROUP BY 1"
+    }
+  }
+
+  private def windowQ(r: Random, t: Tbl): String = {
+    val uniq = t.unique
+    val uCols = uniq.zipWithIndex.map { case (u, i) => s"$u AS c$i" }
+    val nu = uniq.length
+    val partKey = s"(${intExpr(r, t, 0)} % ${2 + r.nextInt(10)})"
+    val ord = uniq.map(u => s"$u ASC NULLS FIRST").mkString(", ")
+    // Sequence-sensitive payloads (LAG, running SUM) must be functions of
+    // the ORDER BY keys: the synthetic testdata does NOT make the declared
+    // key unique (sf0.01 lineitem: 60000 rows, 45832 distinct
+    // (l_orderkey, l_linenumber) pairs — the harness's first catch, seed
+    // 14141414 plan 0037), so tied rows must carry equal payload values for
+    // the plan to be tie-permutation-invariant in both engines.
+    def ordExpr: String = s"(${pick(r, uniq)} % ${2 + r.nextInt(10)})"
+    val wfn = r.nextInt(4) match {
+      case 0 => s"ROW_NUMBER() OVER (PARTITION BY $partKey ORDER BY $ord)"
+      // rank/dense_rank order by a possibly-tied expression: per-row rank
+      // over a multiset is deterministic even under ties
+      case 1 => s"RANK() OVER (PARTITION BY $partKey ORDER BY (${intExpr(r, t, 0)} % 7) ASC NULLS FIRST, $ord)"
+      case 2 => s"CAST(SUM($ordExpr) OVER (PARTITION BY $partKey ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+      case _ => s"LAG($ordExpr, 1) OVER (PARTITION BY $partKey ORDER BY $ord)"
+    }
+    val inner = s"SELECT ${uCols.mkString(", ")}, $partKey AS c$nu, $wfn AS w " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 1)}"
+    if (r.nextBoolean() && wfn.startsWith("ROW_NUMBER"))
+      s"SELECT * FROM ($inner) x WHERE w <= ${1 + r.nextInt(5)}"
+    else inner
+  }
+
+  private def setOp(r: Random, t: Tbl): String = {
+    val n = 2
+    val exprs = (0 until n).map(_ => projExpr(r, t))
+    def branch(p: String) =
+      s"SELECT ${exprs.zipWithIndex.map { case (e, i) => s"$e AS c$i" }.mkString(", ")} FROM ${t.name} WHERE $p"
+    val op = pick(r, Seq("UNION ALL", "INTERSECT", "EXCEPT"))
+    val body = s"${branch(pred(r, t, 1))} $op ${branch(pred(r, t, 1))}"
+    if (r.nextBoolean())
+      s"SELECT c0, c1, COUNT(*) AS c2 FROM ($body) u GROUP BY 1, 2"
+    else
+      s"SELECT * FROM ($body) u ${orderByAll(r, n)} LIMIT ${200 + r.nextInt(1800)}"
+  }
+
+  /** Post-agg filter over a derived group-agg table (projection pushdown
+    * through an aggregate + HAVING-equivalent predicate placement). The
+    * inner's c1 is pinned to COUNT(*) so the outer modulo filter is always
+    * integer-typed (a string c1 would be an ANSI cast error in Spark but a
+    * best-effort cast in DuckDB — a generator bug, not an engine diff). */
+  private def nested(r: Random, t: Tbl): String = {
+    val key = if (t.strs.nonEmpty && r.nextInt(2) == 0) strExpr(r, t)
+              else s"(${intExpr(r, t, 0)} % ${2 + r.nextInt(20)})"
+    val extra = if (r.nextBoolean()) s", ${aggExpr(r, t, 2)}" else ""
+    val innerSql = s"SELECT $key AS c0, COUNT(*) AS c1$extra " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 1)} GROUP BY 1"
+    val k = 2 + r.nextInt(8)
+    s"SELECT * FROM ($innerSql) g WHERE (c1 % $k) ${pick(r, cmps)} ${r.nextInt(k)}"
+  }
+
+  /** Deterministic (seed, index) → (name, SQL). */
+  def plan(seed: Long, i: Int): (String, String) = {
+    val r = new Random(seed + 1000003L * i)
+    val t = pick(r, tables)
+    val sql = r.nextInt(20) match {
+      case x if x < 4  => filterProject(r, t)
+      case x if x < 9  => groupAgg(r, t)
+      case x if x < 13 => joinAgg(r)
+      case x if x < 16 => windowQ(r, t)
+      case x if x < 18 => setOp(r, t)
+      case _           => nested(r, t)
+    }
+    (f"fuzz_$i%04d", sql)
+  }
+
+  def plans(seed: Long, count: Int): Seq[(String, String)] =
+    (0 until count).map(plan(seed, _))
+}

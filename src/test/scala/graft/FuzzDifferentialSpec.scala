@@ -1,0 +1,53 @@
+package graft
+
+import graft.fuzz.SqlFuzzer
+
+/** In-suite half of the randomized differential harness (round-13 verdict
+  * #1). The cross-engine compare (Spark vs DuckDB over the same parquet)
+  * runs out-of-suite — `runMain graft.FuzzMain <seed> <count> <sf> <out>`
+  * then `tools/compare_oracle.py <out> <sf>`; committed runs:
+  * seed 20260815 ×300 @ sf0.001 and seed 14141414 ×300 @ sf0.01, both
+  * 300/300 green (bench_runs/fuzz_diff_r14.json). This spec pins the
+  * properties that make those runs reproducible evidence:
+  *   1. generation is a pure function of (seed, index) — the committed
+  *      seeds reproduce byte-identical SQL on any host;
+  *   2. every generated plan parses and executes in Spark;
+  *   3. results are partition-count-invariant: the same plan at 4 and 3
+  *      shuffle partitions yields the same multiset. This is the in-suite
+  *      differential axis (no DuckDB on the test classpath) and exactly the
+  *      class of bug the harness's first catch was — a LAG payload not
+  *      functionally dependent on its ORDER BY keys is tie-permutation-
+  *      nondeterministic, which partition count perturbs.
+  */
+class FuzzDifferentialSpec extends SparkSpec {
+
+  test("plan generation is deterministic in (seed, index)") {
+    val a = SqlFuzzer.plans(20260815L, 50)
+    val b = SqlFuzzer.plans(20260815L, 50)
+    assert(a == b)
+    // distinct seeds produce distinct plan sets (the generator actually
+    // consumes the seed rather than collapsing to one grammar path)
+    val c = SqlFuzzer.plans(14141414L, 50)
+    assert(a.map(_._2) != c.map(_._2))
+  }
+
+  test("40 seeded plans execute and are shuffle-partition-invariant") {
+    SqlFuzzer.tables.foreach { t =>
+      (if (t.name == "events") Tables.events(spark, sf)
+       else Tables.table(spark, sf, t.name)).createOrReplaceTempView(t.name)
+    }
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "3")
+    SqlFuzzer.tables.foreach { t =>
+      (if (t.name == "events") Tables.events(alt, sf)
+       else Tables.table(alt, sf, t.name)).createOrReplaceTempView(t.name)
+    }
+    SqlFuzzer.plans(20260815L, 40).foreach { case (name, sql) =>
+      val base = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+        .map { case (k, v) => (k, v.length) }
+      val rep = alt.sql(sql).collect().map(_.toSeq).groupBy(identity)
+        .map { case (k, v) => (k, v.length) }
+      assert(base == rep, s"$name not partition-invariant: $sql")
+    }
+  }
+}
