@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The multi-minute planted-truth volume tests (graft.VolumeTest tag) run
+// once per round, not in every `sbt test` (round-13 verdict #2: they were
+// ~6 min of a 20m16s wall). GRAFT_VOLUME=1 lifts the exclusion:
+//   GRAFT_VOLUME=1 sbt "testOnly graft.VolumeTruthSpec"
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_VOLUME")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.VolumeTest")))
 // Forked run's stdout passes through raw instead of being re-logged at
 // info level — otherwise `sbt -error` (or any quieter log level) swallows
 // the one JSON line Bench/Verify exist to print.

@@ -41,9 +41,18 @@ object UpsertStream {
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .sortBy(_.getName.drop(1).toLong).lastOption
 
-  /** Drain the event stream into versioned keep-latest state snapshots. */
+  /** Drain the event stream into versioned keep-latest state snapshots.
+    *
+    * `afterSinkWrite` fires AFTER the version directory is written and
+    * BEFORE foreachBatch returns — i.e. before Spark commits the batch to
+    * the checkpoint. Production callers leave it a no-op; the crash-window
+    * recovery test (CrashRecoverySpec) throws from it to simulate a process
+    * death in exactly the reference's duplicate window
+    * (FunctionApp2/process_data/__init__.py:96-104): sink written,
+    * checkpoint not yet committed, batch will be re-delivered on restart. */
   def runUpsert(spark: SparkSession, srcDir: String, stateDir: String,
-                checkpointDir: String): StreamingQuery =
+                checkpointDir: String,
+                afterSinkWrite: Long => Unit = _ => ()): StreamingQuery =
     EventsStream.readEvents(spark, srcDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .writeStream
@@ -60,6 +69,7 @@ object UpsertStream {
           .getOrElse(batch.limit(0))
         mergeLatest(cur, batch)
           .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        afterSinkWrite(batchId)
       }
       .start()
 

@@ -12,16 +12,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * wall-doubling spec fails the NEXT `sbt test` run instead of surfacing
   * as a driver-session timeout a round later.
   *
-  * Ceiling rationale: 28 min ≈ 1.45× today's 19m14s — room for organic
-  * growth and host drift, red if a new volume spec doubles the wall. A
+  * Ceiling rationale (round-14 re-base): the VolumeTruthSpec planted
+  * truths (~6 min) moved behind the graft.VolumeTest tag — excluded from
+  * the default run, executed once per round via GRAFT_VOLUME=1 and
+  * recorded in CLOSING.md by closing_state.py --volume-log — which took
+  * the committed wall from 20m16s to ~14 min. 18 min ≈ 1.3× that: room
+  * for host drift, red if a new multi-minute spec lands untagged. A
   * legitimate ceiling raise must come with staging/sampling work or a
-  * documented decision here, the BenchBudgetSpec convention. Costed
-  * hot spots as of round 13 (for whoever trims): VolumeTruthSpec banding
-  * truth ~510k docs / IVF+PQ recall ~200k vectors ≈ 6 min of the wall;
-  * the 13 streaming drains ≈ 5 min across their suites. */
+  * documented decision here, the BenchBudgetSpec convention. Remaining
+  * hot spot: the 13 streaming drains ≈ 5 min across their suites. */
 class SuiteBudgetSpec extends AnyFunSuite {
 
-  private val CeilingMinutes = 28.0
+  private val CeilingMinutes = 18.0
 
   test("last committed suite wall stays inside the driver ceiling") {
     val f = new java.io.File("CLOSING.md")

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * pattern below) or budget for the ceiling discussion there. */
 class VolumeTruthSpec extends SparkSpec {
 
-  test("banding recall at volume: 510k docs, 10k planted near-dup pairs") {
+  test("banding recall at volume: 510k docs, 10k planted near-dup pairs", VolumeTest) {
     // 500k base docs of 20 unique tokens; every 50th doc plants a near-dup
     // copy at id+10M with the last 2 tokens edited: 3-gram shingle Jaccard
     // = 16/(18+18-16) = 0.8 exactly, for every planted pair. Expected
@@ -70,7 +70,7 @@ class VolumeTruthSpec extends SparkSpec {
     verified.unpersist()
   }
 
-  test("IVF and IVF+PQ recall@5 at volume: 200k vectors, planted top-5 truth") {
+  test("IVF and IVF+PQ recall@5 at volume: 200k vectors, planted top-5 truth", VolumeTest) {
     // 40k families × 5 members at dim 64: family direction coords are
     // xxhash64-derived in [-1,1); members perturb each coord by ≤0.025, so
     // within-family cosine ≥ ~0.999 while the MAX cross-family cosine over

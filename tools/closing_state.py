@@ -32,6 +32,8 @@ def section_keys(src, header):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--test-log", help="path to an `sbt test` output log")
+    ap.add_argument("--volume-log", help="path to the once-per-round "
+                    "GRAFT_VOLUME=1 testOnly graft.VolumeTruthSpec log")
     args = ap.parse_args()
 
     entry = open(os.path.join(ROOT, "src/main/scala/graft/SparkEntry.scala")).read()
@@ -134,6 +136,19 @@ def main():
         if w:
             wall = int(w.group(1) or 0) * 60 + int(w.group(2))
 
+    # Once-per-round volume truths (round-14: tagged out of the default
+    # suite; this line is the no-silent-caps record that they still ran)
+    vol_line = None
+    if args.volume_log:
+        vlog = open(args.volume_log).read()
+        vok = re.search(r"Tests: succeeded (\d+), failed (\d+)", vlog)
+        vw = re.search(r"Run completed in (?:(\d+) minutes?, )?(\d+) seconds?", vlog)
+        if not vok or int(vok.group(2)) or int(vok.group(1)) < 2:
+            sys.exit("volume log missing/failed — not a closing state")
+        vwall = int(vw.group(1) or 0) * 60 + int(vw.group(2)) if vw else 0
+        vol_line = (f"- **Volume truths (GRAFT_VOLUME=1, run separately):** "
+                    f"{vok.group(1)} green in {vwall // 60}m{vwall % 60:02d}s")
+
     lines = [
         "# Closing state (generated — do not hand-edit)",
         "",
@@ -148,6 +163,8 @@ def main():
     ]
     if tests is not None:
         lines.append(f"- **ScalaTest:** {tests} green across {suites} suites")
+    if vol_line:
+        lines.append(vol_line)
     if wall is not None:
         lines.append(f"- **Suite wall:** {wall // 60}m{wall % 60:02d}s "
                      "(SuiteBudgetSpec lints this against its ceiling)")
@@ -159,7 +176,8 @@ def main():
         f"flaky={sorted(bad['flaky'])} skipped={sorted(bad['skipped'])}",
         *duck_lines,
         "",
-        "Regenerate: `python3 tools/closing_state.py --test-log <sbt-test.log>`",
+        "Regenerate: `python3 tools/closing_state.py --test-log <sbt-test.log> "
+        "--volume-log <volume-testOnly.log>`",
     ]
     out = os.path.join(ROOT, "CLOSING.md")
     open(out, "w").write("\n".join(lines) + "\n")
