@@ -29,12 +29,41 @@ def section_keys(src, header):
     return set(re.findall(r'"(q_[a-zA-Z0-9_]+)" ->', body))
 
 
+def lint_plans_pinned():
+    """PLANS.md ↔ test-suite drift lint (round-13 verdict #7): every PLANS.md
+    table row claiming a pinned/asserted shape must be traceable to real
+    enforcement — either a query name that appears in some test source, or a
+    named <X>Spec/<X>Main file that exists. A narrative claim with neither is
+    exactly the drift this guards against."""
+    import glob
+    tests = ""
+    for f in glob.glob(os.path.join(ROOT, "src/test/scala/graft/*.scala")):
+        tests += open(f).read()
+    bad = []
+    for ln in open(os.path.join(ROOT, "PLANS.md")):
+        if not ln.startswith("| `") or not re.search(r"pinn?ed|asserted", ln, re.I):
+            continue
+        qs = re.findall(r"`(q_[a-zA-Z0-9_]+)`", ln.split("|")[1])
+        specs = re.findall(r"\b([A-Z][A-Za-z0-9]*(?:Spec|Main))\b", ln)
+        ok = any(q in tests for q in qs) or any(
+            os.path.exists(os.path.join(ROOT, f"src/test/scala/graft/{x}.scala"))
+            for x in specs)
+        if not ok:
+            bad.append(ln[:100])
+    if bad:
+        sys.exit("PLANS.md pinned-claim rows with no traceable test "
+                 "(name the enforcing Spec or cover the query in a test):\n"
+                 + "\n".join(bad))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--test-log", help="path to an `sbt test` output log")
     ap.add_argument("--volume-log", help="path to the once-per-round "
                     "GRAFT_VOLUME=1 testOnly graft.VolumeTruthSpec log")
     args = ap.parse_args()
+
+    lint_plans_pinned()
 
     entry = open(os.path.join(ROOT, "src/main/scala/graft/SparkEntry.scala")).read()
     queries = section_keys(entry, "def queries")
