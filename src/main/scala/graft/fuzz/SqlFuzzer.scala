@@ -308,17 +308,53 @@ object SqlFuzzer {
     s"SELECT * FROM ($innerSql) g WHERE (c1 % $k) ${pick(r, cmps)} ${r.nextInt(k)}"
   }
 
+  /** IN / NOT IN / EXISTS / NOT EXISTS subquery over a join pair — the
+    * semi/anti-join and subquery-decorrelation planner paths, which none of
+    * the other kinds reach. Keys are non-null by construction, so NOT IN's
+    * three-valued-logic trap (any NULL in the subquery → empty result,
+    * identically in both engines) can't make plans vacuously empty. */
+  private def semiAnti(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    val sub = s"SELECT $rk FROM $rn WHERE ${pred(r, rt, 1)}"
+    val where = r.nextInt(4) match {
+      case 0 => s"$lk IN ($sub)"
+      case 1 => s"$lk NOT IN ($sub)"
+      case 2 => s"EXISTS (SELECT 1 FROM $rn WHERE $rk = $lk AND ${pred(r, rt, 1)})"
+      case _ => s"NOT EXISTS (SELECT 1 FROM $rn WHERE $rk = $lk AND ${pred(r, rt, 1)})"
+    }
+    val ng = 1 + r.nextInt(2)
+    val keys = (0 until ng).map(i => s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(15)}) AS c$i")
+    val aggs = (0 until (1 + r.nextInt(2))).map(i => aggExpr(r, lt, ng + i))
+    s"SELECT ${(keys ++ aggs).mkString(", ")} FROM $ln " +
+      s"WHERE ($where AND ${pred(r, lt, 1)}) GROUP BY ${(1 to ng).mkString(", ")}"
+  }
+
+  /** CTE feeding a join back against its base table (tests that pushdown
+    * and reuse through a WITH block agree across engines). */
+  private def cteQ(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    val cte = s"SELECT $rk AS k, COUNT(*) AS n FROM $rn WHERE ${pred(r, rt, 1)} GROUP BY 1"
+    val key = s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(12)})"
+    s"WITH dim AS ($cte) SELECT $key AS c0, CAST(SUM(n) AS BIGINT) AS c1, " +
+      s"COUNT(*) AS c2 FROM $ln JOIN dim ON $lk = dim.k " +
+      s"WHERE ${pred(r, lt, 1)} GROUP BY 1"
+  }
+
   /** Deterministic (seed, index) → (name, SQL). */
   def plan(seed: Long, i: Int): (String, String) = {
     val r = new Random(seed + 1000003L * i)
     val t = pick(r, tables)
-    val sql = r.nextInt(20) match {
+    val sql = r.nextInt(24) match {
       case x if x < 4  => filterProject(r, t)
       case x if x < 9  => groupAgg(r, t)
       case x if x < 13 => joinAgg(r)
       case x if x < 16 => windowQ(r, t)
       case x if x < 18 => setOp(r, t)
-      case _           => nested(r, t)
+      case x if x < 20 => nested(r, t)
+      case x if x < 22 => semiAnti(r)
+      case _           => cteQ(r)
     }
     (f"fuzz_$i%04d", sql)
   }
