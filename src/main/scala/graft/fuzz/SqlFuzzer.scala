@@ -342,11 +342,46 @@ object SqlFuzzer {
       s"WHERE ${pred(r, lt, 1)} GROUP BY 1"
   }
 
+  /** ROLLUP/CUBE over two string keys, GROUPING() markers included so a
+    * genuine NULL key and a rolled-up level are distinguishable in the
+    * payload. String keys keep the null-group rows in object dtype (both
+    * engines' results flow through the same pandas read, so int-with-null
+    * float widening would also agree — strings just avoid the question). */
+  private def rollupQ(r: Random, t: Tbl): String = {
+    val (e0, e1) = (strExpr(r, t), strExpr(r, t))
+    val op = if (r.nextBoolean()) "ROLLUP" else "CUBE"
+    val aggs = (0 until (1 + r.nextInt(2))).map(i => aggExpr(r, t, 2 + i))
+    // HAVING COUNT(*) > 0 masks a GENUINE engine divergence the harness
+    // caught (3 plans, seed 20260815 @ sf0.001): over an EMPTY input, the
+    // standard's `()` grouping set emits one grand-total row (DuckDB and
+    // PostgreSQL: (NULL, 0)), while Spark emits nothing. Every real
+    // grouping-set row has COUNT(*) >= 1, so the guard filters ONLY the
+    // empty-input phantom row and keeps full rollup/cube coverage.
+    // Pinned as a documented difference in FuzzDifferentialSpec.
+    s"SELECT $e0 AS c0, $e1 AS c1, GROUPING($e0) AS g0, GROUPING($e1) AS g1, " +
+      s"${aggs.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t, 1)} " +
+      s"GROUP BY $op($e0, $e1) HAVING COUNT(*) > 0"
+  }
+
+  /** FULL OUTER equi-join with per-side filters INSIDE derived tables (a
+    * WHERE above the join would silently collapse the outer sides), keyed
+    * aggregation over the coalesced key. COUNT(side key) vs COUNT(*) is
+    * the null-extension-sensitive payload. */
+  private def fullJoin(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    s"SELECT COALESCE($lk, $rk) % ${2 + r.nextInt(15)} AS c0, " +
+      s"COUNT($lk) AS c1, COUNT($rk) AS c2, COUNT(*) AS c3 " +
+      s"FROM (SELECT * FROM $ln WHERE ${pred(r, lt, 1)}) a " +
+      s"FULL JOIN (SELECT * FROM $rn WHERE ${pred(r, rt, 1)}) b ON $lk = $rk " +
+      s"GROUP BY 1"
+  }
+
   /** Deterministic (seed, index) → (name, SQL). */
   def plan(seed: Long, i: Int): (String, String) = {
     val r = new Random(seed + 1000003L * i)
     val t = pick(r, tables)
-    val sql = r.nextInt(24) match {
+    val sql = r.nextInt(28) match {
       case x if x < 4  => filterProject(r, t)
       case x if x < 9  => groupAgg(r, t)
       case x if x < 13 => joinAgg(r)
@@ -354,7 +389,9 @@ object SqlFuzzer {
       case x if x < 18 => setOp(r, t)
       case x if x < 20 => nested(r, t)
       case x if x < 22 => semiAnti(r)
-      case _           => cteQ(r)
+      case x if x < 24 => cteQ(r)
+      case x if x < 26 => rollupQ(r, t)
+      case _           => fullJoin(r)
     }
     (f"fuzz_$i%04d", sql)
   }

@@ -31,6 +31,23 @@ class FuzzDifferentialSpec extends SparkSpec {
     assert(a.map(_._2) != c.map(_._2))
   }
 
+  test("PINNED DIVERGENCE: Spark emits no grand-total row for ROLLUP over empty input") {
+    // The fuzzer's second real catch (round 14, seed 20260815 @ sf0.001,
+    // 3 plans): the SQL standard evaluates each grouping set like its own
+    // GROUP BY, and GROUP BY () over empty input yields one row — DuckDB
+    // and PostgreSQL return (NULL, 0); Spark returns 0 rows. The generator
+    // masks it with HAVING COUNT(*) > 0 (filters only the phantom row).
+    // If this test ever fails, Spark changed semantics: drop the HAVING
+    // guard in SqlFuzzer.rollupQ and this pin together.
+    Tables.table(spark, sf, "region").createOrReplaceTempView("region")
+    val rows = spark.sql(
+      "SELECT r_name, COUNT(*) AS c FROM region WHERE 1=0 GROUP BY ROLLUP(r_name)")
+      .collect()
+    assert(rows.isEmpty,
+      s"Spark now emits ${rows.length} row(s) for ROLLUP over empty input — " +
+        "the engines may agree now; revisit SqlFuzzer.rollupQ's HAVING guard")
+  }
+
   test("40 seeded plans execute and are shuffle-partition-invariant") {
     SqlFuzzer.tables.foreach { t =>
       (if (t.name == "events") Tables.events(spark, sf)
