@@ -90,9 +90,9 @@ object SfTrendMain {
 
   /** Ops tier (round-13 verdict #5): the ×100 trend covers 5 BATCH kernels;
     * nothing above ×1 measured a stateful streaming drain or the corpus
-    * orchestration. Both are timed here at ×1 and ×20, fresh scratch per
-    * run (a reused checkpoint would make run 2 a no-op), best-of-2. */
-  private val OpsScale = 20
+    * orchestration. Both are timed here at ×1 and ×OpsScale, fresh scratch
+    * per run (a reused checkpoint would make run 2 a no-op), best-of-2. */
+  private val OpsScale = sys.env.getOrElse("SPARK_GRAFT_OPS_SCALE", "20").toInt
 
   /** One full windowed-agg drain: stage (untimed, memoized) → readStream →
     * watermark+window agg → parquet sink via AvailableNow, on an isolated
