@@ -170,13 +170,17 @@ object SqlFuzzer {
     }
   }
 
-  /** One aggregate with alias `c$i`; int/string payload only, SUM cast to BIGINT. */
-  private def aggExpr(r: Random, t: Tbl, i: Int): String = r.nextInt(6) match {
+  /** One aggregate with alias `c$i`; int/string payload only, SUM cast to
+    * BIGINT. FILTER (WHERE ...) is the post-SQL:2003 form both engines
+    * support — a distinct evaluation path from CASE-WHEN-sum. */
+  private def aggExpr(r: Random, t: Tbl, i: Int): String = r.nextInt(8) match {
     case 0 => s"COUNT(*) AS c$i"
     case 1 => s"CAST(SUM(${intExpr(r, t, 0)}) AS BIGINT) AS c$i"
     case 2 => s"${pick(r, Seq("MIN", "MAX"))}(${intExpr(r, t, 0)}) AS c$i"
     case 3 if t.strs.nonEmpty => s"${pick(r, Seq("MIN", "MAX"))}(${strExpr(r, t)}) AS c$i"
     case 4 => s"COUNT(DISTINCT ${intExpr(r, t, 0)}) AS c$i"
+    case 5 => s"COUNT(*) FILTER (WHERE ${pred(r, t, 1)}) AS c$i"
+    case 6 => s"CAST(SUM(${intExpr(r, t, 0)}) FILTER (WHERE ${pred(r, t, 1)}) AS BIGINT) AS c$i"
     case _ => s"CAST(SUM(CASE WHEN ${pred(r, t, 1)} THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
   }
 
@@ -377,11 +381,71 @@ object SqlFuzzer {
       s"GROUP BY 1"
   }
 
+  /** Three-table chain joins — the join-reorder planner surface none of
+    * the two-table kinds reach (Catalyst's CostBasedJoinReorder and
+    * DuckDB's DP reorderer must produce the same RESULT whatever order
+    * they pick). */
+  private val chains: Seq[(String, String, String, String, String, String, String)] = Seq(
+    ("lineitem", "orders", "customer", "l_orderkey", "o_orderkey", "o_custkey", "c_custkey"),
+    ("lineitem", "supplier", "nation", "l_suppkey", "s_suppkey", "s_nationkey", "n_nationkey"),
+    ("customer", "nation", "region", "c_nationkey", "n_nationkey", "n_regionkey", "r_regionkey"))
+
+  private def chainJoin(r: Random): String = {
+    val (an, bn, cn, ak, bk, bk2, ck) = pick(r, chains)
+    val (at, bt, ct) = (byName(an), byName(bn), byName(cn))
+    val key = r.nextInt(3) match {
+      case 0 => s"(${intExpr(r, at, 0)} % ${2 + r.nextInt(12)})"
+      case 1 if ct.strs.nonEmpty => strExpr(r, ct)
+      case _ => s"(${intExpr(r, bt, 0)} % ${2 + r.nextInt(12)})"
+    }
+    val aggs = (0 until (1 + r.nextInt(2))).map(i => aggExpr(r, pick(r, Seq(at, bt, ct)), 1 + i))
+    s"SELECT $key AS c0, ${aggs.mkString(", ")} FROM $an " +
+      s"JOIN $bn ON $ak = $bk JOIN $cn ON $bk2 = $ck " +
+      s"WHERE (${pred(r, at, 1)} AND ${pred(r, ct, 1)}) GROUP BY 1"
+  }
+
+  /** Null-semantics kind: a derived table that INJECTS NULLs on a modulo
+    * of the unique key (the base testdata is nearly null-free, so nothing
+    * else exercises null group keys, COUNT(col) vs COUNT(*), SUM over
+    * all-null groups, or nulls dropped by an equi-join). Kept away from
+    * NOT IN (three-valued logic would empty results identically but
+    * vacuously). */
+  private def nullInjected(r: Random, t: Tbl): String = {
+    val uk = t.unique.head
+    val (k1, k2) = (3 + r.nextInt(8), 3 + r.nextInt(8))
+    val x = s"CASE WHEN $uk % $k1 = 0 THEN NULL ELSE ${intExpr(r, t, 0)} END"
+    val g = if (t.strs.nonEmpty)
+      s"CASE WHEN $uk % $k2 = 1 THEN NULL ELSE ${strExpr(r, t)} END"
+    else s"CASE WHEN $uk % $k2 = 1 THEN NULL ELSE (${intExpr(r, t, 0)} % 5) END"
+    val inner = s"SELECT $x AS x, $g AS g FROM ${t.name} WHERE ${pred(r, t, 1)}"
+    r.nextInt(3) match {
+      case 0 =>
+        // null group key + the COUNT family over a nullable column
+        s"SELECT g AS c0, COUNT(*) AS c1, COUNT(x) AS c2, " +
+          s"CAST(SUM(x) AS BIGINT) AS c3, COUNT(DISTINCT x) AS c4 " +
+          s"FROM ($inner) n GROUP BY 1"
+      case 1 =>
+        // nulls never match an equi-join key: self-join on the nullable
+        // column must drop every injected row in both engines. The join
+        // key is UNIQUE-key-derived (not a low-cardinality expression) so
+        // the self-join stays ~n rows instead of exploding quadratically
+        // at sf0.1.
+        val ji = s"SELECT CASE WHEN $uk % $k1 = 0 THEN NULL ELSE $uk END AS x, $g AS g FROM ${t.name} WHERE ${pred(r, t, 1)}"
+        s"SELECT a.g AS c0, COUNT(*) AS c1, COUNT(b.x) AS c2 FROM ($ji) a " +
+          s"JOIN ($ji) b ON a.x = b.x GROUP BY 1"
+      case _ =>
+        // IS DISTINCT FROM: the null-safe comparison path
+        s"SELECT COUNT(*) AS c0, " +
+          s"COUNT(*) FILTER (WHERE x IS DISTINCT FROM ${r.nextInt(20)}) AS c1, " +
+          s"COUNT(*) FILTER (WHERE g IS NULL) AS c2 FROM ($inner) n"
+    }
+  }
+
   /** Deterministic (seed, index) → (name, SQL). */
   def plan(seed: Long, i: Int): (String, String) = {
     val r = new Random(seed + 1000003L * i)
     val t = pick(r, tables)
-    val sql = r.nextInt(28) match {
+    val sql = r.nextInt(32) match {
       case x if x < 4  => filterProject(r, t)
       case x if x < 9  => groupAgg(r, t)
       case x if x < 13 => joinAgg(r)
@@ -391,7 +455,9 @@ object SqlFuzzer {
       case x if x < 22 => semiAnti(r)
       case x if x < 24 => cteQ(r)
       case x if x < 26 => rollupQ(r, t)
-      case _           => fullJoin(r)
+      case x if x < 28 => fullJoin(r)
+      case x if x < 30 => chainJoin(r)
+      case _           => nullInjected(r, t)
     }
     (f"fuzz_$i%04d", sql)
   }
