@@ -71,9 +71,10 @@ class CrashRecoverySpec extends SparkSpec {
         .select(col("user_id"), col("event_id"), col("ts"))
       // exactly-once: the post-crash snapshot equals the batch oracle —
       // no double-applied event can change keep-latest output rows, and
-      // no user lost to the replay
-      assert(got.count() === oracle(srcDir).count())
-      assert(got.exceptAll(oracle(srcDir)).isEmpty && oracle(srcDir).exceptAll(got).isEmpty,
+      // no user lost to the replay (oracle materialized once, not per arm)
+      val truth = oracle(srcDir).localCheckpoint(true)
+      assert(got.count() === truth.count())
+      assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
         "post-crash snapshot diverged from the batch keep-latest oracle")
     } finally deleteRecursively(base.toFile)
   }

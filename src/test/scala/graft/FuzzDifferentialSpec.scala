@@ -39,8 +39,9 @@ class FuzzDifferentialSpec extends SparkSpec {
     // masks it with HAVING COUNT(*) > 0 (filters only the phantom row).
     // If this test ever fails, Spark changed semantics: drop the HAVING
     // guard in SqlFuzzer.rollupQ and this pin together.
-    Tables.table(spark, sf, "region").createOrReplaceTempView("region")
-    val rows = spark.sql(
+    val iso = spark.newSession() // child session — no view leak into other suites
+    Tables.table(iso, sf, "region").createOrReplaceTempView("region")
+    val rows = iso.sql(
       "SELECT r_name, COUNT(*) AS c FROM region WHERE 1=0 GROUP BY ROLLUP(r_name)")
       .collect()
     assert(rows.isEmpty,
@@ -49,20 +50,23 @@ class FuzzDifferentialSpec extends SparkSpec {
   }
 
   test("40 seeded plans execute and are shuffle-partition-invariant") {
-    SqlFuzzer.tables.foreach { t =>
-      (if (t.name == "events") Tables.events(spark, sf)
-       else Tables.table(spark, sf, t.name)).createOrReplaceTempView(t.name)
+    // BOTH runs live on isolated child sessions: registering views named
+    // after the base tables on the JVM-wide shared SparkSpec session would
+    // leak into every later suite that resolves those names (review catch)
+    def sessionAt(parts: String) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      SqlFuzzer.tables.foreach { t =>
+        (if (t.name == "events") Tables.events(s, sf)
+         else Tables.table(s, sf, t.name)).createOrReplaceTempView(t.name)
+      }
+      s
     }
-    val alt = spark.newSession()
-    alt.conf.set("spark.sql.shuffle.partitions", "3")
-    SqlFuzzer.tables.foreach { t =>
-      (if (t.name == "events") Tables.events(alt, sf)
-       else Tables.table(alt, sf, t.name)).createOrReplaceTempView(t.name)
-    }
+    val (base4, alt3) = (sessionAt("4"), sessionAt("3"))
     SqlFuzzer.plans(20260815L, 40).foreach { case (name, sql) =>
-      val base = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+      val base = base4.sql(sql).collect().map(_.toSeq).groupBy(identity)
         .map { case (k, v) => (k, v.length) }
-      val rep = alt.sql(sql).collect().map(_.toSeq).groupBy(identity)
+      val rep = alt3.sql(sql).collect().map(_.toSeq).groupBy(identity)
         .map { case (k, v) => (k, v.length) }
       assert(base == rep, s"$name not partition-invariant: $sql")
     }

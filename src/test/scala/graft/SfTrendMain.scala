@@ -219,7 +219,7 @@ object SfTrendMain {
     }.mkString("{", ",", "}")
     // deep tier: ×1 and ×20 with artifacts staged untimed at both scales
     val deep = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
-    for (k <- Seq(1, DeepScale)) {
+    for (k <- Seq(1, DeepScale).distinct) {
       val dir = scaledDir(spark, src, k, base)
       stageArtifacts(spark, dir)
       for (name <- DeepQueries) {
@@ -241,7 +241,7 @@ object SfTrendMain {
     // ops tier: a stateful streaming drain + the corpus orchestration,
     // ×1 vs ×20 (round-13 verdict #5)
     val ops = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
-    for (k <- Seq(1, OpsScale)) {
+    for (k <- Seq(1, OpsScale).distinct) {
       val dir = scaledDir(spark, src, k, base)
       ops("stream_windowed_drain") =
         ops.getOrElse("stream_windowed_drain", Map.empty) + (k -> timeDrain(spark, dir))

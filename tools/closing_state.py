@@ -45,7 +45,11 @@ def lint_plans_pinned():
             continue
         qs = re.findall(r"`(q_[a-zA-Z0-9_]+)`", ln.split("|")[1])
         specs = re.findall(r"\b([A-Z][A-Za-z0-9]*(?:Spec|Main))\b", ln)
-        ok = any(q in tests for q in qs) or any(
+        # boundary-guarded containment: `q_funnel` must not satisfy itself
+        # via `q_funnel_ordered` appearing in a test (review catch — the
+        # registry has 12 such prefix pairs)
+        ok = any(re.search(re.escape(q) + r"(?![a-zA-Z0-9_])", tests)
+                 for q in qs) or any(
             os.path.exists(os.path.join(ROOT, f"src/test/scala/graft/{x}.scala"))
             for x in specs)
         if not ok:
@@ -119,11 +123,13 @@ def main():
     ducks = [f for f in os.listdir(bdir)
              if re.match(r"duckdb_oracle_sf01_r\d+[a-z_]*\.json$", f)]
     if ducks:
-        # key on (round int, letter suffix) like the benchrN selection above
-        # (round-13 ADVICE: keying on the int alone let _r13 vs _r13b tie and
-        # follow unordered os.listdir order — nondeterministic across hosts)
+        # key on (round int, FULL suffix string) like the benchrN selection
+        # above (round-13 ADVICE: keying on the int alone let _r13 vs _r13b
+        # tie and follow unordered os.listdir order; a single-letter capture
+        # still tied _r15 vs _r15_fuzz and r15ab vs r15a — review catch).
+        # The suffix string totally orders every name the listing admits.
         def duck_key(f):
-            m = re.search(r"_r(\d+)([a-z]?)", f)
+            m = re.search(r"_r(\d+)([a-z_]*)\.json$", f)
             return (int(m.group(1)), m.group(2))
         dfile = max(ducks, key=duck_key)
         duck = json.load(open(os.path.join(bdir, dfile)))
@@ -166,15 +172,25 @@ def main():
             wall = int(w.group(1) or 0) * 60 + int(w.group(2))
 
     # Once-per-round volume truths (round-14: tagged out of the default
-    # suite; this line is the no-silent-caps record that they still ran)
+    # suite; this line is the no-silent-caps record that they still ran).
+    # A closing regen (--test-log present) REQUIRES the volume log — an
+    # optional flag would let a regen silently erase the only evidence the
+    # excluded tests ran (review catch, round 14).
     vol_line = None
+    if args.test_log and not args.volume_log:
+        sys.exit("--test-log without --volume-log: a closing state must "
+                 "record the GRAFT_VOLUME=1 run (the volume truths are "
+                 "excluded from the default suite — without this line "
+                 "nothing proves they ran this round)")
     if args.volume_log:
         vlog = open(args.volume_log).read()
         vok = re.search(r"Tests: succeeded (\d+), failed (\d+)", vlog)
         vw = re.search(r"Run completed in (?:(\d+) minutes?, )?(\d+) seconds?", vlog)
         if not vok or int(vok.group(2)) or int(vok.group(1)) < 2:
             sys.exit("volume log missing/failed — not a closing state")
-        vwall = int(vw.group(1) or 0) * 60 + int(vw.group(2)) if vw else 0
+        if not vw:
+            sys.exit("volume log has no 'Run completed in' line — truncated?")
+        vwall = int(vw.group(1) or 0) * 60 + int(vw.group(2))
         vol_line = (f"- **Volume truths (GRAFT_VOLUME=1, run separately):** "
                     f"{vok.group(1)} green in {vwall // 60}m{vwall % 60:02d}s")
 

@@ -91,10 +91,16 @@ def main(outdir, sfdir):
         print(f"  no_oracle {name} rows={nrows}{flag}")
     for name, why in bad:
         print(f"  BAD {name}: {why}")
+    # An oracle with no dumped result means the Spark side never executed
+    # (Verify/FuzzMain caught a failure) — that is a FAILURE of the compare
+    # surface, not an informational footnote: exiting 0 here let a fuzz or
+    # verify round read green while a plan silently never ran (round-14
+    # review catch; the no-silent-caps rule).
     missing_dump = sorted(set(oracles) - set(dumped))
     if missing_dump:
-        print(f"  oracle-without-dump: {missing_dump}")
-    return 1 if bad else 0
+        print(f"  ORACLE-WITHOUT-DUMP (Spark side never produced a result): "
+              f"{missing_dump}")
+    return 1 if bad or missing_dump else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
