@@ -441,11 +441,142 @@ object SqlFuzzer {
     }
   }
 
+  /** RIGHT OUTER equi-join (round-14 verdict #3: RIGHT was unfuzzed — it is
+    * not just LEFT mirrored in the planner; Catalyst normalizes RIGHT to
+    * LEFT by swapping children, and THAT rewrite is the path under test).
+    * The left-side predicate lives in the ON clause so right-preserving
+    * semantics are exercised; COUNT(left key) vs COUNT(*) is the
+    * null-extension-sensitive payload. */
+  private def rightJoin(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    val key = if (rt.strs.nonEmpty && r.nextBoolean()) strExpr(r, rt)
+              else s"(${intExpr(r, rt, 0)} % ${2 + r.nextInt(15)})"
+    val extra = if (r.nextBoolean()) s", ${aggExpr(r, rt, 3)}" else ""
+    s"SELECT $key AS c0, COUNT($lk) AS c1, COUNT(*) AS c2$extra " +
+      s"FROM $ln RIGHT JOIN $rn ON $lk = $rk AND ${pred(r, lt, 1)} " +
+      s"WHERE ${pred(r, rt, 1)} GROUP BY 1"
+  }
+
+  /** Explicit GROUPING SETS — incomparable set combinations ROLLUP/CUBE
+    * cannot express (e.g. {(a),(b)} with neither a superset of the other),
+    * a distinct Expand-planning path in Spark. GROUPING() markers
+    * disambiguate genuine NULL keys from rolled-up levels; the
+    * HAVING COUNT(*) > 0 guard masks the same empty-input `()` phantom-row
+    * divergence rollupQ documents (pinned in FuzzDifferentialSpec). */
+  private def groupingSetsQ(r: Random, t: Tbl): String = {
+    val (e0, e1) = (strExpr(r, t), s"(${intExpr(r, t, 0)} % ${2 + r.nextInt(10)})")
+    val sets = pick(r, Seq(
+      s"(($e0, $e1), ($e0), ())",
+      s"(($e0, $e1), ($e1))",
+      s"(($e0), ($e1))",
+      s"(($e0), ($e1), ())"))
+    val aggs = (0 until (1 + r.nextInt(2))).map(i => aggExpr(r, t, 2 + i))
+    s"SELECT $e0 AS c0, $e1 AS c1, GROUPING($e0) AS g0, GROUPING($e1) AS g1, " +
+      s"${aggs.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t, 1)} " +
+      s"GROUP BY GROUPING SETS $sets HAVING COUNT(*) > 0"
+  }
+
+  /** RANGE window frames over a single integer order key — a peers-based
+    * frame (every row with the same key value shares one frame), so the
+    * result is a pure function of the key value and the plan is
+    * tie-permutation-invariant BY SEMANTICS, not by payload construction
+    * (unlike the ROWS frames in windowQ, which need order-key-functional
+    * payloads). Both the unbounded-preceding running form and the
+    * k-PRECEDING sliding form are distinct evaluation paths from ROWS. */
+  private def rangeWindowQ(r: Random, t: Tbl): String = {
+    val uCols = t.unique.zipWithIndex.map { case (u, i) => s"$u AS c$i" }
+    val nu = t.unique.length
+    val partKey = s"(${intExpr(r, t, 0)} % ${2 + r.nextInt(8)})"
+    val ordKey = s"(${intExpr(r, t, 0)} % ${5 + r.nextInt(40)})"
+    val payload = s"(${pick(r, t.ints.map(_.name))} % ${2 + r.nextInt(10)})"
+    val frame = r.nextInt(3) match {
+      case 0 => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      case 1 => s"RANGE BETWEEN ${1 + r.nextInt(10)} PRECEDING AND CURRENT ROW"
+      case _ => s"RANGE BETWEEN ${1 + r.nextInt(5)} PRECEDING AND ${1 + r.nextInt(5)} FOLLOWING"
+    }
+    val fn = pick(r, Seq("SUM", "COUNT", "MIN", "MAX"))
+    // explicit NULLS placement on the window order key (engine defaults
+    // differ); the frame key is modulo-of-int so NULLs are only possible
+    // via a rare null base value — placement pins them to one peer group.
+    // partKey/ordKey/payload are ALL computed and aliased INSIDE the
+    // derived table (p/k/v) — an outer reference to a base column the
+    // inner didn't project is an unresolved-column generator bug (caught
+    // by this kind's first smoke run: length(p_name) in the outer window).
+    val w = s"CAST($fn(v) OVER (PARTITION BY p ORDER BY k ASC NULLS FIRST $frame) AS BIGINT)"
+    s"SELECT ${uCols.mkString(", ")}, k AS c$nu, $w AS w FROM " +
+      s"(SELECT ${t.unique.mkString(", ")}, $partKey AS p, $ordKey AS k, $payload AS v " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 1)}) b"
+  }
+
+  /** Correlated SCALAR subqueries — the decorrelation rewrite
+    * (RewriteCorrelatedScalarSubquery) that the curated set probes exactly
+    * once. COUNT(*) is the never-NULL scalar, so the WHERE form can't go
+    * vacuously three-valued. Three placements: projected then aggregated
+    * over (decorrelate-under-agg), filtering in WHERE, and per-row
+    * projection alongside the outer unique key. */
+  private def correlatedScalar(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    val sub = s"(SELECT COUNT(*) FROM $rn WHERE $rk = $lk AND ${pred(r, rt, 1)})"
+    r.nextInt(3) match {
+      case 0 =>
+        val key = s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(12)})"
+        s"SELECT c0, CAST(SUM(s) AS BIGINT) AS c1, COUNT(*) AS c2 FROM " +
+          s"(SELECT $key AS c0, $sub AS s FROM $ln WHERE ${pred(r, lt, 1)}) x GROUP BY 1"
+      case 1 =>
+        val keys = (0 until 2).map(i => s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(12)}) AS c$i")
+        s"SELECT ${keys.mkString(", ")}, ${aggExpr(r, lt, 2)} FROM $ln " +
+          s"WHERE ($sub ${pick(r, cmps)} ${r.nextInt(4)} AND ${pred(r, lt, 1)}) GROUP BY 1, 2"
+      case _ =>
+        val uCols = lt.unique.zipWithIndex.map { case (u, i) => s"$u AS c$i" }
+        s"SELECT ${uCols.mkString(", ")}, $sub AS s FROM $ln WHERE ${pred(r, lt, 1)}"
+    }
+  }
+
+  /** Deep scalar expression trees in the payload — nested CASE over string
+    * compositions (concat/replace/trim/reverse) and integer compositions
+    * (abs/greatest/least), the constant-folding / codegen expression
+    * surface the flat payloads of the other kinds never stress. Every
+    * function used is semantics-identical in Spark and DuckDB over ASCII
+    * inputs; substr keeps arguments in-range by construction. */
+  private def strExprDeep(r: Random, t: Tbl, depth: Int): String = {
+    val base = strExpr(r, t)
+    if (depth <= 0) base
+    else r.nextInt(5) match {
+      case 0 => s"concat(${strExprDeep(r, t, depth - 1)}, '_', ${strExprDeep(r, t, depth - 1)})"
+      case 1 => s"replace(${strExprDeep(r, t, depth - 1)}, '${('a' + r.nextInt(26)).toChar}', '${('A' + r.nextInt(26)).toChar}')"
+      case 2 => s"reverse(${strExprDeep(r, t, depth - 1)})"
+      case 3 => s"trim(${strExprDeep(r, t, depth - 1)})"
+      case _ => s"(CASE WHEN ${pred(r, t, 0)} THEN ${strExprDeep(r, t, depth - 1)} ELSE ${strExprDeep(r, t, depth - 1)} END)"
+    }
+  }
+
+  private def intExprDeep(r: Random, t: Tbl, depth: Int): String = {
+    if (depth <= 0) intExpr(r, t, 0)
+    else r.nextInt(4) match {
+      case 0 => s"abs(${intExprDeep(r, t, depth - 1)} - ${r.nextInt(100)})"
+      case 1 => s"greatest(${intExprDeep(r, t, depth - 1)}, ${intExprDeep(r, t, depth - 1)})"
+      case 2 => s"least(${intExprDeep(r, t, depth - 1)}, ${intExprDeep(r, t, depth - 1)})"
+      case _ => s"length(${strExprDeep(r, t, depth - 1)})"
+    }
+  }
+
+  private def exprTree(r: Random, t: Tbl): String = {
+    val n = 2 + r.nextInt(2)
+    val proj = (0 until n).map { i =>
+      val e = if (r.nextBoolean()) strExprDeep(r, t, 2) else intExprDeep(r, t, 2)
+      s"$e AS c$i"
+    }
+    s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)} " +
+      s"${orderByAll(r, n)} LIMIT ${200 + r.nextInt(1800)}"
+  }
+
   /** Deterministic (seed, index) → (name, SQL). */
   def plan(seed: Long, i: Int): (String, String) = {
     val r = new Random(seed + 1000003L * i)
     val t = pick(r, tables)
-    val sql = r.nextInt(32) match {
+    val sql = r.nextInt(42) match {
       case x if x < 4  => filterProject(r, t)
       case x if x < 9  => groupAgg(r, t)
       case x if x < 13 => joinAgg(r)
@@ -457,7 +588,12 @@ object SqlFuzzer {
       case x if x < 26 => rollupQ(r, t)
       case x if x < 28 => fullJoin(r)
       case x if x < 30 => chainJoin(r)
-      case _           => nullInjected(r, t)
+      case x if x < 32 => nullInjected(r, t)
+      case x if x < 34 => rightJoin(r)
+      case x if x < 36 => groupingSetsQ(r, t)
+      case x if x < 38 => rangeWindowQ(r, t)
+      case x if x < 40 => correlatedScalar(r)
+      case _           => exprTree(r, t)
     }
     (f"fuzz_$i%04d", sql)
   }

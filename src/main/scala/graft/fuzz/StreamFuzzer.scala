@@ -1,0 +1,360 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Seeded differential fuzzer for the STATEFUL half of the engine
+  * (round-14 verdict #1: SqlFuzzer covers the relational core; the 14
+  * hand-written streaming gates each pin ONE (window, watermark, slicing)
+  * point — this generates random ones).
+  *
+  * Each plan picks a stateful shape — tumbling-window agg, sliding-window
+  * agg, session windows, watermark dedup, or the versioned-merge upsert —
+  * with randomized window size, slide, session gap, watermark delay, key
+  * cardinality, file slicing (nFiles × maxFilesPerTrigger), sentinel
+  * presence, and late-row / re-delivery injection. The plan is drained as
+  * a REAL Structured Streaming query (file source, checkpoint, AvailableNow)
+  * on an isolated child session and compared row-for-row against a batch
+  * recomputation that derives the same answer ARITHMETICALLY (epoch-micro
+  * integer window math, gaps-and-islands sessions, keep-latest windows) —
+  * not by re-running the same streaming operator. No DuckDB involved: the
+  * agreement property under test is stream-vs-batch, Spark-vs-Spark.
+  *
+  * What a divergence would mean: a window emitted before it closed or
+  * twice across micro-batches, late data admitted past the watermark (or
+  * on-time data wrongly dropped), a session split/merged on the wrong gap
+  * boundary, a dedup state row evicted early, or a replayed upsert batch
+  * double-applied — exactly the failure modes the curated gates pin once
+  * each, here exercised across randomized parameter space.
+  *
+  * Determinism: staged files carry strictly-ordered mtimes (the
+  * twoLifetimeDrain tiering pattern — the file source ingests oldest-first,
+  * so an mtime tie could reorder replay), file→batch assignment is then a
+  * pure function of (nFiles, maxFilesPerTrigger), and the watermark at
+  * every batch is a pure function of the data; so each plan's drained
+  * output is reproducible from (seed, index).
+  *
+  * Late-row injection exercises the STRICT side of the watermark contract:
+  * fabricated out-of-order rows (negative event ids, positive user ids)
+  * are staged after every real range file with event times inside the
+  * final watermark horizon (ts > max_ts − delay + slack) — data delayed by
+  * LESS than the watermark delay, which Spark GUARANTEES to aggregate.
+  * They arrive after newer data, so the stream must merge them into
+  * already-open state (windows/sessions that have rows from earlier
+  * batches); the batch oracle includes them, and a stream that dropped or
+  * mis-merged them reds the compare.
+  *
+  * Deliberately NOT injected: rows delayed by MORE than the watermark.
+  * The harness's first 12-plan smoke run caught that Spark's other
+  * direction is only best-effort — the docs promise "data delayed more
+  * than the watermark MAY OR MAY NOT be dropped", and Spark 4.1.2's
+  * aggregation in fact ADMITS a too-late row whose window was already
+  * evicted and re-emits it downstream as a spurious partial group.
+  * That observed semantic is pinned (with a minimal repro) in
+  * StreamFuzzSpec so a Spark behavior change surfaces; a differential
+  * oracle cannot be written for behavior the engine itself leaves
+  * unspecified.
+  */
+object StreamFuzzer {
+
+  final case class StreamPlan(
+    idx: Int,
+    kind: String,        // tumbling | sliding | session | dedup | upsert
+    windowSec: Long,     // tumbling/sliding window width
+    slideSec: Long,      // sliding only; divides windowSec
+    gapSec: Long,        // session gap
+    delaySec: Long,      // watermark delay
+    keyMod: Int,         // key cardinality: user_id % keyMod
+    nFiles: Int,         // time-range staging files
+    mft: Int,            // maxFilesPerTrigger (≤ nFiles)
+    sampleMod: Int,      // user sample: user_id % sampleMod == 0
+    sentinel: Boolean,   // agg kinds: stage a far-future row to close all real windows
+    late: Boolean,       // agg kinds: inject provably-late fabricated rows
+    redeliveryMod: Int)  // dedup/upsert: re-deliver users % redeliveryMod == 0
+
+  /** Deterministic (seed, index) → plan (java.util.Random LCG is
+    * JDK-specified, so plans are stable across hosts). */
+  def plan(seed: Long, i: Int): StreamPlan = {
+    val r = new Random(seed + 7000003L * i)
+    val kind = r.nextInt(10) match {
+      case x if x < 3 => "tumbling"
+      case x if x < 5 => "sliding"
+      case x if x < 7 => "session"
+      case x if x < 9 => "dedup"
+      case _          => "upsert"
+    }
+    val div = 2 + r.nextInt(3) // sliding: window = div × slide
+    val slideMin = 5 + r.nextInt(56)
+    val windowMin = kind match {
+      case "sliding" => div * slideMin
+      case _         => 10 + r.nextInt(351)
+    }
+    val nFiles = 2 + r.nextInt(4)
+    StreamPlan(
+      idx = i,
+      kind = kind,
+      windowSec = windowMin * 60L,
+      slideSec = slideMin * 60L,
+      gapSec = (5 + r.nextInt(116)) * 60L,
+      delaySec = (5 + r.nextInt(86)) * 60L,
+      keyMod = 2 + r.nextInt(49),
+      nFiles = nFiles,
+      mft = 1 + r.nextInt(math.min(3, nFiles)),
+      sampleMod = 1 + r.nextInt(3),
+      sentinel = r.nextBoolean(),
+      late = r.nextInt(3) != 0,
+      redeliveryMod = 2 + r.nextInt(4))
+  }
+
+  def plans(seed: Long, count: Int): Seq[StreamPlan] =
+    (0 until count).map(plan(seed, _))
+
+  final case class Result(idx: Int, kind: String, ok: Boolean,
+                          streamRows: Long, oracleRows: Long,
+                          lateInjected: Long, detail: String)
+
+  private val srcSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Execute one plan end-to-end; `oracleDelayOverrideSec` deliberately
+    * mis-states the oracle's watermark delay — the red-path control
+    * (StreamFuzzSpec) uses it to prove the compare actually reds when
+    * stream and oracle disagree, so an all-green run is evidence, not
+    * vacuity. */
+  def run(spark: SparkSession, d: String, p: StreamPlan,
+          oracleDelayOverrideSec: Option[Long] = None): Result = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "2")
+    val base = java.nio.file.Files.createTempDirectory(f"graft-sfuzz-${p.idx}%04d-")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    try {
+      val ev = graft.Tables.events(iso, d)
+        .filter(col("user_id") % p.sampleMod === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+      // ---- stage: range files, strictly-ordered mtimes ------------------
+      ev.repartitionByRange(p.nFiles, col("ts")).write.mode("overwrite").parquet(srcDir)
+      def pfiles() = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSet
+      val tier1 = pfiles()
+      var fileSeq = 0L
+      val mtimeBase = (tier1.map(_.lastModified()).max / 2000L + 2L) * 2000L
+      def orderTier(files: Set[java.io.File]): Unit =
+        files.toSeq.sortBy(_.getName).foreach { f =>
+          val t = mtimeBase + fileSeq * 2000L
+          require(f.setLastModified(t) && f.lastModified() == t,
+            s"staged-file mtime did not round-trip for ${f.getName}")
+          fileSeq += 1
+        }
+      orderTier(tier1)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+
+      val horizonSec = p.kind match {
+        case "session" => p.gapSec
+        case _         => p.windowSec
+      }
+      val isAgg = p.kind == "tumbling" || p.kind == "sliding" || p.kind == "session"
+
+      // ---- out-of-order injection (agg kinds): within the horizon -------
+      // ts ∈ (mx − delay, mx): delayed LESS than the watermark delay — the
+      // strict side of the guarantee, which the stream MUST aggregate. The
+      // rows arrive after every real file, so they must merge into
+      // already-open state; the oracle includes them (user_id ≥ 0).
+      // Skipped when the delay leaves no room (recorded as lateInjected=0).
+      var lateInjected = 0L
+      if (isAgg && p.late && p.delaySec >= 420) {
+        val prev = pfiles()
+        iso.range(5).select(
+          (lit(-100L) - col("id")).as("event_id"),
+          timestamp_micros(lit(mxUs - p.delaySec * 1000000L) +
+            (col("id") + 1) * 60000000L).as("ts"),
+          (col("id") * p.sampleMod).as("user_id"),
+          lit("view").as("event_type"),
+          (col("id") + lit(1.0)).cast("double").as("value"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        orderTier(pfiles() -- prev)
+        lateInjected = 5L
+      }
+
+      // ---- sentinel (agg kinds): closes every real window ---------------
+      if (isAgg && p.sentinel) {
+        val prev = pfiles()
+        val sentUs = mxUs + (p.delaySec + horizonSec + 7200L) * 1000000L
+        iso.range(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(sentUs)).as("ts"),
+          lit(-999L).as("user_id"),
+          lit("view").as("event_type"),
+          lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        orderTier(pfiles() -- prev)
+      }
+
+      // ---- re-delivery (dedup/upsert): the at-least-once transport ------
+      if (!isAgg) {
+        val prev = pfiles()
+        ev.filter(col("user_id") % p.redeliveryMod === 0)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        orderTier(pfiles() -- prev)
+      }
+
+      // final watermark over the fully staged source (sentinel included):
+      // what the stream's event-time clock ends at
+      val oracleDelaySec = oracleDelayOverrideSec.getOrElse(p.delaySec)
+      val stagedMaxUs = iso.read.parquet(srcDir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val wmFinalUs = stagedMaxUs - oracleDelaySec * 1000000L
+
+      val delayStr = s"${p.delaySec} seconds"
+      def readSrc: DataFrame = iso.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", p.mft).parquet(srcDir)
+      val keyExpr = (col("user_id") % p.keyMod).as("k")
+      val centsExpr = floor(col("value") * 100).cast("long")
+
+      // batch side: everything the stream is REQUIRED to aggregate — real
+      // rows plus the in-horizon out-of-order rows (negative event ids,
+      // user ids ≥ 0); only the sentinel (user −999) is excluded.
+      // Re-delivered rows are exact duplicates, collapsed per kind.
+      val real = iso.read.parquet(srcDir).filter(col("user_id") >= 0)
+      val wUs = p.windowSec * 1000000L
+      val sUs = p.slideSec * 1000000L
+      val gUs = p.gapSec * 1000000L
+
+      def drain(df: DataFrame): Unit = {
+        val q = df.writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .format("parquet").option("path", outDir).start()
+        try q.awaitTermination() finally q.stop()
+        if (sys.env.contains("GRAFT_SFUZZ_DEBUG")) {
+          new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.lastModified()).foreach(f =>
+              System.err.println(s"[sfuzz-dbg] file ${f.getName} mtime=${f.lastModified()}"))
+          q.recentProgress.foreach { pr =>
+            val st = Option(pr.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+            System.err.println(s"[sfuzz-dbg] batch ${pr.batchId} rows=${pr.numInputRows} " +
+              s"wm=${pr.eventTime.get("watermark")} state=$st")
+          }
+        }
+      }
+
+      val (streamDf, oracleDf): (DataFrame, DataFrame) = p.kind match {
+        case "tumbling" =>
+          drain(readSrc.withWatermark("ts", delayStr)
+            .groupBy(window(col("ts"), s"${p.windowSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
+            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
+          val o = real
+            .select(unix_micros(col("ts")).as("es"), keyExpr, centsExpr.as("c"))
+            .withColumn("ws", col("es") - pmod(col("es"), lit(wUs)))
+            .groupBy("ws", "k").agg(count(lit(1)).as("n"), sum("c").as("cents"))
+            .filter(col("ws") + wUs <= wmFinalUs)
+          (iso.read.parquet(outDir), o)
+
+        case "sliding" =>
+          drain(readSrc.withWatermark("ts", delayStr)
+            .groupBy(window(col("ts"), s"${p.windowSec} seconds", s"${p.slideSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
+            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
+          // epoch-aligned slide starts covering es: multiples of S in
+          // (es − W, es] — exactly W/S windows per row
+          val nWin = (p.windowSec / p.slideSec).toInt
+          val o = real
+            .select(unix_micros(col("ts")).as("es"), keyExpr, centsExpr.as("c"))
+            .withColumn("smax", col("es") - pmod(col("es"), lit(sUs)))
+            .withColumn("ws", explode(sequence(
+              col("smax") - lit((nWin - 1).toLong * sUs), col("smax"), lit(sUs))))
+            .groupBy("ws", "k").agg(count(lit(1)).as("n"), sum("c").as("cents"))
+            .filter(col("ws") + wUs <= wmFinalUs)
+          (iso.read.parquet(outDir), o)
+
+        case "session" =>
+          // NO payload filter on the key: a deterministic predicate on the
+          // grouping key gets pushed below the aggregation AND the
+          // watermark node, so a `k >= 0` guard silently removes the
+          // sentinel row BEFORE EventTimeWatermarkExec — the watermark
+          // never advances, the no-data flush batch never runs, and every
+          // session ending inside the final delay window stays held (the
+          // harness's second catch: plan 4 of seed 909015, 3 tail sessions
+          // missing). The sentinel needs no filter anyway: its session end
+          // is past the final watermark by construction, so it is held,
+          // never emitted.
+          drain(readSrc.withWatermark("ts", delayStr)
+            .groupBy(session_window(col("ts"), s"${p.gapSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
+            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
+          // gaps-and-islands: new session iff ts − prev ≥ gap (session
+          // intervals [ts, ts+gap) merge on OVERLAP, so an event exactly
+          // gap-after starts a new session)
+          val ow = Window.partitionBy("k").orderBy("es", "event_id")
+          val o = real
+            .select(col("event_id"), unix_micros(col("ts")).as("es"), keyExpr, centsExpr.as("c"))
+            .withColumn("brk",
+              when(col("es") - lag("es", 1).over(ow) >= gUs, 1L).otherwise(0L))
+            .withColumn("sid", sum("brk").over(
+              ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("k", "sid")
+            .agg(min("es").as("ws"), max("es").as("le"),
+              count(lit(1)).as("n"), sum("c").as("cents"))
+            .filter(col("le") + gUs <= wmFinalUs)
+            .select(col("ws"), col("k"), col("n"), col("cents"))
+          (iso.read.parquet(outDir), o)
+
+        case "dedup" =>
+          drain(readSrc.withWatermark("ts", delayStr)
+            .dropDuplicatesWithinWatermark(Seq("event_id"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("es"), centsExpr.as("cents")))
+          val o = real
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("es"), centsExpr.as("cents"))
+            .distinct()
+          (iso.read.parquet(outDir), o)
+
+        case "upsert" =>
+          val stateDir = base.resolve("state").toString
+          val q = graft.streaming.UpsertStream.runUpsert(iso, srcDir, stateDir, ckptDir)
+          try q.awaitTermination() finally q.stop()
+          val latest = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("v"))
+            .maxBy(_.getName.drop(1).toLong)
+          val got = iso.read.parquet(latest.toString)
+            .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("es"))
+          val kw = Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val o = real.withColumn("rn", row_number().over(kw)).filter(col("rn") === 1)
+            .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("es"))
+          (got, o)
+      }
+
+      val s = streamDf.localCheckpoint(true)
+      val o = oracleDf.localCheckpoint(true)
+      val (sc, oc) = (s.count(), o.count())
+      val extra = s.exceptAll(o)
+      val missing = o.exceptAll(s)
+      val ok = sc == oc && extra.isEmpty && missing.isEmpty
+      val detail = if (ok) "" else {
+        val ex = extra.take(3).mkString("; ")
+        val ms = missing.take(3).mkString("; ")
+        s"stream=$sc oracle=$oc extra=[$ex] missing=[$ms]"
+      }
+      Result(p.idx, p.kind, ok, sc, oc, lateInjected, detail)
+    } finally deleteRecursively(base.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -182,6 +182,33 @@ object EventsStream {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
 
+  /** Strictly-ordered mtimes for staged replay files (the twoLifetimeDrain
+    * tiering, shared): the file source ingests oldest-mtime-first, and the
+    * 4 range files land within one wall-clock second — an mtime tie lets a
+    * LATER time range replay first, jumping the watermark past the rest of
+    * the corpus, whose rows the (one-batch-stale) late filter then drops.
+    * Invisible at the gates' maxFilesPerTrigger=4 (one batch holds all
+    * ranges); fatal at mft=1 (CrashMatrixSpec's first run: half the hourly
+    * windows silently late-dropped). Name order within a tier = range
+    * partition order = ts order; 2000 ms spacing survives coarse mtime
+    * granularity and every set is verified to round-trip. */
+  private[graft] def orderStagedTiers(dir: String, tiers: Seq[Set[java.io.File]]): Unit = {
+    val all = tiers.flatten
+    if (all.isEmpty) return
+    var fileSeq = 0L
+    val mtimeBase = (all.map(_.lastModified()).max / 2000L + 2L) * 2000L
+    tiers.foreach(_.toSeq.sortBy(_.getName).foreach { f =>
+      val target = mtimeBase + fileSeq * 2000L
+      require(f.setLastModified(target) && f.lastModified() == target,
+        s"staged-file mtime did not round-trip for ${f.getName}")
+      fileSeq += 1
+    })
+  }
+
+  private[graft] def parquetFilesIn(dir: String): Set[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).toSet
+
   private[graft] def stageEvents(spark: SparkSession, d: String): String =
     eventsStage.getOrCompute(spark, d) {
       val dir = java.nio.file.Files.createTempDirectory("graft-events-src").toString
@@ -189,6 +216,7 @@ object EventsStream {
       // across batches) at half the state-checkpoint rounds of 8.
       val ev = sampledEvents(spark, d)
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dir)
+      val rangeTier = parquetFilesIn(dir)
       // sentinel pair: negative ids, a user that exists on neither side of
       // the real data, both rows at the same far-future instant so they
       // match each other (inner emission, filtered from the payload) while
@@ -206,6 +234,7 @@ object EventsStream {
         .select(col("e.event_id"), col("e.ts"), col("e.user_id"),
           col("e.event_type"), col("e.value"), col("e.props"))
         .coalesce(1).write.mode("append").parquet(dir)
+      orderStagedTiers(dir, Seq(rangeTier, parquetFilesIn(dir) -- rangeTier))
       dir
     }
 
@@ -762,6 +791,7 @@ object EventsStream {
       val dir = java.nio.file.Files.createTempDirectory("graft-events-replay-src").toString
       val ev = sampledEvents(spark, d)
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dir)
+      val rangeTier = parquetFilesIn(dir)
       // the re-delivered file replays half the sampled users' events across
       // ALL time ranges, written after the range files so the file source
       // sees it last: most of its rows arrive past the watermark (dropped
@@ -769,6 +799,7 @@ object EventsStream {
       // watermark hits the state store — both duplicate paths exercised
       ev.filter(col("user_id") % 20 === 0)
         .coalesce(1).write.mode("append").parquet(dir)
+      orderStagedTiers(dir, Seq(rangeTier, parquetFilesIn(dir) -- rangeTier))
       dir
     }
 

@@ -52,8 +52,9 @@ object UpsertStream {
     * checkpoint not yet committed, batch will be re-delivered on restart. */
   def runUpsert(spark: SparkSession, srcDir: String, stateDir: String,
                 checkpointDir: String,
-                afterSinkWrite: Long => Unit = _ => ()): StreamingQuery =
-    EventsStream.readEvents(spark, srcDir)
+                afterSinkWrite: Long => Unit = _ => (),
+                maxFilesPerTrigger: Int = 4): StreamingQuery =
+    EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .writeStream
       .trigger(Trigger.AvailableNow())

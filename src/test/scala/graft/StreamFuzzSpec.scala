@@ -1,0 +1,118 @@
+package graft
+
+import graft.fuzz.StreamFuzzer
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** In-suite half of the STREAMING differential fuzzer (round-14 verdict #1
+  * — SqlFuzzer for the stateful half). The bulk run lives out-of-suite
+  * (`runMain graft.StreamFuzzMain 909015 150 /root/testdata/sf0.001`,
+  * 150/150 green — bench_runs/fuzz_diff_r15.json); this spec (1) pins
+  * generation determinism, (2) drains 100 seeded plans in-suite and
+  * requires every one to match its batch recomputation, (3) proves the
+  * harness REDS on divergence via a mis-stated oracle (the control that
+  * makes an all-green run evidence rather than vacuity), and (4) pins the
+  * too-late-admission semantics the harness's first smoke run caught.
+  */
+class StreamFuzzSpec extends SparkSpec {
+
+  test("stream plan generation is deterministic in (seed, index)") {
+    val a = StreamFuzzer.plans(909015L, 50)
+    assert(a == StreamFuzzer.plans(909015L, 50))
+    assert(a != StreamFuzzer.plans(515909L, 50))
+  }
+
+  test("100 seeded stateful plans drain green against their batch recomputation") {
+    val plans = StreamFuzzer.plans(909015L, 100)
+    // every kind must appear — a generator regression that collapsed the
+    // kind distribution would silently gut coverage
+    assert(plans.map(_.kind).distinct.sorted ==
+      Seq("dedup", "session", "sliding", "tumbling", "upsert"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val results = try {
+      val futs = plans.map(p => Future(StreamFuzzer.run(spark, sf, p)))
+      futs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+    val bad = results.filterNot(_.ok)
+    assert(bad.isEmpty, bad.map(r => s"plan ${r.idx} (${r.kind}): ${r.detail}").mkString("\n"))
+    // non-vacuity: plans produce output, and the strict-side out-of-order
+    // injection actually fired across the run
+    assert(results.count(_.streamRows > 0) == results.size)
+    assert(results.map(_.lateInjected).sum >= 50L)
+  }
+
+  test("RED PATH: a mis-stated oracle reds the compare") {
+    // Same drain, oracle watermark delay inflated by 10 days: the oracle's
+    // emission cutoff drops ~10 days of windows the stream legitimately
+    // emitted. If this passes green, the compare is vacuous.
+    val p = StreamFuzzer.plans(909015L, 150)
+      .find(p => p.kind == "tumbling" && !p.sentinel)
+      .getOrElse(fail("no sentinel-free tumbling plan in the first 150"))
+    val r = StreamFuzzer.run(spark, sf, p,
+      oracleDelayOverrideSec = Some(p.delaySec + 10L * 86400))
+    assert(!r.ok, "delay-override control came back green — the compare cannot detect divergence")
+  }
+
+  test("PINNED SEMANTICS: data later than the watermark MAY be admitted (one-directional guarantee)") {
+    // The harness's first catch (12-plan smoke, seed 909015 plans 1/5):
+    // Spark's watermark guarantee is one-directional — data within the
+    // delay is guaranteed aggregated; data beyond it "may or may not be
+    // dropped" (Structured Streaming guide). Observed 4.1.2 behavior,
+    // minimal repro: a row arriving after its window was evicted is
+    // ADMITTED into fresh state and re-emitted as a spurious partial
+    // group. The fuzzer therefore fuzzes only the strict side. If this
+    // test ever fails, Spark started dropping too-late rows — extend
+    // StreamFuzzer with guaranteed-drop injection and retire this pin.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "2")
+    val base = java.nio.file.Files.createTempDirectory("graft-sfuzz-pin")
+    try {
+      val src = base.resolve("src").toString
+      // file 1: 100 on-time rows spanning 10 days of January 2024
+      iso.range(100).select(col("id").as("event_id"),
+        timestamp_micros(lit(1704844800000000L) + col("id") * 8640000000L).as("ts"),
+        (col("id") % 7).as("user_id"), lit("view").as("event_type"), lit(1.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      def pf() = new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet")).toSet
+      val t1 = pf()
+      val mb = (t1.map(_.lastModified()).max / 2000L + 2L) * 2000L
+      var i = 0L
+      def tier(fs: Set[java.io.File]): Unit = fs.toSeq.sortBy(_.getName).foreach { f =>
+        require(f.setLastModified(mb + i * 2000L)); i += 1
+      }
+      tier(t1)
+      // file 2: one row 9+ days older than the watermark will be by then
+      iso.range(1).select(lit(-100L).as("event_id"),
+        timestamp_micros(lit(1704067200000000L)).as("ts"),
+        lit(0L).as("user_id"), lit("view").as("event_type"), lit(99.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+      tier(pf() -- t1)
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val out = base.resolve("out").toString
+      val q = iso.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "600 seconds")
+        .groupBy(window(col("ts"), "3600 seconds").as("w"), col("user_id").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"))
+        .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .format("parquet").option("path", out).start()
+      try q.awaitTermination() finally q.stop()
+      val lateOut = iso.read.parquet(out).filter(col("ws") === 1704067200000000L).count()
+      assert(lateOut == 1L,
+        s"too-late row emitted $lateOut times — Spark's one-directional watermark " +
+          "behavior changed; revisit StreamFuzzer's injection design")
+    } finally deleteRecursively(base.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

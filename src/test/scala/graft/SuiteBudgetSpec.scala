@@ -12,18 +12,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * wall-doubling spec fails the NEXT `sbt test` run instead of surfacing
   * as a driver-session timeout a round later.
   *
-  * Ceiling rationale (round-14 re-base): the VolumeTruthSpec planted
-  * truths (~6 min) moved behind the graft.VolumeTest tag — excluded from
-  * the default run, executed once per round via GRAFT_VOLUME=1 and
-  * recorded in CLOSING.md by closing_state.py --volume-log — which took
-  * the committed wall from 20m16s to ~14 min. 18 min ≈ 1.3× that: room
-  * for host drift, red if a new multi-minute spec lands untagged. A
-  * legitimate ceiling raise must come with staging/sampling work or a
-  * documented decision here, the BenchBudgetSpec convention. Remaining
-  * hot spot: the 13 streaming drains ≈ 5 min across their suites. */
+  * Ceiling rationale (round-15 re-base, documented decision per the
+  * BenchBudgetSpec convention): round 14 moved the VolumeTruthSpec planted
+  * truths behind the graft.VolumeTest tag (20m16s → 13m03s committed) and
+  * set 18 min. Round 15 adds the streaming differential fuzzer in-suite —
+  * StreamFuzzSpec drains 100 seeded stateful plans (~1.5 min, 6-wide
+  * concurrent drains) plus the crash-matrix spec — deliberate, measured
+  * evidence cost, not drift. 20 min ≈ 1.3× the expected ~15.5 min
+  * committed wall: room for host noise, red if another multi-minute spec
+  * lands untagged. Remaining hot spot: the 13 streaming gate drains
+  * ≈ 5 min across their suites. */
 class SuiteBudgetSpec extends AnyFunSuite {
 
-  private val CeilingMinutes = 18.0
+  private val CeilingMinutes = 20.0
 
   test("last committed suite wall stays inside the driver ceiling") {
     val f = new java.io.File("CLOSING.md")
