@@ -13,8 +13,13 @@ import org.apache.spark.sql.SparkSession
   * staging Bench uses; the interesting output is the per-query
   * local-cluster/local ratio — a query whose ratio is an outlier depends
   * on single-JVM locality in a way that would bite on a real cluster.
-  * Streaming drains are excluded: their cost is checkpoint IO against
-  * local scratch dirs, which multi-JVM changes nothing about.
+  * Since round 15 ONE stateful streaming drain runs too (round-14 verdict
+  * #5): executor-side state stores are the one locality surface the batch
+  * queries never touch — each task's HDFSBackedStateStore lives in its
+  * executor JVM and checkpoints through the shared filesystem, so a
+  * cross-JVM drain exercises state provider load/commit where it would
+  * actually run on a cluster. Compare against the sf-trend ops tier's ×1
+  * local[32] value.
   *
   * Run with SPARK_HOME=/opt/spark (the worker/executor launch path needs
   * the distribution, not just the jars). Prints one JSON line for
@@ -88,6 +93,38 @@ object LocalClusterBenchMain {
       System.err.println(f"[lcbench] $name $t%.2f s")
       name -> t
     }
+    // the cross-JVM stateful drain: staged events (untimed, memoized) →
+    // watermark + windowed agg → parquet sink, AvailableNow, on an isolated
+    // child session at the drainGate conf; best-of-2 with fresh scratch
+    // per run (a reused checkpoint would make run 2 a no-op)
+    val drainSec = {
+      val srcDir = streaming.EventsStream.stageEvents(spark, sfDir)
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.shuffle.partitions", "8")
+      def once(): Double = {
+        val b = java.nio.file.Files.createTempDirectory("graft-lcbench-drain")
+        try {
+          val t0 = System.nanoTime()
+          val q = streaming.EventsStream.windowedCents(
+              streaming.EventsStream.readEvents(iso, srcDir))
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", b.resolve("ckpt").toString)
+            .option("path", b.resolve("out").toString)
+            .outputMode("append").format("parquet").start()
+          try q.awaitTermination() finally q.stop()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(b.toFile)
+        }
+      }
+      val t = math.min(once(), once())
+      System.err.println(f"[lcbench] stream_windowed_drain $t%.2f s")
+      t
+    }
     // Locale.ROOT formatting (round-12 ADVICE): the f interpolator is
     // default-locale-sensitive; a comma-decimal locale would emit invalid
     // JSON and break the downstream parsers.
@@ -95,7 +132,7 @@ object LocalClusterBenchMain {
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     val qs = times.map { case (n, t) => s""""$n":${jnum(t, 3)}""" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":${jnum(total, 1)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":${jnum(total, 1)},"queries":$qs,"stream_windowed_drain":${jnum(drainSec, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

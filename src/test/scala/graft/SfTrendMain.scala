@@ -179,6 +179,46 @@ object SfTrendMain {
     centroids.write.format("noop").mode("overwrite").save()
   }
 
+  /** BUILD-side scale points (round-14 verdict #4): the bench `builds` map
+    * prices ivf-index-build (~40 s) and cluster-labels-build (~19 s) at ×1
+    * — the heaviest standing costs in the system — but the sf trend
+    * measured probes/queries only; these two iterate full-corpus shuffles
+    * (seeded k-means passes over every embedding; label propagation over
+    * every candidate pair), so their growth exponents are the one scale
+    * axis with no committed number. Each timed run executes on a FRESH
+    * child session — SessionCache keys on a per-session UUID, so the
+    * module memos are cold by construction — and releases its persisted
+    * artifacts afterwards. ×1 is best-of-2; the deep scale is a single
+    * run (multi-minute builds; run-to-run noise is small against that). */
+  private def timeBuilds(spark: SparkSession, dir: String, runs: Int): Map[String, Double] = {
+    val builds: Seq[(String, SparkSession => Unit)] = Seq(
+      "ivf-index-build" -> { s =>
+        val (assigned, centroids) = operators.IvfIndex.index(s, dir)
+        assigned.write.format("noop").mode("overwrite").save()
+        centroids.write.format("noop").mode("overwrite").save()
+        val (cb, codes) = operators.IvfIndex.pqIndex(s, dir)
+        cb.write.format("noop").mode("overwrite").save()
+        codes.write.format("noop").mode("overwrite").save()
+      },
+      "cluster-labels-build" -> { s =>
+        operators.Dedup.clusterLabels(s, dir)
+          .write.format("noop").mode("overwrite").save()
+      })
+    builds.map { case (name, body) =>
+      def once(): Double = {
+        val s = spark.newSession()
+        try {
+          val t0 = System.nanoTime()
+          body(s)
+          (System.nanoTime() - t0) / 1e9
+        } finally operators.SessionCache.releaseSession(s)
+      }
+      val t = (1 to runs).map(_ => once()).min
+      System.err.println(f"[sftrend-builds] $dir $name $t%.2f s")
+      name -> t
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -188,6 +228,23 @@ object SfTrendMain {
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/tmp/graft-sftrend"
     val src = "/root/testdata/sf0.1"
+    // builds-only mode: SPARK_GRAFT_TIER=builds emits its own artifact and
+    // skips the (long) trend/deep/ops tiers — the per-round protocol adds
+    // tiers without re-running old ones
+    if (sys.env.get("SPARK_GRAFT_TIER").contains("builds")) {
+      val scale = sys.env.getOrElse("SPARK_GRAFT_BUILD_SCALE", "20").toInt
+      def jnum(v: Double, d: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+      val x1 = timeBuilds(spark, scaledDir(spark, src, 1, base), runs = 2)
+      val xN = timeBuilds(spark, scaledDir(spark, src, scale, base), runs = 1)
+      val bjson = x1.keys.toSeq.sorted.map { n =>
+        val r = xN(n) / math.max(x1(n), 1e-9)
+        s""""$n":{"x1":${jnum(x1(n), 3)},"x$scale":${jnum(xN(n), 3)},"ratio_x${scale}_x1":${jnum(r, 2)}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"sf_trend_builds","src":"$src","build_scale":$scale,"builds":$bjson}""")
+      spark.stop()
+      return
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
     for (k <- Scales) {
       val dir = scaledDir(spark, src, k, base)
