@@ -53,7 +53,8 @@ object StreamFuzzMain {
       .mkString("[", ",", "]")
     val lateTotal = results.map(_.lateInjected).sum
     val zero = results.count(_.streamRows == 0L)
-    println(s"""{"seed":$seed,"count":$count,"sf_dir":${q(sfDir)},"ok":${results.size - bad.size},"bad":${bad.size},"kinds":$kindsJson,"late_rows_injected":$lateTotal,"zero_row_plans":$zero,"wall_s":${jnum(wall)},"failures":$badJson}""")
+    val restarts = fuzz.StreamFuzzer.plans(seed, count).count(_.restart)
+    println(s"""{"seed":$seed,"count":$count,"sf_dir":${q(sfDir)},"ok":${results.size - bad.size},"bad":${bad.size},"kinds":$kindsJson,"restart_plans":$restarts,"late_rows_injected":$lateTotal,"zero_row_plans":$zero,"wall_s":${jnum(wall)},"failures":$badJson}""")
     spark.stop()
     if (bad.nonEmpty) sys.exit(2)
   }

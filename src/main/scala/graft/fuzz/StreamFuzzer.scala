@@ -74,7 +74,8 @@ object StreamFuzzer {
     sampleMod: Int,      // user sample: user_id % sampleMod == 0
     sentinel: Boolean,   // agg kinds: stage a far-future row to close all real windows
     late: Boolean,       // agg kinds: inject provably-late fabricated rows
-    redeliveryMod: Int)  // dedup/upsert: re-deliver users % redeliveryMod == 0
+    redeliveryMod: Int,  // dedup/upsert: re-deliver users % redeliveryMod == 0
+    restart: Boolean)    // split staging across TWO query lifetimes on one checkpoint
 
   /** Deterministic (seed, index) → plan (java.util.Random LCG is
     * JDK-specified, so plans are stable across hosts). */
@@ -107,7 +108,13 @@ object StreamFuzzer {
       sampleMod = 1 + r.nextInt(3),
       sentinel = r.nextBoolean(),
       late = r.nextInt(3) != 0,
-      redeliveryMod = 2 + r.nextInt(4))
+      redeliveryMod = 2 + r.nextInt(4),
+      // a third of plans restart mid-stream: lifetime 1 drains the
+      // chronologically first half, lifetime 2 resumes the SAME checkpoint
+      // with the rest — randomized checkpoint recovery across every
+      // stateful shape (the hand-written recovery gates pin two points of
+      // this space; CrashMatrixSpec pins the crash window; this sweeps it)
+      restart = r.nextInt(3) == 0)
   }
 
   def plans(seed: Long, count: Int): Seq[StreamPlan] =
@@ -142,30 +149,124 @@ object StreamFuzzer {
         .filter(col("user_id") % p.sampleMod === 0)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
-      // ---- stage: range files, strictly-ordered mtimes ------------------
-      ev.repartitionByRange(p.nFiles, col("ts")).write.mode("overwrite").parquet(srcDir)
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+
+      // ---- staging machinery: strictly-ordered mtimes per tier ----------
+      var secondHalf: Option[DataFrame] = None
       def pfiles() = new java.io.File(srcDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).toSet
-      val tier1 = pfiles()
       var fileSeq = 0L
-      val mtimeBase = (tier1.map(_.lastModified()).max / 2000L + 2L) * 2000L
-      def orderTier(files: Set[java.io.File]): Unit =
+      var mtimeBase = 0L
+      def orderTier(files: Set[java.io.File]): Unit = {
+        if (files.isEmpty) return
+        if (mtimeBase == 0L)
+          mtimeBase = (files.map(_.lastModified()).max / 2000L + 2L) * 2000L
         files.toSeq.sortBy(_.getName).foreach { f =>
           val t = mtimeBase + fileSeq * 2000L
           require(f.setLastModified(t) && f.lastModified() == t,
             s"staged-file mtime did not round-trip for ${f.getName}")
           fileSeq += 1
         }
-      orderTier(tier1)
-      val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
-        max(unix_micros(col("ts"))).as("mx")).head()
-      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      }
+
+      // ---- stage phase 1: range files (or the first half under restart) -
+      if (p.restart) {
+        val cutUs = mnUs + (mxUs - mnUs) / 2
+        ev.filter(unix_micros(col("ts")) < cutUs)
+          .repartitionByRange(math.max(1, p.nFiles / 2), col("ts"))
+          .write.mode("overwrite").parquet(srcDir)
+        orderTier(pfiles())
+        // the second half stages AFTER lifetime 1 drains (below)
+        secondHalf = Some(ev.filter(unix_micros(col("ts")) >= cutUs))
+      } else {
+        ev.repartitionByRange(p.nFiles, col("ts")).write.mode("overwrite").parquet(srcDir)
+        orderTier(pfiles())
+      }
 
       val horizonSec = p.kind match {
         case "session" => p.gapSec
         case _         => p.windowSec
       }
       val isAgg = p.kind == "tumbling" || p.kind == "sliding" || p.kind == "session"
+
+      // ---- the streaming side: one starter per kind ----------------------
+      val delayStr = s"${p.delaySec} seconds"
+      val stateDir = base.resolve("state").toString
+      def readSrc: DataFrame = iso.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", p.mft).parquet(srcDir)
+      val keyExpr = (col("user_id") % p.keyMod).as("k")
+      val centsExpr = floor(col("value") * 100).cast("long")
+
+      def startFileSink(df: DataFrame) =
+        df.writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .format("parquet").option("path", outDir).start()
+
+      def startKind() = p.kind match {
+        case "tumbling" =>
+          startFileSink(readSrc.withWatermark("ts", delayStr)
+            .groupBy(window(col("ts"), s"${p.windowSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
+            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
+        case "sliding" =>
+          startFileSink(readSrc.withWatermark("ts", delayStr)
+            .groupBy(window(col("ts"), s"${p.windowSec} seconds", s"${p.slideSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
+            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
+        case "session" =>
+          // NO payload filter on the key: a deterministic predicate on the
+          // grouping key gets pushed below the aggregation AND the
+          // watermark node, so a `k >= 0` guard silently removes the
+          // sentinel row BEFORE EventTimeWatermarkExec — the watermark
+          // never advances, the no-data flush batch never runs, and every
+          // session ending inside the final delay window stays held (the
+          // harness's second catch: plan 4 of seed 909015, 3 tail sessions
+          // missing). The sentinel needs no filter anyway: its session end
+          // is past the final watermark by construction, so it is held,
+          // never emitted.
+          startFileSink(readSrc.withWatermark("ts", delayStr)
+            .groupBy(session_window(col("ts"), s"${p.gapSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
+            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
+        case "dedup" =>
+          startFileSink(readSrc.withWatermark("ts", delayStr)
+            .dropDuplicatesWithinWatermark(Seq("event_id"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("es"), centsExpr.as("cents")))
+        case "upsert" =>
+          graft.streaming.UpsertStream.runUpsert(iso, srcDir, stateDir, ckptDir)
+      }
+
+      def drainKind(): String = {
+        val q = startKind()
+        try q.awaitTermination() finally q.stop()
+        if (sys.env.contains("GRAFT_SFUZZ_DEBUG")) {
+          new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.lastModified()).foreach(f =>
+              System.err.println(s"[sfuzz-dbg] file ${f.getName} mtime=${f.lastModified()}"))
+          q.recentProgress.foreach { pr =>
+            val st = Option(pr.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+            System.err.println(s"[sfuzz-dbg] batch ${pr.batchId} rows=${pr.numInputRows} " +
+              s"wm=${pr.eventTime.get("watermark")} state=$st")
+          }
+        }
+        q.runId.toString
+      }
+
+      // ---- restart axis: lifetime 1 drains the first half, stops with
+      // tail state open; the second half (and every injection) arrives for
+      // lifetime 2 on the SAME checkpoint — lost state, re-read files, or
+      // double emission across the restart reds the final compare
+      var runId1: Option[String] = None
+      secondHalf.foreach { rest =>
+        runId1 = Some(drainKind())
+        val prev = pfiles()
+        rest.repartitionByRange(math.max(1, p.nFiles - p.nFiles / 2), col("ts"))
+          .write.mode("append").parquet(srcDir)
+        orderTier(pfiles() -- prev)
+      }
 
       // ---- out-of-order injection (agg kinds): within the horizon -------
       // ts ∈ (mx − delay, mx): delayed LESS than the watermark delay — the
@@ -210,18 +311,17 @@ object StreamFuzzer {
         orderTier(pfiles() -- prev)
       }
 
+      // ---- final drain (lifetime 2 under restart; the only one otherwise)
+      val runId2 = drainKind()
+      runId1.foreach(r1 => require(r1 != runId2,
+        "restart plan must run two distinct query lifetimes"))
+
       // final watermark over the fully staged source (sentinel included):
       // what the stream's event-time clock ends at
       val oracleDelaySec = oracleDelayOverrideSec.getOrElse(p.delaySec)
       val stagedMaxUs = iso.read.parquet(srcDir)
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
       val wmFinalUs = stagedMaxUs - oracleDelaySec * 1000000L
-
-      val delayStr = s"${p.delaySec} seconds"
-      def readSrc: DataFrame = iso.readStream.schema(srcSchema)
-        .option("maxFilesPerTrigger", p.mft).parquet(srcDir)
-      val keyExpr = (col("user_id") % p.keyMod).as("k")
-      val centsExpr = floor(col("value") * 100).cast("long")
 
       // batch side: everything the stream is REQUIRED to aggregate — real
       // rows plus the in-horizon out-of-order rows (negative event ids,
@@ -232,29 +332,8 @@ object StreamFuzzer {
       val sUs = p.slideSec * 1000000L
       val gUs = p.gapSec * 1000000L
 
-      def drain(df: DataFrame): Unit = {
-        val q = df.writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
-          .option("checkpointLocation", ckptDir)
-          .format("parquet").option("path", outDir).start()
-        try q.awaitTermination() finally q.stop()
-        if (sys.env.contains("GRAFT_SFUZZ_DEBUG")) {
-          new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
-            .sortBy(_.lastModified()).foreach(f =>
-              System.err.println(s"[sfuzz-dbg] file ${f.getName} mtime=${f.lastModified()}"))
-          q.recentProgress.foreach { pr =>
-            val st = Option(pr.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
-            System.err.println(s"[sfuzz-dbg] batch ${pr.batchId} rows=${pr.numInputRows} " +
-              s"wm=${pr.eventTime.get("watermark")} state=$st")
-          }
-        }
-      }
-
       val (streamDf, oracleDf): (DataFrame, DataFrame) = p.kind match {
         case "tumbling" =>
-          drain(readSrc.withWatermark("ts", delayStr)
-            .groupBy(window(col("ts"), s"${p.windowSec} seconds").as("w"), keyExpr)
-            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
-            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
           val o = real
             .select(unix_micros(col("ts")).as("es"), keyExpr, centsExpr.as("c"))
             .withColumn("ws", col("es") - pmod(col("es"), lit(wUs)))
@@ -263,10 +342,6 @@ object StreamFuzzer {
           (iso.read.parquet(outDir), o)
 
         case "sliding" =>
-          drain(readSrc.withWatermark("ts", delayStr)
-            .groupBy(window(col("ts"), s"${p.windowSec} seconds", s"${p.slideSec} seconds").as("w"), keyExpr)
-            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
-            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
           // epoch-aligned slide starts covering es: multiples of S in
           // (es − W, es] — exactly W/S windows per row
           val nWin = (p.windowSec / p.slideSec).toInt
@@ -280,20 +355,6 @@ object StreamFuzzer {
           (iso.read.parquet(outDir), o)
 
         case "session" =>
-          // NO payload filter on the key: a deterministic predicate on the
-          // grouping key gets pushed below the aggregation AND the
-          // watermark node, so a `k >= 0` guard silently removes the
-          // sentinel row BEFORE EventTimeWatermarkExec — the watermark
-          // never advances, the no-data flush batch never runs, and every
-          // session ending inside the final delay window stays held (the
-          // harness's second catch: plan 4 of seed 909015, 3 tail sessions
-          // missing). The sentinel needs no filter anyway: its session end
-          // is past the final watermark by construction, so it is held,
-          // never emitted.
-          drain(readSrc.withWatermark("ts", delayStr)
-            .groupBy(session_window(col("ts"), s"${p.gapSec} seconds").as("w"), keyExpr)
-            .agg(count(lit(1)).as("n"), sum(centsExpr).as("cents"))
-            .select(unix_micros(col("w.start")).as("ws"), col("k"), col("n"), col("cents")))
           // gaps-and-islands: new session iff ts − prev ≥ gap (session
           // intervals [ts, ts+gap) merge on OVERLAP, so an event exactly
           // gap-after starts a new session)
@@ -312,10 +373,6 @@ object StreamFuzzer {
           (iso.read.parquet(outDir), o)
 
         case "dedup" =>
-          drain(readSrc.withWatermark("ts", delayStr)
-            .dropDuplicatesWithinWatermark(Seq("event_id"))
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              unix_micros(col("ts")).as("es"), centsExpr.as("cents")))
           val o = real
             .select(col("event_id"), col("user_id"), col("event_type"),
               unix_micros(col("ts")).as("es"), centsExpr.as("cents"))
@@ -323,9 +380,6 @@ object StreamFuzzer {
           (iso.read.parquet(outDir), o)
 
         case "upsert" =>
-          val stateDir = base.resolve("state").toString
-          val q = graft.streaming.UpsertStream.runUpsert(iso, srcDir, stateDir, ckptDir)
-          try q.awaitTermination() finally q.stop()
           val latest = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
             .filter(f => f.isDirectory && f.getName.startsWith("v"))
             .maxBy(_.getName.drop(1).toLong)
