@@ -572,11 +572,75 @@ object SqlFuzzer {
       s"${orderByAll(r, n)} LIMIT ${200 + r.nextInt(1800)}"
   }
 
+  /** Non-equi / theta joins — the one planner path the round-14 verdict
+    * still listed as unfuzzed. Three distinct physical shapes:
+    * (0) PURE inequality join between two GROUP-BY-bounded derived tables
+    *     (no equi conjunct anywhere → BroadcastNestedLoopJoin planning and
+    *     its condition evaluation); the derived tables are ≤ ~16 rows each
+    *     by modulo construction, so the quadratic worst case is ≤ ~256
+    *     output rows at any SF;
+    * (1) BETWEEN band join over the same bounded shape (the range-predicate
+    *     rewrite of the BNLJ condition — both bounds in one conjunct);
+    * (2) equi-join with a non-equi RESIDUAL in the ON clause (hash/SMJ with
+    *     an extra join-condition filter — a different evaluation site from
+    *     a WHERE on the joined result, and the classic place for an
+    *     outer-join-aware planner to mis-push a predicate);
+    * (3) correlated non-equi EXISTS (left-semi BNLJ after decorrelation —
+    *     RewritePredicateSubquery with an inequality correlation, which
+    *     the equi-correlated semiAnti kind never reaches).
+    * Payloads are COUNT(*)-modulo (always ≥ 0, exact in both engines);
+    * NULL inequality comparisons drop rows identically in both engines. */
+  private def nonEquiJoin(r: Random): String = {
+    // a bounded derived table: ≤ ka groups, value = COUNT(*) % m
+    def tiny(t: Tbl, alias: String): String = {
+      val ka = 3 + r.nextInt(14)
+      val m = 4 + r.nextInt(20)
+      s"(SELECT (${intExpr(r, t, 0)} % $ka) AS g, (COUNT(*) % $m) AS v " +
+        s"FROM ${t.name} WHERE ${pred(r, t, 1)} GROUP BY 1) $alias"
+    }
+    r.nextInt(4) match {
+      case 0 =>
+        val (t1, t2) = (pick(r, tables), pick(r, tables))
+        val op = pick(r, Seq("<", "<=", ">", ">=", "<>"))
+        s"SELECT a.g AS c0, b.g AS c1, a.v AS c2, b.v AS c3 " +
+          s"FROM ${tiny(t1, "a")} JOIN ${tiny(t2, "b")} ON a.v $op b.v " +
+          s"${orderByAll(r, 4)}"
+      case 1 =>
+        val (t1, t2) = (pick(r, tables), pick(r, tables))
+        val (d1, d2) = (r.nextInt(4), r.nextInt(4))
+        s"SELECT a.g AS c0, b.g AS c1, a.v AS c2, b.v AS c3 " +
+          s"FROM ${tiny(t1, "a")} JOIN ${tiny(t2, "b")} " +
+          s"ON a.v BETWEEN b.v - $d1 AND b.v + $d2 " +
+          s"${orderByAll(r, 4)}"
+      case 2 =>
+        val (ln, rn, lk, rk) = pick(r, joins)
+        val (lt, rt) = (byName(ln), byName(rn))
+        val (ma, mb) = (2 + r.nextInt(10), 2 + r.nextInt(10))
+        val op = pick(r, Seq("<", "<=", ">", ">="))
+        val key = s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(12)})"
+        s"SELECT $key AS c0, COUNT(*) AS c1, ${aggExpr(r, rt, 2)} " +
+          s"FROM $ln JOIN $rn ON $lk = $rk " +
+          s"AND (${intExpr(r, lt, 0)} % $ma) $op (${intExpr(r, rt, 0)} % $mb) " +
+          s"WHERE ${pred(r, lt, 1)} GROUP BY 1"
+      case _ =>
+        val (ln, rn, lk, rk) = pick(r, joins)
+        val (lt, rt) = (byName(ln), byName(rn))
+        val (ma, mb) = (2 + r.nextInt(8), 2 + r.nextInt(8))
+        val op = pick(r, Seq("<", ">"))
+        val neg = if (r.nextBoolean()) "" else "NOT "
+        val key = s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(12)})"
+        s"SELECT $key AS c0, ${aggExpr(r, lt, 1)} FROM $ln WHERE $neg" +
+          s"EXISTS (SELECT 1 FROM $rn WHERE $rk = $lk " +
+          s"AND ($rk % $mb) $op (${intExpr(r, lt, 0)} % $ma)) " +
+          s"AND ${pred(r, lt, 1)} GROUP BY 1"
+    }
+  }
+
   /** Deterministic (seed, index) → (name, SQL). */
   def plan(seed: Long, i: Int): (String, String) = {
     val r = new Random(seed + 1000003L * i)
     val t = pick(r, tables)
-    val sql = r.nextInt(42) match {
+    val sql = r.nextInt(44) match {
       case x if x < 4  => filterProject(r, t)
       case x if x < 9  => groupAgg(r, t)
       case x if x < 13 => joinAgg(r)
@@ -593,7 +657,8 @@ object SqlFuzzer {
       case x if x < 36 => groupingSetsQ(r, t)
       case x if x < 38 => rangeWindowQ(r, t)
       case x if x < 40 => correlatedScalar(r)
-      case _           => exprTree(r, t)
+      case x if x < 42 => exprTree(r, t)
+      case _           => nonEquiJoin(r)
     }
     (f"fuzz_$i%04d", sql)
   }

@@ -63,7 +63,7 @@ object StreamFuzzer {
 
   final case class StreamPlan(
     idx: Int,
-    kind: String,        // tumbling | sliding | session | dedup | upsert
+    kind: String,        // tumbling | sliding | session | dedup | upsert | interval
     windowSec: Long,     // tumbling/sliding window width
     slideSec: Long,      // sliding only; divides windowSec
     gapSec: Long,        // session gap
@@ -75,18 +75,21 @@ object StreamFuzzer {
     sentinel: Boolean,   // agg kinds: stage a far-future row to close all real windows
     late: Boolean,       // agg kinds: inject provably-late fabricated rows
     redeliveryMod: Int,  // dedup/upsert: re-deliver users % redeliveryMod == 0
-    restart: Boolean)    // split staging across TWO query lifetimes on one checkpoint
+    restart: Boolean,    // split staging across TWO query lifetimes on one checkpoint
+    loSec: Long = 0L,    // interval join: b.ts >= a.ts − lo
+    hiSec: Long = 0L)    // interval join: b.ts <= a.ts + hi
 
   /** Deterministic (seed, index) → plan (java.util.Random LCG is
     * JDK-specified, so plans are stable across hosts). */
   def plan(seed: Long, i: Int): StreamPlan = {
     val r = new Random(seed + 7000003L * i)
-    val kind = r.nextInt(10) match {
-      case x if x < 3 => "tumbling"
-      case x if x < 5 => "sliding"
-      case x if x < 7 => "session"
-      case x if x < 9 => "dedup"
-      case _          => "upsert"
+    val kind = r.nextInt(12) match {
+      case x if x < 3  => "tumbling"
+      case x if x < 5  => "sliding"
+      case x if x < 7  => "session"
+      case x if x < 9  => "dedup"
+      case x if x < 10 => "upsert"
+      case _           => "interval"
     }
     val div = 2 + r.nextInt(3) // sliding: window = div × slide
     val slideMin = 5 + r.nextInt(56)
@@ -102,7 +105,7 @@ object StreamFuzzer {
       slideSec = slideMin * 60L,
       gapSec = (5 + r.nextInt(116)) * 60L,
       delaySec = (5 + r.nextInt(86)) * 60L,
-      keyMod = 2 + r.nextInt(49),
+      keyMod = (if (kind == "interval") 8 else 2) + r.nextInt(49),
       nFiles = nFiles,
       mft = 1 + r.nextInt(math.min(3, nFiles)),
       sampleMod = 1 + r.nextInt(3),
@@ -114,7 +117,12 @@ object StreamFuzzer {
       // with the rest — randomized checkpoint recovery across every
       // stateful shape (the hand-written recovery gates pin two points of
       // this space; CrashMatrixSpec pins the crash window; this sweeps it)
-      restart = r.nextInt(3) == 0)
+      restart = r.nextInt(3) == 0,
+      // interval join: bounds kept minutes-scale so the per-key time band
+      // (hence the pair count AND the join state size) stays bounded at
+      // any SF; keyMod for this kind starts at 8 (above) for the same reason
+      loSec = r.nextInt(16) * 60L,
+      hiSec = (1 + r.nextInt(30)) * 60L)
   }
 
   def plans(seed: Long, count: Int): Seq[StreamPlan] =
@@ -190,6 +198,7 @@ object StreamFuzzer {
         case _         => p.windowSec
       }
       val isAgg = p.kind == "tumbling" || p.kind == "sliding" || p.kind == "session"
+      val isJoin = p.kind == "interval"
 
       // ---- the streaming side: one starter per kind ----------------------
       val delayStr = s"${p.delaySec} seconds"
@@ -237,6 +246,33 @@ object StreamFuzzer {
               unix_micros(col("ts")).as("es"), centsExpr.as("cents")))
         case "upsert" =>
           graft.streaming.UpsertStream.runUpsert(iso, srcDir, stateDir, ckptDir)
+        case "interval" =>
+          // stream-stream inner join — the third state class (join state;
+          // the agg kinds exercise HDFSBackedStateStore aggregation state,
+          // dedup/upsert exercise dedup state and the hand-versioned sink).
+          // Sides split on event-id parity via PMOD (Java % is negative for
+          // the injected late rows' negative ids — pmod keeps the split
+          // total); each side filters BEFORE its watermark is assigned (the
+          // documented push-below-EventTimeWatermarkExec trap). Inner join
+          // output is emitted on match, not on watermark expiry, so no
+          // sentinel is needed; the watermark bounds join STATE, and the
+          // strict side of the contract guarantees the injected in-horizon
+          // rows still find their partners in state (partner b qualifies
+          // only if b_ts ≥ late_ts − hi > wm − hi, which is exactly the
+          // eviction bound wm − hi — never yet evicted).
+          val a = readSrc.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+              (col("user_id") % p.keyMod).as("a_k"))
+            .withWatermark("a_ts", delayStr)
+          val b = readSrc.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+              (col("user_id") % p.keyMod).as("b_k"))
+            .withWatermark("b_ts", delayStr)
+          startFileSink(a.join(b, expr(
+            s"a_k = b_k AND b_ts >= a_ts - INTERVAL ${p.loSec} SECONDS " +
+              s"AND b_ts <= a_ts + INTERVAL ${p.hiSec} SECONDS"))
+            .select(col("a_id"), col("b_id"), col("a_k").as("k"),
+              unix_micros(col("a_ts")).as("a_es"), unix_micros(col("b_ts")).as("b_es")))
       }
 
       def drainKind(): String = {
@@ -275,7 +311,7 @@ object StreamFuzzer {
       // already-open state; the oracle includes them (user_id ≥ 0).
       // Skipped when the delay leaves no room (recorded as lateInjected=0).
       var lateInjected = 0L
-      if (isAgg && p.late && p.delaySec >= 420) {
+      if ((isAgg || isJoin) && p.late && p.delaySec >= 420) {
         val prev = pfiles()
         iso.range(5).select(
           (lit(-100L) - col("id")).as("event_id"),
@@ -304,7 +340,11 @@ object StreamFuzzer {
       }
 
       // ---- re-delivery (dedup/upsert): the at-least-once transport ------
-      if (!isAgg) {
+      // NOT for the interval join: a re-delivered OLD row arrives delayed
+      // by more than the watermark, the side of the contract Spark leaves
+      // unspecified for join input admission (same reason the agg kinds
+      // only inject in-horizon rows)
+      if (!isAgg && !isJoin) {
         val prev = pfiles()
         ev.filter(col("user_id") % p.redeliveryMod === 0)
           .coalesce(1).write.mode("append").parquet(srcDir)
@@ -378,6 +418,31 @@ object StreamFuzzer {
               unix_micros(col("ts")).as("es"), centsExpr.as("cents"))
             .distinct()
           (iso.read.parquet(outDir), o)
+
+        case "interval" =>
+          // batch recomputation: the same parity split + banded theta join
+          // in integer microsecond space. Inner join drops nothing at the
+          // output for on-time + in-horizon data, so the oracle is the FULL
+          // join — no watermark filter on the result (unlike the agg kinds,
+          // where only closed windows emit).
+          val loUs = p.loSec * 1000000L
+          val hiUs = p.hiSec * 1000000L
+          val aSide = real.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_es"),
+              (col("user_id") % p.keyMod).as("k"))
+          val bSide = real.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_es"),
+              (col("user_id") % p.keyMod).as("bk"))
+          val o = aSide.join(bSide, col("k") === col("bk") &&
+              col("b_es") >= col("a_es") - loUs && col("b_es") <= col("a_es") + hiUs)
+            .select(col("a_id"), col("b_id"), col("k"), col("a_es"), col("b_es"))
+          // explicit schema: a zero-match drain leaves only _spark_metadata
+          // in outDir, which schema inference cannot read
+          val outSchema = StructType(Seq(
+            StructField("a_id", LongType), StructField("b_id", LongType),
+            StructField("k", LongType), StructField("a_es", LongType),
+            StructField("b_es", LongType)))
+          (iso.read.schema(outSchema).parquet(outDir), o)
 
         case "upsert" =>
           val latest = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)

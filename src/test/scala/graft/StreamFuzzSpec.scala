@@ -30,7 +30,7 @@ class StreamFuzzSpec extends SparkSpec {
     // every kind must appear — a generator regression that collapsed the
     // kind distribution would silently gut coverage
     assert(plans.map(_.kind).distinct.sorted ==
-      Seq("dedup", "session", "sliding", "tumbling", "upsert"))
+      Seq("dedup", "interval", "session", "sliding", "tumbling", "upsert"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val results = try {
@@ -39,9 +39,16 @@ class StreamFuzzSpec extends SparkSpec {
     } finally pool.shutdown()
     val bad = results.filterNot(_.ok)
     assert(bad.isEmpty, bad.map(r => s"plan ${r.idx} (${r.kind}): ${r.detail}").mkString("\n"))
-    // non-vacuity: plans produce output, and the strict-side out-of-order
-    // injection actually fired across the run
-    assert(results.count(_.streamRows > 0) == results.size)
+    // non-vacuity: (almost) every plan produces output, and the strict-side
+    // out-of-order injection actually fired across the run. A RARE zero-row
+    // plan is legitimate, not vacuous — a narrow-band interval join can have
+    // zero in-band pairs, and a sentinel-free agg whose span sits inside the
+    // watermark delay closes no window; the compare above still required the
+    // stream to emit exactly nothing (empty == empty is the assertion that
+    // it didn't emit an unclosed window or an out-of-band pair). The bound
+    // keeps the run evidence: ≥98/100 plans exercised real output.
+    assert(results.count(_.streamRows > 0) >= results.size - 2,
+      s"${results.count(_.streamRows == 0)} zero-output plans — the generator collapsed")
     assert(results.map(_.lateInjected).sum >= 50L)
   }
 

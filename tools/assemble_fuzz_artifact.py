@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Assemble bench_runs/fuzz_diff_r15.json from a regen directory's JSONL
+logs (one line per FuzzMain / StreamFuzzMain / GraphFuzzMain / VectorFuzzMain
+run) plus the compare_oracle log for the SQL half. Keeps the artifact a
+faithful record of what actually ran: every number is read from a run log,
+never typed in.
+
+Usage: assemble_fuzz_artifact.py <regenDir> <outPath>
+"""
+import json
+import re
+import sys
+
+
+def lines(path):
+    try:
+        with open(path) as f:
+            return [json.loads(x) for x in f if x.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def main():
+    d, out = sys.argv[1], sys.argv[2]
+    sql = lines(f"{d}/sql.jsonl")
+    stream = lines(f"{d}/stream.jsonl")
+    graph = lines(f"{d}/graph.jsonl")
+    vector = lines(f"{d}/vector.jsonl")
+    compares = {}
+    with open(f"{d}/sql_compare.log") as f:
+        for ln in f:
+            m = re.match(r"seed=(\d+) sf=(\S+) (ok=\d+ no_oracle=\d+ bad=\d+)", ln)
+            if m:
+                compares[(int(m.group(1)), m.group(2))] = m.group(3)
+
+    runs = []
+    for r in sql:
+        sf = r["sf_dir"].split("/")[-1]
+        cmp_line = compares.get((r["seed"], sf))
+        assert cmp_line, f"no compare line for seed {r['seed']} {sf}"
+        assert r["failed"] == 0, f"seed {r['seed']} had execution failures"
+        assert " bad=0" in " " + cmp_line, f"seed {r['seed']} has bad rows: {cmp_line}"
+        runs.append({
+            "seed": r["seed"], "count": r["count"], "sf_dir": r["sf_dir"],
+            "executed": r["executed"], "failed": r["failed"],
+            "zero_row_plans": r["zero_row_plans"], "compare": cmp_line,
+        })
+    for r in stream + graph + vector:
+        assert r["bad"] == 0, f"non-SQL run {r['seed']} has bad plans: {r}"
+
+    artifact = {
+        "harness": ("graft.FuzzMain + tools/compare_oracle.py (SQL half, DuckDB oracle), "
+                    "graft.StreamFuzzMain (streaming half, batch-recomputation oracle, Spark-vs-Spark), "
+                    "graft.GraphFuzzMain (graph kernels vs plain-Scala brute-force oracles on random multigraphs), "
+                    "graft.VectorFuzzMain (ANN/embedding operators vs plain-Scala linear algebra on random vectors)"),
+        "generator": ("graft.fuzz.SqlFuzzer — seeded, (seed,index)->SQL stable per JDK Random spec; 19 plan kinds: "
+                      "the 18 round-15-closing kinds (filter/project/distinct, group-agg+HAVING, inner/left equi-joins (+agg), "
+                      "windows, set ops, nested post-agg filters, IN/NOT IN/EXISTS/NOT EXISTS subqueries, CTE joins, "
+                      "ROLLUP/CUBE with GROUPING markers, FULL OUTER joins, 3-table chain joins, null-injected derived tables, "
+                      "aggregate FILTER clauses, RIGHT OUTER joins, explicit GROUPING SETS, RANGE window frames, "
+                      "correlated scalar subqueries, deep CASE/string expression trees) plus nonEquiJoin — "
+                      "pure-inequality and BETWEEN-band joins between GROUP-BY-bounded derived tables (BroadcastNestedLoopJoin "
+                      "planning, <=256-row worst case at any SF), equi-joins with non-equi ON-clause residuals, and correlated "
+                      "non-equi [NOT] EXISTS — the last planner path the round-14 verdict listed as unfuzzed"),
+        "stream_generator": ("graft.fuzz.StreamFuzzer — seeded stateful plans, now SIX kinds: tumbling/sliding-window "
+                             "aggregation, session windows, watermark dedup, versioned-merge upsert, and stream-stream "
+                             "INTERVAL JOINS (random lo/hi time bounds — the join-state class the fuzzer previously did not "
+                             "reach); randomized window/slide/gap/delay/key-mod/slicing/sentinel/in-horizon late injection/"
+                             "re-delivery, and the restart axis (1/3 of plans split staging across two query lifetimes on one "
+                             "checkpoint). Interval-join soundness: a late in-horizon row's partner satisfies "
+                             "ts >= late_ts - hi > wm - hi, exactly the join-state eviction bound — never yet evicted"),
+        "graph_generator": ("graft.fuzz.GraphFuzzer — seeded random multigraphs (sparse ids, duplicate edges, self-loops, "
+                            "disconnected components); all 12 graph kernels vs plain-Scala brute-force oracles sharing no "
+                            "code with the implementations (union-find, exhaustive triple scan, synchronous Bellman-Ford, "
+                            "re-derived power iteration at 1e-9; integer kernels exact-multiset). Kernel cycles by index"),
+        "vector_generator": ("graft.fuzz.VectorFuzzer — seeded random float vector sets (4-16 dims, ~1/3 of plans plant an "
+                             "all-zero vector for the try_divide null-cosine path); brute-force top-k, FULL-PROBE IVF == exact "
+                             "search (k-means-independent), partial probe replayed from the engine's own centroids/assignments, "
+                             "dim-stats and whitened norms vs direct moments. Cosine oracles replay vec_dot/vec_norm's "
+                             "documented index-order double sums, so the top-k kinds compare exactly"),
+        "runs": runs,
+        "stream_runs": [
+            {k: r[k] for k in ("seed", "count", "sf_dir", "ok", "bad", "kinds",
+                               "restart_plans", "late_rows_injected", "zero_row_plans", "wall_s")}
+            for r in stream],
+        "graph_runs": [
+            {k: r[k] for k in ("seed", "count", "ok", "bad", "kernels",
+                               "engine_rows_total", "wall_s")} for r in graph],
+        "vector_runs": [
+            {k: r[k] for k in ("seed", "count", "ok", "bad", "kinds",
+                               "engine_rows_total", "wall_s")} for r in vector],
+        "divergences_found": json.load(open("bench_runs/fuzz_diff_r15.json")).get("divergences_found", []),
+        "in_suite": ("FuzzDifferentialSpec (SQL: determinism + 40 executed plans + partition invariance + the ROLLUP pin), "
+                     "StreamFuzzSpec (stream: 100 seeded plans incl. interval joins drained green, red-path delay-override "
+                     "control, too-late-admission pin), GraphFuzzSpec (24 plans covering all 12 kernels + dropped-row and "
+                     "rank-shift tamper controls), VectorFuzzSpec (20 plans covering all 5 kinds + tamper controls on both "
+                     "compare classes)"),
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    total_sql = sum(r["count"] for r in runs)
+    print(f"wrote {out}: {len(runs)} SQL runs ({total_sql} plans), "
+          f"{len(stream)} stream, {len(graph)} graph, {len(vector)} vector runs")
+
+
+if __name__ == "__main__":
+    main()
