@@ -145,9 +145,15 @@ object StreamFuzzer {
     * stream and oracle disagree, so an all-green run is evidence, not
     * vacuity. */
   def run(spark: SparkSession, d: String, p: StreamPlan,
-          oracleDelayOverrideSec: Option[Long] = None): Result = {
+          oracleDelayOverrideSec: Option[Long] = None,
+          shufflePartitions: Int = 2): Result = {
     val iso = spark.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "2")
+    // shufflePartitions is a differential axis of its own: a stateful query
+    // FIXES its state-store partition count at first checkpoint, so results
+    // must be identical at any setting (StreamFuzzSpec re-drains plans at
+    // 1 and 3 and requires agreement — state keyed on the wrong hash, or a
+    // merge that only works single-partition, diverges here)
+    iso.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     val base = java.nio.file.Files.createTempDirectory(f"graft-sfuzz-${p.idx}%04d-")
     val srcDir = base.resolve("src").toString
     val outDir = base.resolve("out").toString

@@ -52,6 +52,28 @@ class StreamFuzzSpec extends SparkSpec {
     assert(results.map(_.lateInjected).sum >= 50L)
   }
 
+  test("drained output is state-store-partition-count invariant") {
+    // One plan per state class (agg window, dedup state, join state),
+    // each drained at 1 and 3 shuffle partitions: Structured Streaming
+    // FIXES the state-store partition count at the first checkpoint, so
+    // any setting must produce the identical result multiset — the
+    // streaming analogue of FuzzDifferentialSpec's partition-invariance
+    // axis, which no stream plan exercised before (all drains ran at 2).
+    val plans = StreamFuzzer.plans(909015L, 150)
+    val picks = Seq("tumbling", "dedup", "interval").map(k =>
+      plans.find(_.kind == k).getOrElse(fail(s"no $k plan in the first 150")))
+    picks.foreach { p =>
+      val r1 = StreamFuzzer.run(spark, sf, p, shufflePartitions = 1)
+      val r3 = StreamFuzzer.run(spark, sf, p, shufflePartitions = 3)
+      assert(r1.ok, s"plan ${p.idx} (${p.kind}) @1 partition: ${r1.detail}")
+      assert(r3.ok, s"plan ${p.idx} (${p.kind}) @3 partitions: ${r3.detail}")
+      // both agree with the same batch oracle → they agree with each other;
+      // row counts doubly pin it
+      assert(r1.streamRows == r3.streamRows,
+        s"plan ${p.idx} (${p.kind}): ${r1.streamRows} rows @1 vs ${r3.streamRows} @3")
+    }
+  }
+
   test("RED PATH: a mis-stated oracle reds the compare") {
     // Same drain, oracle watermark delay inflated by 10 days: the oracle's
     // emission cutoff drops ~10 days of windows the stream legitimately
