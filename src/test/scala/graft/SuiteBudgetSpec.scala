@@ -23,9 +23,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * host-window spread — r14's judge-run was already 17m08s under load on
   * byte-identical code). 24 min ≈ 1.25× that committed wall: still reds
   * if a wall-doubling spec lands untagged, which is this lint's job.
-  * Next trim candidates if the wall keeps growing: the 13 streaming gate
-  * drains (≈5 min across their suites) and tagging the 100-plan stream
-  * fuzz like the volume truths. */
+  * Late round-15 additions (GraphFuzzSpec ~1 min, VectorFuzzSpec ~0.5 min,
+  * CodegenDifferentialSpec ~0.5 min, the stream partition-invariance axis
+  * ~0.5 min) re-measured the committed wall at 22m09s — inside the 24 but
+  * with the headroom now host-spread-sized, so the FIRST new suite next
+  * round must either fit in ~1.5 min or go behind a tag (GRAFT_VOLUME
+  * pattern); candidates to trim remain the 13 streaming gate drains
+  * (≈5 min across their suites) and tagging the 100-plan stream fuzz. */
 class SuiteBudgetSpec extends AnyFunSuite {
 
   private val CeilingMinutes = 24.0
