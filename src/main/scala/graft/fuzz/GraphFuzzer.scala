@@ -386,6 +386,9 @@ object GraphFuzzer {
     val pairs: DataFrame = p.edges
       .map { case (a, b, j) => (a, b, j / 100.0) }
       .toDF("doc_a", "doc_b", "jaccard")
+    // harness-side collects, NOT an operator dataflow: every plan's graph
+    // is ≤60 nodes by generator construction, so the driver holds at most
+    // a few hundred comparison rows (the oracle side is already in-memory)
     def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
     def ranks(df: DataFrame): Map[Long, Double] =
       df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -197,6 +197,9 @@ object VectorFuzzer {
       .toDF("vec_id", "embedding")
     val queries = emb.filter($"vec_id" < p.nQueries * 2)
     val qSeq = p.vectors.filter(_._1 < p.nQueries * 2)
+    // harness-side collects, NOT an operator dataflow: every plan carries
+    // ≤150 vectors by generator construction, so the driver holds at most
+    // ~1k comparison rows (the oracle side is already in-memory)
     def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
     def t(oracle: Seq[Seq[Any]]): Seq[Seq[Any]] =
       if (tamperOracle && oracle.nonEmpty) oracle.tail else oracle
