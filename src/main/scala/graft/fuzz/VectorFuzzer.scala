@@ -25,6 +25,14 @@ import scala.util.Random
   *             input, everything downstream — probe selection by centroid
   *             cosine with (dist, cell) tie-break, in-cell scoring,
   *             ranking — is recomputed independently)
+  *   ivf_q8   [[IvfIndex.ivfTopKQuantized]] — the int8 retrieve-then-
+  *             rerank pipeline (the 4× shuffle-cut scale path), replayed
+  *             end to end: per-vector symmetric quantization
+  *             round(x / max(amax/127, 1e-30)) → approx cosine over the
+  *             re-floated int8 arrays → k·rerank survivors → exact rerank,
+  *             all from the engine's own centroids/assignments. Previously
+  *             this path had only RECALL-bound evidence; this pins the
+  *             pipeline's arithmetic exactly
   *   dimstats  [[Embeddings.dimStatsOf]] vs per-dimension moments
   *   whiten    [[Embeddings.whitenedNormsOf]] vs Σ(x−μ)²/(σ²+ε) per vector
   *
@@ -41,7 +49,7 @@ import scala.util.Random
 object VectorFuzzer {
 
   val kinds: Vector[String] =
-    Vector("brute", "ivf_full", "ivf_probe", "dimstats", "whiten")
+    Vector("brute", "ivf_full", "ivf_probe", "ivf_q8", "dimstats", "whiten")
 
   final case class VPlan(idx: Int, kind: String, dim: Int, k: Int,
                          nCells: Int, nProbe: Int, nQueries: Int,
@@ -254,6 +262,51 @@ object VectorFuzzer {
         }
         exactCompare(p.idx, p.kind,
           rows(IvfIndex.ivfTopK(queries, assigned, centroids, p.k, nProbe = p.nProbe)),
+          t(oracle))
+
+      case "ivf_q8" =>
+        val (assigned, centroids) = IvfIndex.buildIndex(emb, p.nCells)
+        val cents: Map[Int, Vector[Double]] = centroids.collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
+        val cellOf: Map[Long, Int] = assigned.select($"vec_id", $"cell").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val vecById = p.vectors.toMap
+        val rerank = 3 // the engine default; survivors = k·rerank
+        val oracle = qSeq.flatMap { case (qid, q) =>
+          val qd = q.map(_.toDouble)
+          val qn = normD(qd)
+          val probedCells = cents.toSeq
+            .map { case (cell, c) =>
+              (cell, cosOpt(dotD(qd, c), qn, normD(c)).map(x => -x))
+            }
+            .sortBy { case (cell, nd) => (nd.isDefined, nd.getOrElse(0.0), cell) }
+            .take(p.nProbe).map(_._1).toSet
+          val inCells = p.vectors
+            .filter { case (cid, _) => cid != qid && probedCells(cellOf(cid)) }
+          // the documented symmetric per-vector int8 quantization:
+          // round(x / max(amax/127, 1e-30)) — HALF_UP like Spark's round —
+          // then re-floated exactly as the engine's cast(array<double>)
+          val qv: Map[Long, Vector[Double]] = inCells.map { case (cid, c) =>
+            val amax = if (c.isEmpty) 0.0 else c.map(x => math.abs(x.toDouble)).max
+            val scale = math.max(amax / 127.0, 1e-30)
+            cid -> c.map(x => java.math.BigDecimal.valueOf(x.toDouble / scale)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue())
+          }.toMap
+          val survivors = inCells.map { case (cid, _) =>
+            val v = qv(cid)
+            (cid, cosOpt(dotD(qd, v), qn, normD(v)))
+          }.sortBy { case (cid, co) => (co.isEmpty, -co.getOrElse(0.0), cid) }
+            .take(p.k * rerank).map(_._1)
+          survivors.map { cid =>
+            val c = vecById(cid)
+            (cid, cosOpt(dotD(qd, c.map(_.toDouble)), qn, norm(c)))
+          }.sortBy { case (cid, co) => (co.isEmpty, -co.getOrElse(0.0), cid) }
+            .take(p.k).zipWithIndex
+            .map { case ((cid, co), r) => Seq[Any](qid, cid, co.map(round4).orNull, r + 1) }
+        }
+        exactCompare(p.idx, p.kind,
+          rows(IvfIndex.ivfTopKQuantized(queries, assigned, centroids, p.k,
+            nProbe = p.nProbe, rerank = rerank)),
           t(oracle))
 
       case "dimstats" =>

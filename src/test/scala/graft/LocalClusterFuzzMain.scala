@@ -14,7 +14,7 @@ import java.nio.file.{Files, Paths}
   *     DuckDB half (this JVM owns the cluster SparkContext, so the
   *     second engine must live outside it).
   *   - graph: 12 plans (one per kernel) vs their brute-force oracles.
-  *   - vector: 5 plans (one per kind) vs their linear-algebra oracles.
+  *   - vector: 6 plans (one per kind) vs their linear-algebra oracles.
   *   - stream: 3 plans (one per state class: windowed agg, dedup,
   *     interval join) drained through executor-JVM state stores vs their
   *     batch recomputations.
@@ -78,7 +78,7 @@ object LocalClusterFuzzMain {
       System.err.println(s"[lcfuzz] graph ${r.kernel}: ${if (r.ok) "ok" else r.detail}")
       r
     }
-    val vectorResults = fuzz.VectorFuzzer.plans(515253L, 5).map { p =>
+    val vectorResults = fuzz.VectorFuzzer.plans(515253L, 6).map { p =>
       val r = fuzz.VectorFuzzer.run(spark, p)
       System.err.println(s"[lcfuzz] vector ${r.kind}: ${if (r.ok) "ok" else r.detail}")
       r

@@ -7,8 +7,8 @@ import scala.concurrent.duration.Duration
 /** In-suite half of the VECTOR/ANN differential fuzzer — fourth leg of the
   * randomized programme. The bulk run lives out-of-suite (`runMain
   * graft.VectorFuzzMain <seed> <count>`); this spec pins (1) generation
-  * determinism, (2) a 20-plan in-suite run — kind choice cycles by index,
-  * so each of the 5 kinds runs four times on different random vector sets
+  * determinism, (2) a 24-plan in-suite run — kind choice cycles by index,
+  * so each of the 6 kinds runs four times on different random vector sets
   * (including the planted all-zero vector's null-cosine path on ~1/3 of
   * plans) — and (3) the red-path tamper control on both compare classes
   * (exact multiset for the top-k kinds, tolerance band for the moment
@@ -20,14 +20,14 @@ import scala.concurrent.duration.Duration
 class VectorFuzzSpec extends SparkSpec {
 
   test("vector plan generation is deterministic in (seed, index)") {
-    val a = VectorFuzzer.plans(808080L, 20)
-    assert(a == VectorFuzzer.plans(808080L, 20))
-    assert(a.map(_.vectors) != VectorFuzzer.plans(818181L, 20).map(_.vectors))
+    val a = VectorFuzzer.plans(808080L, 24)
+    assert(a == VectorFuzzer.plans(808080L, 24))
+    assert(a.map(_.vectors) != VectorFuzzer.plans(818181L, 24).map(_.vectors))
     assert(a.groupBy(_.kind).forall(_._2.size == 4))
   }
 
-  test("20 seeded vector sets agree with linear-algebra oracles on all 5 kinds") {
-    val plans = VectorFuzzer.plans(808080L, 20)
+  test("24 seeded vector sets agree with linear-algebra oracles on all 6 kinds") {
+    val plans = VectorFuzzer.plans(808080L, 24)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val results = try {
@@ -41,7 +41,7 @@ class VectorFuzzSpec extends SparkSpec {
   }
 
   test("RED PATH: a tampered oracle reds both compare classes") {
-    val plans = VectorFuzzer.plans(808080L, 20)
+    val plans = VectorFuzzer.plans(808080L, 24)
     val brute = plans.find(_.kind == "brute").get
     assert(!VectorFuzzer.run(spark, brute, tamperOracle = true).ok,
       "dropped-row control came back green — the multiset compare is vacuous")
