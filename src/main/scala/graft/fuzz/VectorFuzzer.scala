@@ -36,6 +36,17 @@ import scala.util.Random
   *   dimstats  [[Embeddings.dimStatsOf]] vs per-dimension moments
   *   whiten    [[Embeddings.whitenedNormsOf]] vs Σ(x−μ)²/(σ²+ε) per vector
   *
+  * Deliberately NOT fuzzed: [[IvfIndex.ivfTopKPq]] (the ADC path). Its
+  * approximate rank key is `sum()` over the 8 per-subspace LUT hits — a
+  * partition-order-dependent double sum, so an oracle's sequential
+  * re-summation can differ by an ulp, and an ulp at the k·rerank survivor
+  * BOUNDARY legitimately changes the output set. A differential there
+  * would be flaky by construction on fresh seeds rather than evidential;
+  * PQ keeps its measured-recall + regret-flag evidence (q_ann_ivf_pq,
+  * probeQualityBound), and the int8 `ivf_q8` kind pins the shared
+  * retrieve-then-rerank machinery exactly (its per-candidate scores are
+  * single vec_dot evaluations — order-deterministic).
+  *
   * Exactness: vec_dot / vec_norm are documented index-order double sums
   * (VectorExpressions.scala:69-119), so the cosine oracles replay the SAME
   * op order and compare bit-exactly — including the NULL cosine of a
