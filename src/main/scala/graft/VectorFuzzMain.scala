@@ -11,7 +11,8 @@ import scala.concurrent.duration.Duration
   *
   * Usage: runMain graft.VectorFuzzMain <seed> <count> [parallelism]
   *
-  * Kind choice cycles by index, so count = 5k covers every kind k times.
+  * Kind choice cycles by index, so count = 6k covers every kind k times
+  * (6 kinds — see [[fuzz.VectorFuzzer.kinds]]).
   * Plans carry their own generated vectors — no testdata dir needed.
   * Emits one JSON summary line; exit 2 on any divergence.
   */

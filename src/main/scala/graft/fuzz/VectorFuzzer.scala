@@ -195,7 +195,11 @@ object VectorFuzzer {
       val ov = o(key)
       if (ev.length != ov.length) Some(s"$key: arity")
       else ev.zip(ov).collectFirst {
-        case (a: Double, b: Double) if math.abs(a - b) > tol =>
+        // negated-<= (not >): NaN compares false under BOTH > and <=, so
+        // `abs(diff) > tol` would silently PASS an engine NaN — a
+        // NaN-producing defect in dimstats/whiten must red this leg, the
+        // way GraphFuzzer.rankCompare's TotalOrdering max already does
+        case (a: Double, b: Double) if !(math.abs(a - b) <= tol) =>
           s"$key: |${a} - ${b}| > $tol"
         case (a, b) if normalize(a) != normalize(b) && !a.isInstanceOf[Double] =>
           s"$key: $a != $b"
@@ -246,7 +250,6 @@ object VectorFuzzer {
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
         val cellOf: Map[Long, Int] = assigned.select($"vec_id", $"cell").collect()
           .map(r => r.getLong(0) -> r.getInt(1)).toMap
-        val vecById = p.vectors.toMap
         val oracle = qSeq.flatMap { case (qid, q) =>
           val qd = q.map(_.toDouble)
           val qn = normD(qd)

@@ -125,9 +125,11 @@ object Dedup {
 
   def shingleArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
     shingleCache.getOrCompute(s, d) {
-      val sh = shingles(Tables.documents(s, d)).persist()
-      val sig = minhashSignatures(sh).persist()
-      (sh, sig)
+      val (sh, sig) = StageCache.through2(s, d, "shingle-artifacts") {
+        val sh = shingles(Tables.documents(s, d)).persist()
+        (sh, minhashSignatures(sh))
+      }
+      (sh.persist(), sig.persist())
     }
 
   /** Wide (passage-width) shingle frames under the same contract, keyed by
@@ -139,7 +141,9 @@ object Dedup {
 
   def passageShingleArtifact(s: SparkSession, d: String, n: Int): DataFrame =
     passageCache.getOrCompute(s, (d, n)) {
-      shingles(Tables.documents(s, d), n).persist()
+      StageCache.throughDf(s, d, s"passage-shingle-$n") {
+        shingles(Tables.documents(s, d), n)
+      }.persist()
     }
 
   /** D2 end-to-end (hand-rolled MinHash+LSH): near-dup pairs above a Jaccard
@@ -307,13 +311,15 @@ object Dedup {
   def containmentArtifacts(s: SparkSession, d: String,
                            maxShingleDf: Long = 50): (DataFrame, DataFrame) =
     containmentCache.getOrCompute(s, (d, maxShingleDf)) {
-      val (sh, _) = shingleArtifacts(s, d)
-      val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-        .filter(col("sdf") >= 2 && col("sdf") <= maxShingleDf)
-        .select(col("shingle"))
-      val pruned = sh.join(dfs, Seq("shingle")).persist()
-      val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).persist()
-      (pruned, sizes)
+      val (pruned, sizes) = StageCache.through2(s, d, s"containment-$maxShingleDf") {
+        val (sh, _) = shingleArtifacts(s, d)
+        val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") >= 2 && col("sdf") <= maxShingleDf)
+          .select(col("shingle"))
+        val pruned = sh.join(dfs, Seq("shingle")).persist()
+        (pruned, pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")))
+      }
+      (pruned.persist(), sizes.persist())
     }
 
   def containmentPairsAtScale(s: SparkSession, d: String,
@@ -363,7 +369,8 @@ object Dedup {
 
   def ccPairArtifact(s: SparkSession, d: String): DataFrame =
     ccPairCache.getOrCompute(s, d) {
-      ngramJaccardPairs(s, d).localCheckpoint(true)
+      StageCache.throughDf(s, d, "cc-pairs")(ngramJaccardPairs(s, d))
+        .localCheckpoint(true)
     }
 
   /** The doc<200 sibling of [[ccPairArtifact]], input of the `q_triangles`
@@ -378,7 +385,8 @@ object Dedup {
 
   def triPairArtifact(s: SparkSession, d: String): DataFrame =
     triPairCache.getOrCompute(s, d) {
-      ngramJaccardPairs(s, d, maxDocId = 200).localCheckpoint(true)
+      StageCache.throughDf(s, d, "tri-pairs")(ngramJaccardPairs(s, d, maxDocId = 200))
+        .localCheckpoint(true)
     }
 
   def recursiveClusters(s: SparkSession, d: String, maxDepth: Int = 6): DataFrame = {
@@ -491,7 +499,9 @@ object Dedup {
 
   def edTruthArtifact(s: SparkSession, d: String, maxDocId: Long = 300): DataFrame =
     edTruthCache.getOrCompute(s, (d, maxDocId)) {
-      val t = editDistancePairs(s, d, maxDocId = maxDocId).cache()
+      val t = StageCache.throughDf(s, d, s"ed-truth-$maxDocId") {
+        editDistancePairs(s, d, maxDocId = maxDocId)
+      }.cache()
       t.count() // materialize: the artifact contract, not lazy lineage
       t
     }
@@ -793,7 +803,9 @@ object Dedup {
 
   def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrCompute(s, d) {
-      nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05)).cache()
+      StageCache.throughDf(s, d, "cluster-labels") {
+        nearDupClusters(ngramJaccardPairs(s, d, threshold = 0.05))
+      }.cache()
     }
 
   /** Registered: cluster summary over the exact bounded n-gram pairs. */
@@ -812,7 +824,9 @@ object Dedup {
 
   def clusterLabelsLsh(s: SparkSession, d: String): DataFrame =
     lshLabelCache.getOrCompute(s, d) {
-      nearDupClusters(nearDupPairs(s, d, 0.2)).cache()
+      StageCache.throughDf(s, d, "cluster-labels-lsh") {
+        nearDupClusters(nearDupPairs(s, d, 0.2))
+      }.cache()
     }
 
   /** Registered (rows-only; DedupSpec pins agreement with the exact bounded

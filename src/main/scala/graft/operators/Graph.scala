@@ -39,6 +39,11 @@ object Graph {
     * once per graph query. */
   def graphArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     edgeCache.getOrCompute(s, d) {
+      val (norm0, nodes0, pairs0) = StageCache.through3(s, d, "graph-edges")(buildGraphArtifacts(s, d))
+      (norm0.persist(), nodes0.persist(), pairs0.persist())
+    }
+
+  private def buildGraphArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
       val pairs = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d)
@@ -63,10 +68,9 @@ object Graph {
       val norm = edges.select(col("src"), col("dst"),
         (col("w") / sum(col("w")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("src")))).as("p"))
-        .persist()
-      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      val nodes = edges.select(col("src").as("node")).distinct()
       (norm, nodes, pairs)
-    }
+  }
 
   /** Weighted PageRank on the bipartite customer↔supplier graph induced by
     * orders⋈lineitem (edge weight = number of lineitems between the pair,
@@ -458,7 +462,9 @@ object Graph {
 
   def triClusterLabels(s: SparkSession, d: String): DataFrame =
     triLabelCache.getOrCompute(s, d) {
-      connectedComponentsStar(Dedup.triPairArtifact(s, d)).localCheckpoint(true)
+      StageCache.throughDf(s, d, "tri-cluster-labels") {
+        connectedComponentsStar(Dedup.triPairArtifact(s, d))
+      }.localCheckpoint(true)
     }
 
   /** Whole-module corpus-replacement hook (round-12 ADVICE): drop the

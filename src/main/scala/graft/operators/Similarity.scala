@@ -243,15 +243,16 @@ object Similarity {
   def rpSigArtifacts(s: SparkSession, d: String,
                      tables: Int, bits: Int): (DataFrame, DataFrame) =
     rpSigCache.getOrCompute(s, (d, tables, bits)) {
-      val emb = Tables.embeddings(s, d)
-      val sigs = emb.select(
-        col("vec_id"),
-        posexplode(rpSignatures(col("embedding"), tables, bits)).as(Seq("t", "sig")))
-        .persist()
-      val normed = emb
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-        .persist()
-      (sigs, normed)
+      val (sigs, normed) = StageCache.through2(s, d, s"rp-sig-$tables-$bits") {
+        val emb = Tables.embeddings(s, d)
+        val sigs = emb.select(
+          col("vec_id"),
+          posexplode(rpSignatures(col("embedding"), tables, bits)).as(Seq("t", "sig")))
+        val normed = emb
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+        (sigs, normed)
+      }
+      (sigs.persist(), normed.persist())
     }
 
   /** Drop the memoized signature artifacts for a corpus dir (all sessions

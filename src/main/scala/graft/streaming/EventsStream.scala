@@ -211,7 +211,11 @@ object EventsStream {
 
   private[graft] def stageEvents(spark: SparkSession, d: String): String =
     eventsStage.getOrCompute(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-events-src").toString
+      // StageCache.stagedDir: identity (temp-dir staging) unless the bench
+      // enables the disk cache — then the staged tree (mtime tiering
+      // included) copies from/to the fingerprint-keyed slot, and the
+      // session still owns a disposable temp dir it may delete on release
+      graft.operators.StageCache.stagedDir(d, "events-src", "graft-events-src") { dir =>
       // 4 time-range files keep multi-batch replay (watermark advances
       // across batches) at half the state-checkpoint rounds of 8.
       val ev = sampledEvents(spark, d)
@@ -235,7 +239,7 @@ object EventsStream {
           col("e.event_type"), col("e.value"), col("e.props"))
         .coalesce(1).write.mode("append").parquet(dir)
       orderStagedTiers(dir, Seq(rangeTier, parquetFilesIn(dir) -- rangeTier))
-      dir
+      }
     }
 
   /** The LEFT OUTER stream-stream interval join AS a correctness-gate
@@ -285,7 +289,15 @@ object EventsStream {
 
   private[graft] def memoDrain(spark: SparkSession, d: String, gate: String)
                               (body: => DataFrame): DataFrame =
-    drainedPayloads.getOrCompute(spark, (d, gate))(body)
+    drainedPayloads.getOrCompute(spark, (d, gate)) {
+      // disk layer (bench only): the drained sink of a long-lived query is
+      // a corpus-derived artifact like any index table — under the content
+      // fingerprint, a host replays each gate's history once ever, and the
+      // timed q_stream_* rows keep their documented staged-read contract.
+      // Verify and every spec run with the cache disabled, so the drains
+      // the correctness gate grades always execute end-to-end.
+      graft.operators.StageCache.throughDf(spark, d, s"drain-$gate")(body)
+    }
 
   /** The STATE-SIZE side of the watermark contract (round-10 ask #4): the
     * recovery gates prove state RESTORES; nothing pinned that it stays
@@ -788,7 +800,8 @@ object EventsStream {
 
   private[graft] def stageEventsReplay(spark: SparkSession, d: String): String =
     eventsReplayStage.getOrCompute(spark, d) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-events-replay-src").toString
+      graft.operators.StageCache.stagedDir(d, "events-replay-src",
+        "graft-events-replay-src") { dir =>
       val ev = sampledEvents(spark, d)
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(dir)
       val rangeTier = parquetFilesIn(dir)
@@ -800,7 +813,7 @@ object EventsStream {
       ev.filter(col("user_id") % 20 === 0)
         .coalesce(1).write.mode("append").parquet(dir)
       orderStagedTiers(dir, Seq(rangeTier, parquetFilesIn(dir) -- rangeTier))
-      dir
+      }
     }
 
   /** Streaming exactly-once dedup AS a gate query (`q_stream_dedup`):

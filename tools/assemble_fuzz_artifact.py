@@ -1,15 +1,30 @@
 #!/usr/bin/env python3
-"""Assemble bench_runs/fuzz_diff_r15.json from a regen directory's JSONL
+"""Assemble bench_runs/fuzz_diff_r{N}.json from a regen directory's JSONL
 logs (one line per FuzzMain / StreamFuzzMain / GraphFuzzMain / VectorFuzzMain
 run) plus the compare_oracle log for the SQL half. Keeps the artifact a
-faithful record of what actually ran: every number is read from a run log,
-never typed in.
+faithful record of what actually ran: every number is read from a run log
+or derived from the spec/generator sources, never typed in — and a
+regeneration carries forward BOTH result-bearing sections of the previous
+artifact (divergences_found AND robustness_spot), so re-running the script
+never silently drops committed evidence (round-15 ADVICE).
 
-Usage: assemble_fuzz_artifact.py <regenDir> <outPath>
+Usage: assemble_fuzz_artifact.py <regenDir> <outPath> [prevArtifact]
+(prevArtifact defaults to outPath if it already exists)
 """
 import json
+import os
 import re
 import sys
+
+
+def spec_count(path, pattern, what):
+    """Read a count out of a Scala source so the in_suite sentence can't go
+    stale against the spec it describes (round-15 ADVICE: the hardcoded
+    text said 20 plans / 5 kinds after ivf_q8 made it 24 / 6)."""
+    with open(path) as f:
+        m = re.search(pattern, f.read())
+    assert m, f"cannot derive {what} from {path} (pattern {pattern})"
+    return int(m.group(1))
 
 
 def lines(path):
@@ -89,13 +104,31 @@ def main():
         "vector_runs": [
             {k: r[k] for k in ("seed", "count", "ok", "bad", "kinds",
                                "engine_rows_total", "wall_s")} for r in vector],
-        "divergences_found": json.load(open("bench_runs/fuzz_diff_r15.json")).get("divergences_found", []),
-        "in_suite": ("FuzzDifferentialSpec (SQL: determinism + 40 executed plans + partition invariance + the ROLLUP pin), "
-                     "StreamFuzzSpec (stream: 100 seeded plans incl. interval joins drained green, red-path delay-override "
-                     "control, too-late-admission pin), GraphFuzzSpec (24 plans covering all 12 kernels + dropped-row and "
-                     "rank-shift tamper controls), VectorFuzzSpec (20 plans covering all 5 kinds + tamper controls on both "
-                     "compare classes)"),
     }
+    # Result-bearing sections of the previous artifact carry forward — a
+    # regeneration documents new runs, it must never drop committed evidence.
+    prev_path = sys.argv[3] if len(sys.argv) > 3 else (out if os.path.exists(out) else None)
+    prev = json.load(open(prev_path)) if prev_path else {}
+    artifact["divergences_found"] = prev.get("divergences_found", [])
+    if "robustness_spot" in prev:
+        artifact["robustness_spot"] = prev["robustness_spot"]
+    # in_suite counts derived from the spec/generator sources, not typed in
+    src = "src/main/scala/graft/fuzz"
+    tst = "src/test/scala/graft"
+    # kind count = the number of quoted entries in VectorFuzzer.kinds
+    with open(f"{src}/VectorFuzzer.scala") as f:
+        v_kinds = len(re.findall(r'"\w+"', re.search(
+            r'val kinds: Vector\[String\] =\s*Vector\(([^)]*)\)', f.read()).group(1)))
+    v_plans = spec_count(f"{tst}/VectorFuzzSpec.scala",
+                         r'VectorFuzzer\.plans\(808080L, (\d+)\)', "vector in-suite plans")
+    g_plans = spec_count(f"{tst}/GraphFuzzSpec.scala",
+                         r'GraphFuzzer\.plans\([0-9]+L?, (\d+)\)', "graph in-suite plans")
+    artifact["in_suite"] = (
+        "FuzzDifferentialSpec (SQL: determinism + 40 executed plans + partition invariance + the ROLLUP pin), "
+        "StreamFuzzSpec (stream: seeded plans incl. interval joins drained green, red-path delay-override "
+        f"control, too-late-admission pin), GraphFuzzSpec ({g_plans} plans covering all 12 kernels + dropped-row and "
+        f"rank-shift tamper controls), VectorFuzzSpec ({v_plans} plans covering all {v_kinds} kinds + tamper controls on both "
+        "compare classes)")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     total_sql = sum(r["count"] for r in runs)
