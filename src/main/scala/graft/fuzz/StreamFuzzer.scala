@@ -13,10 +13,29 @@ import scala.util.Random
   * point — this generates random ones).
   *
   * Each plan picks a stateful shape — tumbling-window agg, sliding-window
-  * agg, session windows, watermark dedup, or the versioned-merge upsert —
-  * with randomized window size, slide, session gap, watermark delay, key
-  * cardinality, file slicing (nFiles × maxFilesPerTrigger), sentinel
-  * presence, and late-row / re-delivery injection. The plan is drained as
+  * agg, session windows, watermark dedup, the versioned-merge upsert,
+  * stream-stream interval join, or (round 16) one of the two CHAINED
+  * multi-stateful classes: interval join → windowed agg (`join_agg`) and
+  * two-level windowed rollup (`rollup2`) — with randomized window size,
+  * slide, session gap, watermark delay, key cardinality, file slicing
+  * (nFiles × maxFilesPerTrigger), sentinel presence, and late-row /
+  * re-delivery injection. The chained kinds randomize BOTH stateful
+  * stages (join bounds AND agg window; level-1 width AND level-2
+  * multiple): cross-operator watermark propagation is where the round-15
+  * smoke runs' two semantic catches lived, and the curated gates pin only
+  * one parameter point each (q_stream_join_agg, q_stream_rollup).
+  *
+  * Chained emission rules the oracles encode (the q_stream_join_agg /
+  * q_stream_rollup conventions, here generalized over the random
+  * parameters): (a) an interval join's OUTPUT watermark lags its input
+  * watermark by the condition's slack — for b.ts ∈ [a.ts − lo, a.ts + hi]
+  * the join may still emit an a.ts as old as wm − hi (a future on-time b
+  * can reach that far back) and a b.ts as old as wm − lo, so the
+  * downstream agg's cutoff is windowEnd ≤ wm_final − max(lo, hi); (b) a
+  * windowed agg hands its finalized windows downstream with NO extra lag
+  * (window_time < the watermark that finalized them), so the level-2
+  * cutoff is w2End ≤ wm_final, and w2 = w1 × mult keeps level-2
+  * boundaries aligned with level-1's. The plan is drained as
   * a REAL Structured Streaming query (file source, checkpoint, AvailableNow)
   * on an isolated child session and compared row-for-row against a batch
   * recomputation that derives the same answer ARITHMETICALLY (epoch-micro
@@ -63,7 +82,7 @@ object StreamFuzzer {
 
   final case class StreamPlan(
     idx: Int,
-    kind: String,        // tumbling | sliding | session | dedup | upsert | interval
+    kind: String,        // tumbling | sliding | session | dedup | upsert | interval | join_agg | rollup2
     windowSec: Long,     // tumbling/sliding window width
     slideSec: Long,      // sliding only; divides windowSec
     gapSec: Long,        // session gap
@@ -76,20 +95,23 @@ object StreamFuzzer {
     late: Boolean,       // agg kinds: inject provably-late fabricated rows
     redeliveryMod: Int,  // dedup/upsert: re-deliver users % redeliveryMod == 0
     restart: Boolean,    // split staging across TWO query lifetimes on one checkpoint
-    loSec: Long = 0L,    // interval join: b.ts >= a.ts − lo
-    hiSec: Long = 0L)    // interval join: b.ts <= a.ts + hi
+    loSec: Long = 0L,    // interval/join_agg: b.ts >= a.ts − lo
+    hiSec: Long = 0L,    // interval/join_agg: b.ts <= a.ts + hi
+    w2Mult: Int = 2)     // rollup2: level-2 window = w2Mult × windowSec
 
   /** Deterministic (seed, index) → plan (java.util.Random LCG is
     * JDK-specified, so plans are stable across hosts). */
   def plan(seed: Long, i: Int): StreamPlan = {
     val r = new Random(seed + 7000003L * i)
-    val kind = r.nextInt(12) match {
+    val kind = r.nextInt(16) match {
       case x if x < 3  => "tumbling"
       case x if x < 5  => "sliding"
-      case x if x < 7  => "session"
-      case x if x < 9  => "dedup"
-      case x if x < 10 => "upsert"
-      case _           => "interval"
+      case x if x < 6  => "session"
+      case x if x < 8  => "dedup"
+      case x if x < 9  => "upsert"
+      case x if x < 11 => "interval"
+      case x if x < 14 => "join_agg" // the chained classes get extra weight:
+      case _           => "rollup2"  // they subsume their single-op halves
     }
     val div = 2 + r.nextInt(3) // sliding: window = div × slide
     val slideMin = 5 + r.nextInt(56)
@@ -105,7 +127,7 @@ object StreamFuzzer {
       slideSec = slideMin * 60L,
       gapSec = (5 + r.nextInt(116)) * 60L,
       delaySec = (5 + r.nextInt(86)) * 60L,
-      keyMod = (if (kind == "interval") 8 else 2) + r.nextInt(49),
+      keyMod = (if (kind == "interval" || kind == "join_agg") 8 else 2) + r.nextInt(49),
       nFiles = nFiles,
       mft = 1 + r.nextInt(math.min(3, nFiles)),
       sampleMod = 1 + r.nextInt(3),
@@ -122,7 +144,12 @@ object StreamFuzzer {
       // (hence the pair count AND the join state size) stays bounded at
       // any SF; keyMod for this kind starts at 8 (above) for the same reason
       loSec = r.nextInt(16) * 60L,
-      hiSec = (1 + r.nextInt(30)) * 60L)
+      hiSec = (1 + r.nextInt(30)) * 60L,
+      // level-2 window is an exact multiple of level-1 (epoch-aligned
+      // windows ⇒ every w1 boundary lands on a w2 boundary, so the oracle's
+      // bucket math is integer division — the curated gate's hour→day shape
+      // generalized)
+      w2Mult = 2 + r.nextInt(5))
   }
 
   def plans(seed: Long, count: Int): Seq[StreamPlan] =
@@ -200,11 +227,16 @@ object StreamFuzzer {
       }
 
       val horizonSec = p.kind match {
-        case "session" => p.gapSec
-        case _         => p.windowSec
+        case "session"  => p.gapSec
+        case "rollup2"  => p.windowSec * p.w2Mult // a real LEVEL-2 window must close
+        // the chained agg's cutoff lags by the join slack, so the sentinel
+        // must clear window + slack for every real window to emit
+        case "join_agg" => p.windowSec + math.max(p.loSec, p.hiSec)
+        case _          => p.windowSec
       }
       val isAgg = p.kind == "tumbling" || p.kind == "sliding" || p.kind == "session"
       val isJoin = p.kind == "interval"
+      val isChained = p.kind == "join_agg" || p.kind == "rollup2"
 
       // ---- the streaming side: one starter per kind ----------------------
       val delayStr = s"${p.delaySec} seconds"
@@ -279,6 +311,44 @@ object StreamFuzzer {
               s"AND b_ts <= a_ts + INTERVAL ${p.hiSec} SECONDS"))
             .select(col("a_id"), col("b_id"), col("a_k").as("k"),
               unix_micros(col("a_ts")).as("a_es"), unix_micros(col("b_ts")).as("b_es")))
+        case "join_agg" =>
+          // CHAINED join→agg (two stateful operators, join state feeding
+          // aggregation state): the q_stream_join_agg class with BOTH
+          // stages randomized — join bounds (lo, hi) AND the downstream
+          // window on a_ts. Emission depends on the join's OUTPUT
+          // watermark (input wm − max(lo, hi) — see the scaladoc), the
+          // propagation rule the curated gate pins at one (1 h, 0) point.
+          val a = readSrc.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+              (col("user_id") % p.keyMod).as("a_k"))
+            .withWatermark("a_ts", delayStr)
+          val b = readSrc.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+              (col("user_id") % p.keyMod).as("b_k"))
+            .withWatermark("b_ts", delayStr)
+          startFileSink(a.join(b, expr(
+            s"a_k = b_k AND b_ts >= a_ts - INTERVAL ${p.loSec} SECONDS " +
+              s"AND b_ts <= a_ts + INTERVAL ${p.hiSec} SECONDS"))
+            .groupBy(window(col("a_ts"), s"${p.windowSec} seconds").as("w"), col("a_k"))
+            .agg(count(lit(1)).as("n"), sum(col("b_id")).as("b_checksum"))
+            .select(unix_micros(col("w.start")).as("ws"), col("a_k").as("k"),
+              col("n"), col("b_checksum")))
+        case "rollup2" =>
+          // CHAINED agg→agg (two-level rollup): level-1 windows of
+          // windowSec finalize under the watermark and feed — via
+          // window_time, the finalized window's event time — level-2
+          // windows of w2Mult × windowSec. The q_stream_rollup class with
+          // both widths randomized; the handoff under test is that level 2
+          // may only finalize once every level-1 window inside it has
+          // itself been finalized and handed down.
+          val w2 = p.windowSec * p.w2Mult
+          startFileSink(readSrc.withWatermark("ts", delayStr)
+            .groupBy(window(col("ts"), s"${p.windowSec} seconds").as("w"), keyExpr)
+            .agg(count(lit(1)).as("n1"), sum(centsExpr).as("c1"))
+            .groupBy(window(window_time(col("w")), s"$w2 seconds").as("d"), col("k"))
+            .agg(sum(col("n1")).as("n"), count(lit(1)).as("n_w1"), sum(col("c1")).as("cents"))
+            .select(unix_micros(col("d.start")).as("ws"), col("k"),
+              col("n"), col("n_w1"), col("cents")))
       }
 
       def drainKind(): String = {
@@ -317,7 +387,7 @@ object StreamFuzzer {
       // already-open state; the oracle includes them (user_id ≥ 0).
       // Skipped when the delay leaves no room (recorded as lateInjected=0).
       var lateInjected = 0L
-      if ((isAgg || isJoin) && p.late && p.delaySec >= 420) {
+      if ((isAgg || isJoin || isChained) && p.late && p.delaySec >= 420) {
         val prev = pfiles()
         iso.range(5).select(
           (lit(-100L) - col("id")).as("event_id"),
@@ -331,12 +401,21 @@ object StreamFuzzer {
         lateInjected = 5L
       }
 
-      // ---- sentinel (agg kinds): closes every real window ---------------
-      if (isAgg && p.sentinel) {
+      // ---- sentinel (agg + chained kinds): closes every real window -----
+      // join_agg needs a sentinel PAIR: each join side filters by event-id
+      // parity before its watermark is assigned, so a single row would
+      // advance only ONE side's watermark and the propagated minimum would
+      // stay at the real data's tail. Ids −1 (pmod 1 → b side) and −2
+      // (pmod 0 → a side) at the same instant and the same key match each
+      // other (Δts = 0 ∈ [−lo, hi]); the matched pair lands in an agg
+      // window ending past the final cutoff, so it is held, never emitted
+      // — and the oracle excludes user −999 anyway.
+      if ((isAgg || isChained) && p.sentinel) {
         val prev = pfiles()
         val sentUs = mxUs + (p.delaySec + horizonSec + 7200L) * 1000000L
-        iso.range(1).select(
-          lit(-1L).as("event_id"),
+        val nSent = if (p.kind == "join_agg") 2 else 1
+        iso.range(nSent).select(
+          (lit(-1L) - col("id")).as("event_id"),
           timestamp_micros(lit(sentUs)).as("ts"),
           lit(-999L).as("user_id"),
           lit("view").as("event_type"),
@@ -346,11 +425,11 @@ object StreamFuzzer {
       }
 
       // ---- re-delivery (dedup/upsert): the at-least-once transport ------
-      // NOT for the interval join: a re-delivered OLD row arrives delayed
-      // by more than the watermark, the side of the contract Spark leaves
-      // unspecified for join input admission (same reason the agg kinds
-      // only inject in-horizon rows)
-      if (!isAgg && !isJoin) {
+      // NOT for the interval join or the chained kinds: a re-delivered OLD
+      // row arrives delayed by more than the watermark — unspecified for
+      // join input admission, and double-counted by an agg (same reason
+      // the agg kinds only inject in-horizon rows)
+      if (!isAgg && !isJoin && !isChained) {
         val prev = pfiles()
         ev.filter(col("user_id") % p.redeliveryMod === 0)
           .coalesce(1).write.mode("append").parquet(srcDir)
@@ -448,6 +527,52 @@ object StreamFuzzer {
             StructField("a_id", LongType), StructField("b_id", LongType),
             StructField("k", LongType), StructField("a_es", LongType),
             StructField("b_es", LongType)))
+          (iso.read.schema(outSchema).parquet(outDir), o)
+
+        case "join_agg" =>
+          // same banded theta join as the interval oracle, then the window
+          // agg — with the PROPAGATED cutoff: the join's output watermark
+          // lags the input watermark by max(lo, hi) (see the scaladoc), so
+          // only windows ending at or before wmFinal − slack may emit
+          val loUs = p.loSec * 1000000L
+          val hiUs = p.hiSec * 1000000L
+          val slackUs = math.max(p.loSec, p.hiSec) * 1000000L
+          val aSide = real.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_es"),
+              (col("user_id") % p.keyMod).as("k"))
+          val bSide = real.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_es"),
+              (col("user_id") % p.keyMod).as("bk"))
+          val o = aSide.join(bSide, col("k") === col("bk") &&
+              col("b_es") >= col("a_es") - loUs && col("b_es") <= col("a_es") + hiUs)
+            .withColumn("ws", col("a_es") - pmod(col("a_es"), lit(wUs)))
+            .groupBy("ws", "k")
+            .agg(count(lit(1)).as("n"), sum(col("b_id")).as("b_checksum"))
+            .filter(col("ws") + wUs <= wmFinalUs - slackUs)
+          val outSchema = StructType(Seq(
+            StructField("ws", LongType), StructField("k", LongType),
+            StructField("n", LongType), StructField("b_checksum", LongType)))
+          (iso.read.schema(outSchema).parquet(outDir), o)
+
+        case "rollup2" =>
+          // level-1 truth (the tumbling oracle WITHOUT a cutoff), bucketed
+          // into aligned level-2 windows; only CLOSED level-2 windows emit
+          // (w2End ≤ wmFinal — the q_stream_rollup rule). Every level-1
+          // window inside a closed level-2 window closed first (its end ≤
+          // w2End), so rolling the unfiltered hourly truth is exact.
+          val w2Us = wUs * p.w2Mult
+          val o = real
+            .select(unix_micros(col("ts")).as("es"), keyExpr, centsExpr.as("c"))
+            .withColumn("w1", col("es") - pmod(col("es"), lit(wUs)))
+            .groupBy("w1", "k").agg(count(lit(1)).as("n1"), sum("c").as("c1"))
+            .withColumn("ws", col("w1") - pmod(col("w1"), lit(w2Us)))
+            .groupBy("ws", "k")
+            .agg(sum("n1").as("n"), count(lit(1)).as("n_w1"), sum("c1").as("cents"))
+            .filter(col("ws") + w2Us <= wmFinalUs)
+          val outSchema = StructType(Seq(
+            StructField("ws", LongType), StructField("k", LongType),
+            StructField("n", LongType), StructField("n_w1", LongType),
+            StructField("cents", LongType)))
           (iso.read.schema(outSchema).parquet(outDir), o)
 
         case "upsert" =>
