@@ -11,8 +11,9 @@ import scala.concurrent.duration.Duration
   *
   * Usage: runMain graft.VectorFuzzMain <seed> <count> [parallelism]
   *
-  * Kind choice cycles by index, so count = 6k covers every kind k times
-  * (6 kinds — see [[fuzz.VectorFuzzer.kinds]]).
+  * Kind choice cycles by index, so count = 7k covers every kind k times
+  * (7 kinds — see [[fuzz.VectorFuzzer.kinds]]; round 16 added `ivf_pq`
+  * under the boundary-robust compare).
   * Plans carry their own generated vectors — no testdata dir needed.
   * Emits one JSON summary line; exit 2 on any divergence.
   */

@@ -36,16 +36,30 @@ import scala.util.Random
   *   dimstats  [[Embeddings.dimStatsOf]] vs per-dimension moments
   *   whiten    [[Embeddings.whitenedNormsOf]] vs Σ(x−μ)²/(σ²+ε) per vector
   *
-  * Deliberately NOT fuzzed: [[IvfIndex.ivfTopKPq]] (the ADC path). Its
-  * approximate rank key is `sum()` over the 8 per-subspace LUT hits — a
-  * partition-order-dependent double sum, so an oracle's sequential
-  * re-summation can differ by an ulp, and an ulp at the k·rerank survivor
-  * BOUNDARY legitimately changes the output set. A differential there
-  * would be flaky by construction on fresh seeds rather than evidential;
-  * PQ keeps its measured-recall + regret-flag evidence (q_ann_ivf_pq,
-  * probeQualityBound), and the int8 `ivf_q8` kind pins the shared
-  * retrieve-then-rerank machinery exactly (its per-candidate scores are
-  * single vec_dot evaluations — order-deterministic).
+  *   ivf_pq   [[IvfIndex.ivfTopKPq]] — the ADC path, under a BOUNDARY-
+  *             ROBUST compare (round-15 verdict stretch #8; this was the
+  *             one deliberately-unfuzzed ANN path). The hazard: the ADC
+  *             rank key is `sum()` over the m per-subspace LUT hits — a
+  *             partition-order-dependent double sum — so an oracle's
+  *             sequential re-summation can differ by an ulp, and an ulp
+  *             exactly AT the k·rerank survivor boundary legitimately
+  *             changes the survivor set. Resolution: the oracle replays
+  *             the full pipeline (probe selection, LUT pdot/pc2 — both
+  *             deterministic index-order folds in the engine — ADC
+  *             scoring, survivor cut, exact rerank) from the engine's own
+  *             centroids/assignments/codebooks/codes; when the ADC score
+  *             gap at the survivor boundary exceeds EPS (1e-9 relative —
+  *             ~10⁷ double ulps, far above any m-term reorder error) the
+  *             plan compares EXACTLY, and only when the gap is inside EPS
+  *             does it fall back to an admissibility check (returned
+  *             candidates probed + at-or-above the boundary − EPS, exact
+  *             cosines bit-exact, ranks consistent, and every
+  *             strictly-surviving candidate whose exact cosine beats the
+  *             engine's k-th returned row present). Random vectors put
+  *             essentially every plan on the exact path; the fallback is
+  *             what makes fresh seeds non-flaky BY CONSTRUCTION instead
+  *             of by luck. PQ also keeps its measured-recall/regret
+  *             evidence (q_ann_ivf_pq, probeQualityBound).
   *
   * Exactness: vec_dot / vec_norm are documented index-order double sums
   * (VectorExpressions.scala:69-119), so the cosine oracles replay the SAME
@@ -60,7 +74,7 @@ import scala.util.Random
 object VectorFuzzer {
 
   val kinds: Vector[String] =
-    Vector("brute", "ivf_full", "ivf_probe", "ivf_q8", "dimstats", "whiten")
+    Vector("brute", "ivf_full", "ivf_probe", "ivf_q8", "ivf_pq", "dimstats", "whiten")
 
   final case class VPlan(idx: Int, kind: String, dim: Int, k: Int,
                          nCells: Int, nProbe: Int, nQueries: Int,
@@ -322,6 +336,131 @@ object VectorFuzzer {
           rows(IvfIndex.ivfTopKQuantized(queries, assigned, centroids, p.k,
             nProbe = p.nProbe, rerank = rerank)),
           t(oracle))
+
+      case "ivf_pq" =>
+        val (assigned, centroids) = IvfIndex.buildIndex(emb, p.nCells)
+        // subspace count must divide the (random) dim; codes kept small so
+        // the per-subspace k-means stays meaningful on ≤150 vectors
+        val m = if (p.dim % 4 == 0) 4 else if (p.dim % 2 == 0) 2 else 1
+        val sub = p.dim / m
+        val nCodes = 8
+        val rerank = 3
+        val cb = IvfIndex.pqCodebooks(emb, m, nCodes)
+        val codes = IvfIndex.pqEncode(assigned, cb, m)
+        val engineRows = rows(IvfIndex.ivfTopKPq(queries, assigned, centroids,
+          cb, codes, p.k, nProbe = p.nProbe, rerank = rerank))
+        // oracle inputs: the engine's OWN model artifacts (the ivf_probe
+        // convention — quantizer/codebook training is input, everything
+        // downstream is recomputed independently)
+        val cents: Map[Int, Vector[Double]] = centroids.collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
+        val cellOf: Map[Long, Int] = assigned.select($"vec_id", $"cell").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val cbMap: Map[(Int, Int), Vector[Double]] = cb.collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toVector).toMap
+        val codeOf: Map[(Long, Int), Int] = codes.collect()
+          .map(r => (r.getLong(0), r.getInt(2)) -> r.getInt(3)).toMap
+        val vecById = p.vectors.toMap
+        val Eps = 1e-9
+        val mCut = p.k * rerank
+        val engByQ = engineRows.groupBy(_.head match {
+          case i: Int => i.toLong; case l: Long => l })
+        var ambiguous = 0
+        val problems = qSeq.flatMap { case (qid, q0) =>
+          // red-path control: a perturbed oracle-side query must red the
+          // compare through the normal machinery (probe choice, ADC scores
+          // and exact cosines all move — nothing special-cased)
+          val q = if (tamperOracle) q0.updated(0, q0(0) + 0.5f) else q0
+          val qd = q.map(_.toDouble)
+          val qn = normD(qd)
+          val probedCells = cents.toSeq
+            .map { case (cell, c) =>
+              (cell, cosOpt(dotD(qd, c), qn, normD(c)).map(x => -x))
+            }
+            .sortBy { case (cell, nd) => (nd.isDefined, nd.getOrElse(0.0), cell) }
+            .take(p.nProbe).map(_._1).toSet
+          val inCells = p.vectors
+            .filter { case (cid, _) => cid != qid && probedCells(cellOf(cid)) }
+          // ADC score: per-subspace LUT pdot/pc2 replayed as the engine's
+          // index-order folds; the cross-subspace sums are the only
+          // order-hazardous arithmetic (the EPS band's reason to exist)
+          def adc(cid: Long): Option[Double] = {
+            var adot = 0.0; var ac2 = 0.0; var j = 0
+            while (j < m) {
+              val cbv = cbMap((j, codeOf((cid, j))))
+              var pd = 0.0; var pc = 0.0; var i = 0
+              while (i < sub) {
+                pd += qd(j * sub + i) * cbv(i)
+                pc += cbv(i) * cbv(i)
+                i += 1
+              }
+              adot += pd; ac2 += pc; j += 1
+            }
+            if (math.sqrt(ac2) == 0.0) None else Some(adot / math.sqrt(ac2))
+          }
+          val scored = inCells.map { case (cid, _) => (cid, adc(cid)) }
+            .sortBy { case (cid, a) => (a.isEmpty, -a.getOrElse(0.0), cid) }
+          def exactRows(ids: Seq[Long]): Seq[Seq[Any]] =
+            ids.map { cid =>
+              val c = vecById(cid)
+              (cid, cosOpt(dot(q, c), qn, norm(c)))
+            }.sortBy { case (cid, co) => (co.isEmpty, -co.getOrElse(0.0), cid) }
+              .take(p.k).zipWithIndex
+              .map { case ((cid, co), r) => Seq[Any](qid, cid, co.map(round4).orNull, r + 1) }
+          val eng = engByQ.getOrElse(qid, Seq.empty).map(_.map(normalize))
+          val gapSafe = scored.size <= mCut || {
+            (scored(mCut - 1)._2, scored(mCut)._2) match {
+              case (Some(a), Some(b)) => a - b > Eps * math.max(1.0, math.abs(a))
+              case _ => true // a None on either side orders exactly (no fp)
+            }
+          }
+          if (gapSafe) {
+            val oracle = exactRows(scored.take(mCut).map(_._1)).map(_.map(normalize))
+            if (eng.toSet == oracle.toSet && eng.size == oracle.size) None
+            else Some(s"q$qid: exact path diverged (eng=${eng.size} oracle=${oracle.size})")
+          } else {
+            ambiguous += 1
+            // admissibility: the boundary is fp-ambiguous, so accept any
+            // survivor resolution but pin everything else
+            val bScore = scored(mCut - 1)._2.get
+            val admissible = scored.zipWithIndex.collect {
+              case ((cid, Some(a)), i) if i < mCut || a >= bScore - Eps * math.max(1.0, math.abs(bScore)) => cid
+            }.toSet
+            val strict = scored.take(mCut).collect {
+              case (cid, Some(a)) if a > bScore + Eps * math.max(1.0, math.abs(bScore)) => cid
+            }
+            def exactCos(cid: Long): Option[Double] = {
+              val c = vecById(cid); cosOpt(dot(q, c), qn, norm(c))
+            }
+            val engIds = eng.map(_(1).asInstanceOf[Long])
+            val engMin = eng.flatMap(r => Option(r(2)).map(_.asInstanceOf[Double])) match {
+              case s if s.nonEmpty => s.min; case _ => Double.NegativeInfinity
+            }
+            val bad =
+              if (eng.size != math.min(p.k, scored.size)) Some(s"q$qid: size ${eng.size}")
+              else if (!engIds.forall(admissible)) Some(s"q$qid: non-admissible candidate returned")
+              else if (eng.map(_(1)).distinct.size != eng.size) Some(s"q$qid: duplicate candidate")
+              else if (!eng.forall { r =>
+                val cid = r(1).asInstanceOf[Long]
+                val expect: Any = exactCos(cid).map(round4).map(Double.box).orNull
+                r(2) == expect
+              }) Some(s"q$qid: exact-cosine mismatch on returned row")
+              else {
+                // a strict survivor whose exact cosine strictly beats the
+                // engine's worst returned cosine must have been returned
+                val missed = strict.filterNot(engIds.contains).filter(cid =>
+                  exactCos(cid).exists(_ > engMin + 1e-12))
+                if (missed.nonEmpty) Some(s"q$qid: strict survivor ${missed.head} with better exact cos dropped")
+                else None
+              }
+            bad
+          }
+        }
+        Result(p.idx, p.kind,
+          ok = problems.isEmpty,
+          engineRows.size, engineRows.size,
+          (if (ambiguous > 0) s"boundary-ambiguous queries: $ambiguous; " else "") +
+            problems.take(3).mkString("; "))
 
       case "dimstats" =>
         tolCompare(p.idx, p.kind,

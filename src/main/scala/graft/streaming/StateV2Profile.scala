@@ -114,9 +114,21 @@ object StateV2Profile {
     }
 
   /** Streaming per-user profiles over the events dir; AvailableNow drains
-    * the source, RocksDB holds the column-family state. */
+    * the source, RocksDB holds the column-family state.
+    *
+    * `afterSinkWrite` / `idempotentSink` are the crash-cell hooks (the
+    * [[UpsertStream.runUpsert]] convention): the hook fires after the
+    * batch's sink write and before Spark commits the batch, and the
+    * idempotent variant writes per-batch directories (overwrite) so a
+    * replayed batch rewrites its own output instead of double-appending —
+    * CrashKillSpec SIGKILLs a forked drain inside that window to prove
+    * the v2 state path (RocksDB families, changelog files) recovers.
+    * Production callers leave both defaults. */
   def runProfiles(spark: SparkSession, srcDir: String, outDir: String,
-                  checkpointDir: String): StreamingQuery = {
+                  checkpointDir: String,
+                  afterSinkWrite: Long => Unit = _ => (),
+                  idempotentSink: Boolean = false,
+                  maxFilesPerTrigger: Int = 4): StreamingQuery = {
     import spark.implicits._
     // v2 state requires the RocksDB provider; recorded in the checkpoint at
     // first start, so the setting travels with the query from then on. The
@@ -128,7 +140,7 @@ object StateV2Profile {
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val events = EventsStream.readEvents(spark, srcDir)
+      val events = EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .as[Ev]
       events
@@ -138,8 +150,10 @@ object StateV2Profile {
         .trigger(Trigger.AvailableNow())
         .outputMode("update")
         .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: Dataset[Profile], _: Long) =>
-          batch.write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: Dataset[Profile], id: Long) =>
+          if (idempotentSink) batch.write.mode("overwrite").parquet(s"$outDir/b$id")
+          else batch.write.mode("append").parquet(outDir)
+          afterSinkWrite(id)
         }
         .start()
     } finally {

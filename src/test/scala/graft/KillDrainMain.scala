@@ -64,6 +64,11 @@ object KillDrainMain {
           .writeStream.trigger(Trigger.AvailableNow()).outputMode("append")
           .option("checkpointLocation", ckptDir)
           .foreachBatch(idempotentSink).start()
+      case "profile" =>
+        // transformWithState v2 (RocksDB column-family state), sliced to
+        // one file per batch so the crash batch has non-trivial prior state
+        graft.streaming.StateV2Profile.runProfiles(spark, srcDir, outDir, ckptDir,
+          hook, idempotentSink = true, maxFilesPerTrigger = 1)
     }
     q.awaitTermination()
     // only reachable if the parent failed to kill us — exit distinctly so

@@ -203,6 +203,20 @@ object SfTrendMain {
       "cluster-labels-build" -> { s =>
         operators.Dedup.clusterLabels(s, dir)
           .write.format("noop").mode("overwrite").save()
+      },
+      // The HONEST label-propagation scale point (round-15 verdict #4):
+      // clusterLabels above rides the doc<80 EXACT pair slice, which is
+      // bounded by construction — replicas shift doc ids past the bound,
+      // so its ×20 ratio (1.08 in r15) measured per-job overhead, not the
+      // kernel. clusterLabelsLsh labels the FULL corpus from the banded
+      // minhash pairs: the per-copy vocab suffixes hold the per-copy dup
+      // rate constant and produce zero cross-copy survivors, so the
+      // propagation input grows ∝ N exactly (the emitted lsh_pairs counts
+      // prove it) and the ratio prices the label-propagation shuffle where
+      // pairs actually grow.
+      "cluster-labels-lsh-build" -> { s =>
+        operators.Dedup.clusterLabelsLsh(s, dir)
+          .write.format("noop").mode("overwrite").save()
       })
     builds.map { case (name, body) =>
       def once(): Double = {
@@ -235,13 +249,24 @@ object SfTrendMain {
       val scale = sys.env.getOrElse("SPARK_GRAFT_BUILD_SCALE", "20").toInt
       def jnum(v: Double, d: Int): String =
         String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
-      val x1 = timeBuilds(spark, scaledDir(spark, src, 1, base), runs = 2)
-      val xN = timeBuilds(spark, scaledDir(spark, src, scale, base), runs = 1)
+      val dir1 = scaledDir(spark, src, 1, base)
+      val dirN = scaledDir(spark, src, scale, base)
+      val x1 = timeBuilds(spark, dir1, runs = 2)
+      val xN = timeBuilds(spark, dirN, runs = 1)
+      // the pair-volume evidence for the lsh-labels row: the propagation
+      // input must actually have grown ~scale× for the ratio to price the
+      // kernel (untimed; fresh session so the count never warms a build)
+      def lshPairs(dir: String): Long = {
+        val s = spark.newSession()
+        try operators.Dedup.nearDupPairs(s, dir, 0.2).count()
+        finally operators.SessionCache.releaseSession(s)
+      }
+      val (p1, pN) = (lshPairs(dir1), lshPairs(dirN))
       val bjson = x1.keys.toSeq.sorted.map { n =>
         val r = xN(n) / math.max(x1(n), 1e-9)
         s""""$n":{"x1":${jnum(x1(n), 3)},"x$scale":${jnum(xN(n), 3)},"ratio_x${scale}_x1":${jnum(r, 2)}}"""
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"sf_trend_builds","src":"$src","build_scale":$scale,"builds":$bjson}""")
+      println(s"""{"metric":"sf_trend_builds","src":"$src","build_scale":$scale,"builds":$bjson,"lsh_pairs":{"x1":$p1,"x$scale":$pN,"ratio":${jnum(pN.toDouble / math.max(p1, 1L), 2)}}}""")
       spark.stop()
       return
     }
