@@ -14,10 +14,11 @@ import java.nio.file.{Files, Paths}
   *     DuckDB half (this JVM owns the cluster SparkContext, so the
   *     second engine must live outside it).
   *   - graph: 12 plans (one per kernel) vs their brute-force oracles.
-  *   - vector: 6 plans (one per kind) vs their linear-algebra oracles.
-  *   - stream: 3 plans (one per state class: windowed agg, dedup,
-  *     interval join) drained through executor-JVM state stores vs their
-  *     batch recomputations.
+  *   - vector: 7 plans (one per kind) vs their linear-algebra oracles.
+  *   - stream: 5 plans (one per state class: windowed agg, dedup,
+  *     interval join, plus the chained join_agg and rollup2 topologies)
+  *     drained through executor-JVM state stores vs their batch
+  *     recomputations.
   *
   * A single-JVM locality dependency — a broadcast mutated in place, a
   * task closure capturing driver state, an accumulator-like shortcut, a
@@ -78,14 +79,14 @@ object LocalClusterFuzzMain {
       System.err.println(s"[lcfuzz] graph ${r.kernel}: ${if (r.ok) "ok" else r.detail}")
       r
     }
-    val vectorResults = fuzz.VectorFuzzer.plans(515253L, 6).map { p =>
+    val vectorResults = fuzz.VectorFuzzer.plans(515253L, 7).map { p =>
       val r = fuzz.VectorFuzzer.run(spark, p)
       System.err.println(s"[lcfuzz] vector ${r.kind}: ${if (r.ok) "ok" else r.detail}")
       r
     }
     val streamPicks = {
       val ps = fuzz.StreamFuzzer.plans(909015L, 150)
-      Seq("tumbling", "dedup", "interval").flatMap(k => ps.find(_.kind == k))
+      Seq("tumbling", "dedup", "interval", "join_agg", "rollup2").flatMap(k => ps.find(_.kind == k))
     }
     val streamResults = streamPicks.map { p =>
       val r = fuzz.StreamFuzzer.run(spark, sfDir, p)

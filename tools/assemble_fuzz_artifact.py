@@ -77,13 +77,15 @@ def main():
                       "pure-inequality and BETWEEN-band joins between GROUP-BY-bounded derived tables (BroadcastNestedLoopJoin "
                       "planning, <=256-row worst case at any SF), equi-joins with non-equi ON-clause residuals, and correlated "
                       "non-equi [NOT] EXISTS — the last planner path the round-14 verdict listed as unfuzzed"),
-        "stream_generator": ("graft.fuzz.StreamFuzzer — seeded stateful plans, now SIX kinds: tumbling/sliding-window "
-                             "aggregation, session windows, watermark dedup, versioned-merge upsert, and stream-stream "
-                             "INTERVAL JOINS (random lo/hi time bounds — the join-state class the fuzzer previously did not "
-                             "reach); randomized window/slide/gap/delay/key-mod/slicing/sentinel/in-horizon late injection/"
-                             "re-delivery, and the restart axis (1/3 of plans split staging across two query lifetimes on one "
-                             "checkpoint). Interval-join soundness: a late in-horizon row's partner satisfies "
-                             "ts >= late_ts - hi > wm - hi, exactly the join-state eviction bound — never yet evicted"),
+        "stream_generator": ("graft.fuzz.StreamFuzzer — seeded stateful plans, now EIGHT kinds: tumbling/sliding-window "
+                             "aggregation, session windows, watermark dedup, versioned-merge upsert, stream-stream INTERVAL "
+                             "JOINS (random lo/hi time bounds), and — round 16 — the two CHAINED multi-stateful classes: "
+                             "join_agg (interval join feeding a windowed agg, BOTH stages randomized; oracle encodes the "
+                             "propagated cutoff windowEnd <= wm - max(lo, hi)) and rollup2 (two-level windowed rollup with a "
+                             "random aligned level-2 multiple; cutoff w2End <= wm). Randomized window/slide/gap/delay/key-mod/"
+                             "slicing/sentinel/in-horizon late injection/re-delivery, and the restart axis (1/3 of plans split "
+                             "staging across two query lifetimes on one checkpoint). Interval-join soundness: a late "
+                             "in-horizon row's partner satisfies ts >= late_ts - hi > wm - hi, the join-state eviction bound"),
         "graph_generator": ("graft.fuzz.GraphFuzzer — seeded random multigraphs (sparse ids, duplicate edges, self-loops, "
                             "disconnected components); all 12 graph kernels vs plain-Scala brute-force oracles sharing no "
                             "code with the implementations (union-find, exhaustive triple scan, synchronous Bellman-Ford, "
@@ -91,8 +93,11 @@ def main():
         "vector_generator": ("graft.fuzz.VectorFuzzer — seeded random float vector sets (4-16 dims, ~1/3 of plans plant an "
                              "all-zero vector for the try_divide null-cosine path); brute-force top-k, FULL-PROBE IVF == exact "
                              "search (k-means-independent), partial probe replayed from the engine's own centroids/assignments, "
-                             "dim-stats and whitened norms vs direct moments. Cosine oracles replay vec_dot/vec_norm's "
-                             "documented index-order double sums, so the top-k kinds compare exactly"),
+                             "int8 retrieve-then-rerank (ivf_q8), and — round 16 — the IVF+PQ ADC path (ivf_pq) under a "
+                             "BOUNDARY-ROBUST compare: exact replay of probe/LUT/ADC/rerank from the engine's own model "
+                             "artifacts, exact multiset compare unless the ADC survivor-boundary gap is inside 1e-9 relative, "
+                             "then an admissibility check (no flaky fresh seeds by construction). Plus dim-stats and whitened "
+                             "norms vs direct moments. Cosine oracles replay vec_dot/vec_norm's documented index-order sums"),
         "runs": runs,
         "stream_runs": [
             {k: r[k] for k in ("seed", "count", "sf_dir", "ok", "bad", "kinds",
@@ -127,8 +132,8 @@ def main():
         "FuzzDifferentialSpec (SQL: determinism + 40 executed plans + partition invariance + the ROLLUP pin), "
         "StreamFuzzSpec (stream: seeded plans incl. interval joins drained green, red-path delay-override "
         f"control, too-late-admission pin), GraphFuzzSpec ({g_plans} plans covering all 12 kernels + dropped-row and "
-        f"rank-shift tamper controls), VectorFuzzSpec ({v_plans} plans covering all {v_kinds} kinds + tamper controls on both "
-        "compare classes)")
+        f"rank-shift tamper controls), VectorFuzzSpec ({v_plans} plans covering all {v_kinds} kinds + tamper controls on all "
+        "three compare classes)")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     total_sql = sum(r["count"] for r in runs)
