@@ -23,14 +23,34 @@ import org.apache.spark.sql.streaming.Trigger
   * state; Spark-managed join buffers), crash at batch 1 so recovery
   * reloads non-trivial prior state.
   */
-class CrashKillSpec extends SparkSpec {
+class CrashKillSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val CrashBatch = 1L
 
-  /** Fork KillDrainMain, wait for its marker, SIGKILL it; returns after
-    * asserting the kill landed inside the sink-written/uncommitted window. */
-  private def forkAndKill(klass: String, srcDir: String, base: java.nio.file.Path,
-                          sinkEvidence: java.io.File): Unit = {
+  /** All four child JVMs fork CONCURRENTLY on first touch (suite-wall
+    * discipline: each child pays ~20 s of JVM+Spark init and then blocks
+    * at its marker; serial forking quadrupled that). Each cell's test
+    * then finds its child already holding the commit open and only pays
+    * the kill + in-process resume. */
+  private lazy val cells: Map[String, (java.nio.file.Path, Process)] = {
+    val srcDir = graft.streaming.EventsStream.stageEvents(spark, sf)
+    Seq("upsert", "wagg", "ssj", "profile").map { k =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-kill-$k")
+      k -> (base, forkChild(k, srcDir, base))
+    }.toMap
+  }
+
+  override def afterAll(): Unit = {
+    // a failed test must not leak a blocked child JVM or its scratch tree
+    cells.values.foreach { case (base, p) =>
+      if (p.isAlive) { p.destroyForcibly(); p.waitFor() }
+      deleteRecursively(base.toFile)
+    }
+    super.afterAll()
+  }
+
+  private def forkChild(klass: String, srcDir: String,
+                        base: java.nio.file.Path): Process = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     // same JDK17 add-opens the forked test JVM itself runs with (build.sbt)
     val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -40,7 +60,14 @@ class CrashKillSpec extends SparkSpec {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(base.resolve("child.log").toFile)
-    val p = pb.start()
+    pb.start()
+  }
+
+  /** Wait for the cell's marker, SIGKILL the child; returns after
+    * asserting the kill landed inside the sink-written/uncommitted window. */
+  private def forkAndKill(klass: String, sinkEvidenceOf: java.nio.file.Path => java.io.File)
+  : java.nio.file.Path = {
+    val (base, p) = cells(klass)
     val marker = base.resolve("killme").toFile
     val deadline = System.nanoTime() + 180L * 1000000000L
     while (!marker.exists() && p.isAlive && System.nanoTime() < deadline)
@@ -49,7 +76,7 @@ class CrashKillSpec extends SparkSpec {
       s"(alive=${p.isAlive}; see ${base.resolve("child.log")})")
     // the marker is written AFTER the sink write returns, so the sink
     // artifact must already be on disk
-    assert(sinkEvidence.exists(),
+    assert(sinkEvidenceOf(base).exists(),
       s"$klass: sink artifact for batch $CrashBatch missing at kill time")
     p.destroyForcibly() // SIGKILL on Linux
     assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS), "child survived SIGKILL")
@@ -60,6 +87,7 @@ class CrashKillSpec extends SparkSpec {
     // window — now produced by an actual process death
     assert(!new java.io.File(s"$base/ckpt/commits/$CrashBatch").exists(),
       s"$klass: checkpoint commit $CrashBatch exists — the kill missed the window")
+    base
   }
 
   private def assertSame(what: String, got: DataFrame, truth: DataFrame): Unit = {
@@ -80,10 +108,8 @@ class CrashKillSpec extends SparkSpec {
 
   test("SIGKILL cell — upsert (hand-versioned merge sink)") {
     val srcDir = EventsStream.stageEvents(spark, sf)
-    val base = java.nio.file.Files.createTempDirectory("graft-kill-upsert")
-    try {
-      forkAndKill("upsert", srcDir, base,
-        new java.io.File(s"$base/state/v$CrashBatch"))
+    val base = forkAndKill("upsert", b => new java.io.File(s"$b/state/v$CrashBatch"))
+    locally {
       val iso = spark.newSession()
       iso.conf.set("spark.sql.shuffle.partitions", "4")
       val q = UpsertStream.runUpsert(iso, srcDir, s"$base/state", s"$base/ckpt")
@@ -101,15 +127,13 @@ class CrashKillSpec extends SparkSpec {
         spark.read.parquet(versions.last.toString)
           .select(col("user_id"), col("event_id"), col("ts")),
         truth)
-    } finally deleteRecursively(base.toFile)
+    }
   }
 
   test("SIGKILL cell — window-agg (Spark-managed aggregation state)") {
     val srcDir = EventsStream.stageEvents(spark, sf)
-    val base = java.nio.file.Files.createTempDirectory("graft-kill-wagg")
-    try {
-      forkAndKill("wagg", srcDir, base,
-        new java.io.File(s"$base/out/b$CrashBatch"))
+    val base = forkAndKill("wagg", b => new java.io.File(s"$b/out/b$CrashBatch"))
+    locally {
       val iso = spark.newSession()
       iso.conf.set("spark.sql.shuffle.partitions", "4")
       val q = EventsStream.windowedCents(EventsStream.readEvents(iso, srcDir, 1))
@@ -122,15 +146,13 @@ class CrashKillSpec extends SparkSpec {
         .agg(count(lit(1)).as("n_events"),
           sum(floor(col("value") * 100).cast("long")).as("total_cents"))
       assertSame("kill-wagg", readBatches(s"$base/out"), truth)
-    } finally deleteRecursively(base.toFile)
+    }
   }
 
   test("SIGKILL cell — interval-join (Spark-managed join buffers)") {
     val srcDir = EventsStream.stageEvents(spark, sf)
-    val base = java.nio.file.Files.createTempDirectory("graft-kill-ssj")
-    try {
-      forkAndKill("ssj", srcDir, base,
-        new java.io.File(s"$base/out/b$CrashBatch"))
+    val base = forkAndKill("ssj", b => new java.io.File(s"$b/out/b$CrashBatch"))
+    locally {
       val iso = spark.newSession()
       iso.conf.set("spark.sql.shuffle.partitions", "4")
       val q = EventsStream.purchasesWithRecentViewsOuter(
@@ -156,7 +178,7 @@ class CrashKillSpec extends SparkSpec {
           .select(col("purchase_id"), col("user_id"), col("view_id"),
             unix_timestamp(col("p_ts")).as("p_s"), unix_timestamp(col("v_ts")).as("v_s")),
         truth)
-    } finally deleteRecursively(base.toFile)
+    }
   }
 
   test("SIGKILL cell — transformWithState v2 (RocksDB column-family state)") {
@@ -168,10 +190,8 @@ class CrashKillSpec extends SparkSpec {
     // reload the column families (counter + capped list) at state version
     // k and converge to the batch-recomputed final profiles.
     val srcDir = EventsStream.stageEvents(spark, sf)
-    val base = java.nio.file.Files.createTempDirectory("graft-kill-profile")
-    try {
-      forkAndKill("profile", srcDir, base,
-        new java.io.File(s"$base/out/b$CrashBatch"))
+    val base = forkAndKill("profile", b => new java.io.File(s"$b/out/b$CrashBatch"))
+    locally {
       val iso = spark.newSession()
       iso.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.StateV2Profile.runProfiles(iso, srcDir,
@@ -199,7 +219,7 @@ class CrashKillSpec extends SparkSpec {
               |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END)),
               |  -5, 5), x -> x.cents)""".stripMargin)).as("recent"))
       assertSame("kill-profile", got, truth)
-    } finally deleteRecursively(base.toFile)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -29,7 +29,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * with the headroom now host-spread-sized, so the FIRST new suite next
   * round must either fit in ~1.5 min or go behind a tag (GRAFT_VOLUME
   * pattern); candidates to trim remain the 13 streaming gate drains
-  * (≈5 min across their suites) and tagging the 100-plan stream fuzz. */
+  * (≈5 min across their suites) and tagging the 100-plan stream fuzz.
+  *
+  * Round 16 spent and repaid: CrashKillSpec (4 forked-JVM SIGKILL cells)
+  * + StageCacheSpec + the ivf_pq kind in VectorFuzzSpec added ~3 min;
+  * repaid by trimming the in-suite StreamFuzzSpec drains 100 → 64 (the
+  * bulk evidence lives in the committed 390-plan artifacts) and by
+  * preforking all four SIGKILL children CONCURRENTLY (suite cost 140 s →
+  * 47 s — each child blocks at its marker while the others init). */
 class SuiteBudgetSpec extends AnyFunSuite {
 
   private val CeilingMinutes = 24.0
