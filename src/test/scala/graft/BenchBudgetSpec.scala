@@ -60,8 +60,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     val warmupField = """"warmup_s":(\d+(?:\.\d+)?)""".r
     val perQuery = scala.collection.mutable.Map.empty[String, Double]
     var warmupMeasured = List.empty[Double]
-    for (f <- latest) {
-      val txt = scala.io.Source.fromFile(f).mkString
+    val texts = latest.map(f => scala.io.Source.fromFile(f).mkString).toSeq
+    for (txt <- texts) {
       // Parse ONLY the `queries` object: since round 12 the artifact also
       // carries a `drains` object keyed by the same q_stream_* names with
       // the REAL per-gate drain seconds — warmup wall, already inside
@@ -81,18 +81,36 @@ class BenchBudgetSpec extends AnyFunSuite {
     val registered = SparkEntry.queries.keySet
     val missing = registered -- perQuery.keySet
     val pass1Est = registered.toSeq.map(perQuery.getOrElse(_, DefaultNewQuerySec)).sum
-    val warmupEst =
-      if (warmupMeasured.nonEmpty) warmupMeasured.max else WarmupFallbackSec
-    val projected = warmupEst + pass1Est
     val ceiling = PassOneShare * (BudgetSec - RetimeReserve)
+    // Stage-cache-aware split (round 16): a cached series mixes one MISS
+    // run (full builds + cache writes — the once-per-corpus case) with HIT
+    // runs (parquet loads — the driver's steady state). The steady-state
+    // projection holds hit warmup (the series MIN) to the 0.85 ceiling;
+    // the miss run only has to fit the raw pass-1 deadline (budget−15):
+    // it is one-time, self-healing (even a watchdog-halted miss leaves the
+    // cache written for the next attempt), and allowed to consume the
+    // stall-tolerance share.
+    val cached = texts.exists(_.contains("\"stage_cache\":{\"enabled\":true"))
+    val warmupSteady =
+      if (warmupMeasured.isEmpty) WarmupFallbackSec
+      else if (cached) warmupMeasured.min
+      else warmupMeasured.max
+    val projected = warmupSteady + pass1Est
     info(f"benchr$round series: pass1 est $pass1Est%.1f s over ${registered.size} queries " +
-      f"(${missing.size} uncommitted @ $DefaultNewQuerySec/q), warmup " +
-      f"$warmupEst%.1f s (${if (warmupMeasured.nonEmpty) "measured" else "fallback"}), " +
+      f"(${missing.size} uncommitted @ $DefaultNewQuerySec/q), steady warmup " +
+      f"$warmupSteady%.1f s (${if (cached) "cache-hit min" else if (warmupMeasured.nonEmpty) "measured max" else "fallback"}), " +
       f"projected warmup+pass1 $projected%.1f s vs ceiling $ceiling%.1f s")
     assert(projected <= ceiling,
       f"projected warmup+pass1 $projected%.1f s exceeds $ceiling%.1f s — the registry has " +
         "outgrown the driver bench budget; stage or shed cost before committing " +
         "(see Bench.scala's warmup-stage pattern)")
+    if (cached && warmupMeasured.nonEmpty) {
+      val missProjected = warmupMeasured.max + pass1Est
+      info(f"miss-run projection ${missProjected}%.1f s vs pass-1 deadline ${BudgetSec - 15}%.1f s")
+      assert(missProjected <= BudgetSec - 15,
+        f"first-run (cache-miss) projection $missProjected%.1f s exceeds the pass-1 deadline — " +
+          "even the once-per-corpus staging run would skip queries on a NORMAL window")
+    }
   }
 
   /** Round-16 verdict #1: BENCH_r15 skipped 21 queries when a ~1.7×-slow
