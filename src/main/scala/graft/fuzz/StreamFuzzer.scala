@@ -97,13 +97,14 @@ object StreamFuzzer {
     restart: Boolean,    // split staging across TWO query lifetimes on one checkpoint
     loSec: Long = 0L,    // interval/join_agg: b.ts >= a.ts − lo
     hiSec: Long = 0L,    // interval/join_agg: b.ts <= a.ts + hi
-    w2Mult: Int = 2)     // rollup2: level-2 window = w2Mult × windowSec
+    w2Mult: Int = 2,     // rollup2: level-2 window = w2Mult × windowSec
+    profileK: Int = 5)   // profile: newest-K ListState cap
 
   /** Deterministic (seed, index) → plan (java.util.Random LCG is
     * JDK-specified, so plans are stable across hosts). */
   def plan(seed: Long, i: Int): StreamPlan = {
     val r = new Random(seed + 7000003L * i)
-    val kind = r.nextInt(16) match {
+    val kind = r.nextInt(18) match {
       case x if x < 3  => "tumbling"
       case x if x < 5  => "sliding"
       case x if x < 6  => "session"
@@ -111,7 +112,8 @@ object StreamFuzzer {
       case x if x < 9  => "upsert"
       case x if x < 11 => "interval"
       case x if x < 14 => "join_agg" // the chained classes get extra weight:
-      case _           => "rollup2"  // they subsume their single-op halves
+      case x if x < 16 => "rollup2"  // they subsume their single-op halves
+      case _           => "profile"  // transformWithState v2 (arbitrary state)
     }
     val div = 2 + r.nextInt(3) // sliding: window = div × slide
     val slideMin = 5 + r.nextInt(56)
@@ -149,7 +151,10 @@ object StreamFuzzer {
       // windows ⇒ every w1 boundary lands on a w2 boundary, so the oracle's
       // bucket math is integer division — the curated gate's hour→day shape
       // generalized)
-      w2Mult = 2 + r.nextInt(5))
+      w2Mult = 2 + r.nextInt(5),
+      // profile kind: random newest-K cap for the v2 ListState (1 hits the
+      // degenerate single-slot case; the gate's constant is 5)
+      profileK = 1 + r.nextInt(7))
   }
 
   def plans(seed: Long, count: Int): Seq[StreamPlan] =
@@ -349,6 +354,35 @@ object StreamFuzzer {
             .agg(sum(col("n1")).as("n"), count(lit(1)).as("n_w1"), sum(col("c1")).as("cents"))
             .select(unix_micros(col("d.start")).as("ws"), col("k"),
               col("n"), col("n_w1"), col("cents")))
+        case "profile" =>
+          // transformWithState v2 (arbitrary keyed state: ValueState counter
+          // + newest-K ListState, RocksDB provider) — randomized key
+          // cardinality, list cap, slicing and restart. Update-mode output
+          // goes through a foreachBatch APPEND sink: a clean restart
+          // resumes from committed offsets (no replay), so append is
+          // duplicate-free — the same argument the dedup/upsert kinds rely
+          // on. The key mod folds INTO user_id so the oracle is a pure
+          // function of the moded event set.
+          import iso.implicits._
+          iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          readSrc
+            .select(col("event_id"), (col("user_id") % p.keyMod).as("user_id"),
+              col("event_type"), col("value"))
+            .as[graft.streaming.StateV2Profile.Ev]
+            .groupByKey(_.user_id)
+            .transformWithState(
+              new graft.streaming.StateV2Profile.ProfileProcessor(p.profileK),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .writeStream.trigger(Trigger.AvailableNow())
+            .outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.streaming.StateV2Profile.Profile], _: Long) =>
+                b.write.mode("append").parquet(outDir)
+            }
+            .start()
       }
 
       def drainKind(): String = {
@@ -424,12 +458,14 @@ object StreamFuzzer {
         orderTier(pfiles() -- prev)
       }
 
-      // ---- re-delivery (dedup/upsert): the at-least-once transport ------
-      // NOT for the interval join or the chained kinds: a re-delivered OLD
+      // ---- re-delivery (dedup/upsert ONLY): the at-least-once transport.
+      // NOT for the interval join or the chained kinds (a re-delivered OLD
       // row arrives delayed by more than the watermark — unspecified for
-      // join input admission, and double-counted by an agg (same reason
-      // the agg kinds only inject in-horizon rows)
-      if (!isAgg && !isJoin && !isChained) {
+      // join input admission, and double-counted by an agg), and NOT for
+      // the v2 profile kind (its running counters assume the file source's
+      // exactly-once admission — the documented contract; keep-latest and
+      // dedup state are the kinds built to absorb duplicates)
+      if (p.kind == "dedup" || p.kind == "upsert") {
         val prev = pfiles()
         ev.filter(col("user_id") % p.redeliveryMod === 0)
           .coalesce(1).write.mode("append").parquet(srcDir)
@@ -574,6 +610,36 @@ object StreamFuzzer {
             StructField("n", LongType), StructField("n_w1", LongType),
             StructField("cents", LongType)))
           (iso.read.schema(outSchema).parquet(outDir), o)
+
+        case "profile" =>
+          // batch recomputation of all three state families from the moded
+          // event set (the q_stream_profile oracle generalized over keyMod
+          // and the list cap): running count, purchase-cents total, and the
+          // newest-K purchase cents by ascending event id. The update-mode
+          // sink reduces to final state per key via max-n_events (strictly
+          // increasing per touch).
+          val kCap = p.profileK
+          val moded = real.select(col("event_id"),
+            (col("user_id") % p.keyMod).as("user_id"), col("event_type"), col("value"))
+          val o = moded.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              coalesce(sum(when(col("event_type") === "purchase",
+                floor(col("value") * 100).cast("long"))), lit(0L)).as("purchase_cents"),
+              concat_ws(",", expr(
+                s"""transform(slice(array_sort(collect_list(
+                   |  CASE WHEN event_type = 'purchase'
+                   |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END)),
+                   |  -$kCap, $kCap), x -> x.cents)""".stripMargin)).as("recent"))
+          val profSchema = StructType(Seq(
+            StructField("user_id", LongType), StructField("n_events", LongType),
+            StructField("purchase_cents", LongType),
+            StructField("recent_purchases", ArrayType(LongType))))
+          val fw = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+          val got = iso.read.schema(profSchema).parquet(outDir)
+            .withColumn("rn", row_number().over(fw)).filter(col("rn") === 1)
+            .select(col("user_id"), col("n_events"), col("purchase_cents"),
+              concat_ws(",", col("recent_purchases")).as("recent"))
+          (got, o)
 
         case "upsert" =>
           val latest = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)

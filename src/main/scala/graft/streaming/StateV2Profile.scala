@@ -43,7 +43,10 @@ object StateV2Profile {
     users * (RecentK + 1) + 4
   }
 
-  class ProfileProcessor extends StatefulProcessor[Long, Ev, Profile] {
+  /** `recentK` defaults to the gate's [[RecentK]]; the stream fuzzer's
+    * `profile` kind randomizes it (the list-cap boundary is exactly where
+    * a clear/append bug would hide). */
+  class ProfileProcessor(recentK: Int = RecentK) extends StatefulProcessor[Long, Ev, Profile] {
     @transient private var counts: ValueState[Counts] = _
     @transient private var recent: ListState[(Long, Long)] = _
 
@@ -75,7 +78,7 @@ object StateV2Profile {
       // totals above still assume the source's exactly-once admission —
       // deduping them would mean unbounded id state; the file source's
       // checkpointed file tracking is what carries that contract.)
-      val kept = (recent.get().toSeq ++ cents).distinctBy(_._1).sortBy(_._1).takeRight(RecentK)
+      val kept = (recent.get().toSeq ++ cents).distinctBy(_._1).sortBy(_._1).takeRight(recentK)
       recent.clear()
       kept.foreach(recent.appendValue)
       val now = counts.get()

@@ -9,10 +9,13 @@ import scala.concurrent.duration.Duration
 
 /** In-suite half of the STREAMING differential fuzzer (round-14 verdict #1
   * — SqlFuzzer for the stateful half; round 16 adds the two CHAINED
-  * multi-stateful kinds `join_agg`/`rollup2`). The bulk runs live
+  * multi-stateful kinds `join_agg`/`rollup2` and the `profile` kind —
+  * transformWithState v2 arbitrary state with a randomized key space and
+  * newest-K ListState cap, vs a batch recomputation of all three state
+  * families). The bulk runs live
   * out-of-suite (`runMain graft.StreamFuzzMain <seed> <count>
   * /root/testdata/sf0.001` — committed seeds in bench_runs/
-  * fuzz_diff_r16.json, all green under the 8-kind grammar); this spec
+  * fuzz_diff_r16.json, all green under the 9-kind grammar); this spec
   * (1) pins generation determinism, (2) drains 64 seeded plans in-suite
   * and requires every one to match its batch recomputation, (3) proves the
   * harness REDS on divergence via a mis-stated oracle (the control that
@@ -31,13 +34,15 @@ class StreamFuzzSpec extends SparkSpec {
     // 64, down from 100 (round-16 suite-wall discipline): the bulk
     // randomized evidence lives in the committed StreamFuzzMain artifacts
     // (hundreds of plans per seed); in-suite the job is kind coverage +
-    // the red-path control, and 64 plans under the 8-kind grammar cover
+    // the red-path control, and 64 plans under the 9-kind grammar cover
     // every kind several times at ~2/3 the drain wall.
     val plans = StreamFuzzer.plans(909015L, 64)
-    // every kind must appear — a generator regression that collapsed the
-    // kind distribution would silently gut coverage
-    assert(plans.map(_.kind).distinct.sorted ==
-      Seq("dedup", "interval", "join_agg", "rollup2",
+    // every kind must appear in the generator's distribution — a regression
+    // that collapsed it would silently gut coverage. Checked over a 150-plan
+    // draw: the lightest kind (session, weight 1/18) legitimately misses a
+    // 64-plan prefix; the DRAINED set stays 64 for the suite wall
+    assert(StreamFuzzer.plans(909015L, 150).map(_.kind).distinct.sorted ==
+      Seq("dedup", "interval", "join_agg", "profile", "rollup2",
         "session", "sliding", "tumbling", "upsert"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
@@ -71,7 +76,9 @@ class StreamFuzzSpec extends SparkSpec {
     // one per state class + the chained join→agg topology (round 16): its
     // state lives in TWO operators with different key schemas, so a
     // partition-count dependency could hide in the handoff
-    val picks = Seq("tumbling", "dedup", "interval", "join_agg").map(k =>
+    // ... and the v2 profile kind: its RocksDB store partition count is
+    // fixed at first checkpoint like every other state class
+    val picks = Seq("tumbling", "dedup", "interval", "join_agg", "profile").map(k =>
       plans.find(_.kind == k).getOrElse(fail(s"no $k plan in the first 150")))
     picks.foreach { p =>
       val r1 = StreamFuzzer.run(spark, sf, p, shufflePartitions = 1)
