@@ -351,7 +351,9 @@ object VectorFuzzer {
           cb, codes, p.k, nProbe = p.nProbe, rerank = rerank))
         // oracle inputs: the engine's OWN model artifacts (the ivf_probe
         // convention — quantizer/codebook training is input, everything
-        // downstream is recomputed independently)
+        // downstream is recomputed independently). Harness-side collects,
+        // bounded by generator construction: ≤150 vectors × m≤4 subspaces
+        // of 8 codes each — model-sized, not operator dataflow
         val cents: Map[Int, Vector[Double]] = centroids.collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
         val cellOf: Map[Long, Int] = assigned.select($"vec_id", $"cell").collect()
