@@ -290,6 +290,7 @@ object SparkEntry {
     "q_stream_sessions" -> (streaming.EventsStream.sessionGate _),
     "q_stream_dedup" -> (streaming.EventsStream.dedupGate _),
     "q_stream_profile" -> (streaming.StateV2Profile.profileGate _),
+    "q_stream_timer_sessions" -> (streaming.StateV2Sessions.timerSessionGate _),
     "q_stream_upsert" -> (streaming.UpsertStream.upsertGate _),
     "q_stream_pipeline" -> (streaming.EnrichStream.replayPipelineGate _),
     "q_observed_metrics" -> (Orchestration.observedMetrics _),
@@ -968,6 +969,23 @@ object SparkEntry {
         |ROWS UNBOUNDED PRECEDING) AS sid FROM e)
         |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_s, user_id,
         |count(*) AS n_events FROM s GROUP BY user_id, sid""".stripMargin,
+    // timer-driven v2 sessionization must equal the same gaps-and-islands
+    // truth as q_stream_sessions (plus a cents payload): every emission is
+    // produced by an event-time TIMER callback, so a timer that never fired
+    // (held session), fired early (partial emission), or double-fired
+    // across micro-batches changes the hash
+    "q_stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS c
+        |FROM events WHERE user_id % 10 = 0),
+        |m AS (SELECT user_id, ts, c,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ts, c, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_s, user_id,
+        |count(*) AS n_events, CAST(sum(c) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the at-least-once replay stage re-delivers half the sampled users'
     // events; the drained dedup must reduce that to exactly the events
     // table — a duplicate surviving either path (late-drop or state hit),

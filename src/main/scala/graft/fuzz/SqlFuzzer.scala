@@ -12,10 +12,12 @@ import scala.util.Random
   * parquet tables; results are compared row-for-row. The grammar covers
   * filter/project/distinct, group-agg (+HAVING), inner/left equi-joins,
   * analytic windows (row_number/rank/dense_rank/lag + running sum), set
-  * ops (UNION ALL / INTERSECT / EXCEPT), and nested derived tables with
-  * post-agg filters — the relational core where a planner bug (pushdown
-  * through the wrong projection, a misfired join reorder, a bad null-frame)
-  * would silently corrupt results.
+  * ops (UNION ALL / INTERSECT / EXCEPT), nested derived tables with
+  * post-agg filters, and (round 17) correlated LATERAL subqueries in FROM
+  * plus QUALIFY-pattern windowed filtering — the relational core where a
+  * planner bug (pushdown through the wrong projection, a misfired join
+  * reorder, a bad null-frame, a mis-decorrelated lateral) would silently
+  * corrupt results.
   *
   * Portability rules (the repo's hard-won oracle rules — PLANS.md and the
   * round playbook; each was learned from a red row):
@@ -636,11 +638,91 @@ object SqlFuzzer {
     }
   }
 
+  /** Correlated LATERAL subqueries in FROM (round-17 stretch #8: the
+    * lateral-join planner path — Spark plans these as LateralJoin +
+    * DecorrelateInnerQuery, DuckDB through its own dependent-join
+    * unnesting — which no other kind reaches; the curated set touches
+    * lateral correlation exactly once). Comma-form `FROM t, LATERAL (...)`
+    * is the syntax both engines accept. Two shapes:
+    * (0) scalar-agg lateral — the lateral body aggregates the correlated
+    *     right rows, so it yields EXACTLY one row per left row (COUNT over
+    *     an empty match set is still one row of 0: no left row is dropped,
+    *     which makes a mis-decorrelation that drops or duplicates left
+    *     rows directly visible in c2);
+    * (1) multi-row lateral — the body emits every correlated right row's
+    *     modulo-projected value (inner-join multiplicity: left rows with
+    *     no matches vanish), re-aggregated on the outside so result sizes
+    *     stay bounded at any SF. */
+  private def lateralQ(r: Random): String = {
+    val (ln, rn, lk, rk) = pick(r, joins)
+    val (lt, rt) = (byName(ln), byName(rn))
+    val key = s"(${intExpr(r, lt, 0)} % ${2 + r.nextInt(12)})"
+    r.nextInt(2) match {
+      case 0 =>
+        s"SELECT $key AS c0, CAST(SUM(l.cnt) AS BIGINT) AS c1, COUNT(*) AS c2 " +
+          s"FROM $ln, LATERAL (SELECT COUNT(*) AS cnt FROM $rn " +
+          s"WHERE $rk = $lk AND ${pred(r, rt, 1)}) l " +
+          s"WHERE ${pred(r, lt, 1)} GROUP BY 1"
+      case _ =>
+        val m = 2 + r.nextInt(10)
+        s"SELECT $key AS c0, COUNT(*) AS c1, CAST(SUM(l.v) AS BIGINT) AS c2 " +
+          s"FROM $ln, LATERAL (SELECT (${intExpr(r, rt, 0)} % $m) AS v FROM $rn " +
+          s"WHERE $rk = $lk AND ${pred(r, rt, 1)}) l " +
+          s"WHERE ${pred(r, lt, 1)} GROUP BY 1"
+    }
+  }
+
+  /** Windowed filtering — the QUALIFY pattern spelled portably (derived
+    * table computing analytic columns, filtered by the OUTER where; Spark
+    * has no QUALIFY keyword, so this is the form users actually write).
+    * windowQ pins exactly one such shape (row_number ≤ k); this kind
+    * generalizes to rank/dense_rank cutoffs, modulo predicates over a
+    * running sum, and conjunctions over TWO window columns. Both windows
+    * share ONE (partition, order) spec: the per-row (w1, w2) pairing is
+    * then a pure function of the position in that shared order, so rows
+    * tied on the order keys (the declared unique keys are NOT unique in
+    * the synthetic data — windowQ's documented catch) carry identical
+    * output whichever engine-specific tie order materializes. The filter
+    * sits ABOVE the window — the placement a pushdown bug would corrupt by
+    * filtering before rank assignment. */
+  private def qualifyQ(r: Random, t: Tbl): String = {
+    val uniq = t.unique
+    val uCols = uniq.zipWithIndex.map { case (u, i) => s"$u AS c$i" }
+    val ord = uniq.map(u => s"$u ASC NULLS FIRST").mkString(", ")
+    val p1 = s"(${intExpr(r, t, 0)} % ${2 + r.nextInt(8)})"
+    def ordExpr: String = s"(${pick(r, uniq)} % ${2 + r.nextInt(10)})"
+    // ONE full ORDER BY shared verbatim by BOTH windows — the rank variants
+    // prepend their tie-prone expression to the SHARED spec rather than
+    // keeping it private (the kind's first smoke run caught the
+    // alternative: w1 carried an extra leading order key w2 lacked, so rows
+    // tied on the declared-unique keys — which are NOT unique in the data —
+    // paired (w1, w2) differently across engines; seed 17004 plan 0185,
+    // 164 mismatched rows). With the shared spec, rows tied on EVERY key
+    // carry equal rank and equal-multiset running sums, so output is
+    // tie-permutation-invariant.
+    val (w1fn, fullOrd) = r.nextInt(3) match {
+      case 0 => ("ROW_NUMBER()", ord)
+      case 1 => ("RANK()", s"(${intExpr(r, t, 0)} % 7) ASC NULLS FIRST, $ord")
+      case _ => ("DENSE_RANK()", s"(${intExpr(r, t, 0)} % 5) ASC NULLS FIRST, $ord")
+    }
+    val w1 = s"$w1fn OVER (PARTITION BY $p1 ORDER BY $fullOrd)"
+    val w2 = s"CAST(SUM($ordExpr) OVER (PARTITION BY $p1 ORDER BY $fullOrd " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    val inner = s"SELECT ${uCols.mkString(", ")}, $w1 AS w1, $w2 AS w2 " +
+      s"FROM ${t.name} WHERE ${pred(r, t, 1)}"
+    val filter = r.nextInt(3) match {
+      case 0 => s"w1 <= ${1 + r.nextInt(5)}"
+      case 1 => s"(w2 % ${2 + r.nextInt(6)}) = ${r.nextInt(2)}"
+      case _ => s"(w1 <= ${2 + r.nextInt(4)} AND (w2 % ${2 + r.nextInt(5)}) <> 0)"
+    }
+    s"SELECT * FROM ($inner) q WHERE $filter"
+  }
+
   /** Deterministic (seed, index) → (name, SQL). */
   def plan(seed: Long, i: Int): (String, String) = {
     val r = new Random(seed + 1000003L * i)
     val t = pick(r, tables)
-    val sql = r.nextInt(44) match {
+    val sql = r.nextInt(48) match {
       case x if x < 4  => filterProject(r, t)
       case x if x < 9  => groupAgg(r, t)
       case x if x < 13 => joinAgg(r)
@@ -658,7 +740,9 @@ object SqlFuzzer {
       case x if x < 38 => rangeWindowQ(r, t)
       case x if x < 40 => correlatedScalar(r)
       case x if x < 42 => exprTree(r, t)
-      case _           => nonEquiJoin(r)
+      case x if x < 44 => nonEquiJoin(r)
+      case x if x < 46 => lateralQ(r)
+      case _           => qualifyQ(r, t)
     }
     (f"fuzz_$i%04d", sql)
   }

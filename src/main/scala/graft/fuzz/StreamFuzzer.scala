@@ -14,9 +14,12 @@ import scala.util.Random
   *
   * Each plan picks a stateful shape — tumbling-window agg, sliding-window
   * agg, session windows, watermark dedup, the versioned-merge upsert,
-  * stream-stream interval join, or (round 16) one of the two CHAINED
-  * multi-stateful classes: interval join → windowed agg (`join_agg`) and
-  * two-level windowed rollup (`rollup2`) — with randomized window size,
+  * stream-stream interval join (inner, or — round 17 — LEFT OUTER with its
+  * eviction-coupled null-pad timing under a boundary-banded compare), the
+  * transformWithState v2 `profile` kind, or (round 16) one of the two
+  * CHAINED multi-stateful classes: interval join → windowed agg
+  * (`join_agg`) and two-level windowed rollup (`rollup2`) — with randomized
+  * window size,
   * slide, session gap, watermark delay, key cardinality, file slicing
   * (nFiles × maxFilesPerTrigger), sentinel presence, and late-row /
   * re-delivery injection. The chained kinds randomize BOTH stateful
@@ -82,7 +85,7 @@ object StreamFuzzer {
 
   final case class StreamPlan(
     idx: Int,
-    kind: String,        // tumbling | sliding | session | dedup | upsert | interval | join_agg | rollup2
+    kind: String,        // tumbling | sliding | session | dedup | upsert | interval | join_agg | rollup2 | profile | interval_outer
     windowSec: Long,     // tumbling/sliding window width
     slideSec: Long,      // sliding only; divides windowSec
     gapSec: Long,        // session gap
@@ -104,7 +107,7 @@ object StreamFuzzer {
     * JDK-specified, so plans are stable across hosts). */
   def plan(seed: Long, i: Int): StreamPlan = {
     val r = new Random(seed + 7000003L * i)
-    val kind = r.nextInt(18) match {
+    val kind = r.nextInt(22) match {
       case x if x < 3  => "tumbling"
       case x if x < 5  => "sliding"
       case x if x < 6  => "session"
@@ -113,7 +116,9 @@ object StreamFuzzer {
       case x if x < 11 => "interval"
       case x if x < 14 => "join_agg" // the chained classes get extra weight:
       case x if x < 16 => "rollup2"  // they subsume their single-op halves
-      case _           => "profile"  // transformWithState v2 (arbitrary state)
+      case x if x < 18 => "profile"  // transformWithState v2 (arbitrary state)
+      case x if x < 20 => "interval_outer" // LEFT OUTER join: null-pad timing
+      case _           => "v2_session" // v2 TIMER-driven sessionization
     }
     val div = 2 + r.nextInt(3) // sliding: window = div × slide
     val slideMin = 5 + r.nextInt(56)
@@ -129,7 +134,8 @@ object StreamFuzzer {
       slideSec = slideMin * 60L,
       gapSec = (5 + r.nextInt(116)) * 60L,
       delaySec = (5 + r.nextInt(86)) * 60L,
-      keyMod = (if (kind == "interval" || kind == "join_agg") 8 else 2) + r.nextInt(49),
+      keyMod = (if (kind == "interval" || kind == "join_agg" ||
+        kind == "interval_outer") 8 else 2) + r.nextInt(49),
       nFiles = nFiles,
       mft = 1 + r.nextInt(math.min(3, nFiles)),
       sampleMod = 1 + r.nextInt(3),
@@ -232,16 +238,26 @@ object StreamFuzzer {
       }
 
       val horizonSec = p.kind match {
-        case "session"  => p.gapSec
+        case "session" | "v2_session" => p.gapSec
         case "rollup2"  => p.windowSec * p.w2Mult // a real LEVEL-2 window must close
         // the chained agg's cutoff lags by the join slack, so the sentinel
         // must clear window + slack for every real window to emit
         case "join_agg" => p.windowSec + math.max(p.loSec, p.hiSec)
+        // null-pad cutoff is wm − hi, so the sentinel must clear hi for
+        // every real unmatched a-row to pad
+        case "interval_outer" => p.hiSec
         case _          => p.windowSec
       }
-      val isAgg = p.kind == "tumbling" || p.kind == "sliding" || p.kind == "session"
+      // v2_session counts as an agg kind for staging purposes: sentinel
+      // (closes every real session so the TIMERS must fire) and late
+      // injection (an in-horizon row merges into an OPEN buffered session —
+      // an emitted session can never be extended, because every injected ts
+      // exceeds the pre-sentinel watermark and an emitted close is ≤ it)
+      val isAgg = p.kind == "tumbling" || p.kind == "sliding" ||
+        p.kind == "session" || p.kind == "v2_session"
       val isJoin = p.kind == "interval"
       val isChained = p.kind == "join_agg" || p.kind == "rollup2"
+      val isOuter = p.kind == "interval_outer"
 
       // ---- the streaming side: one starter per kind ----------------------
       val delayStr = s"${p.delaySec} seconds"
@@ -316,6 +332,32 @@ object StreamFuzzer {
               s"AND b_ts <= a_ts + INTERVAL ${p.hiSec} SECONDS"))
             .select(col("a_id"), col("b_id"), col("a_k").as("k"),
               unix_micros(col("a_ts")).as("a_es"), unix_micros(col("b_ts")).as("b_es")))
+        case "interval_outer" =>
+          // LEFT OUTER stream-stream interval join — the null-pad timing rule
+          // (round-16 verdict #3: the inner `interval` kind is green over
+          // hundreds of plans, but the padded-row emission semantics — a
+          // padded row may only emit once the watermark passes the join
+          // bound, and never both padded and matched — were pinned at
+          // exactly one curated parameter point, q_stream_interval_join).
+          // Same parity split as the inner kind; matched rows emit on match,
+          // an unmatched a-row emits null-padded only once wm > a_ts + hi
+          // (no on-time b can reach it: a future b has b_ts ≥ wm and needs
+          // b_ts ≤ a_ts + hi). The oracle encodes that cutoff with a ±5 ms
+          // ambiguity band (watermark tracking is ms-granular and the state
+          // eviction bound carries a documented ±1 ms adjustment).
+          val a = readSrc.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+              (col("user_id") % p.keyMod).as("a_k"))
+            .withWatermark("a_ts", delayStr)
+          val b = readSrc.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+              (col("user_id") % p.keyMod).as("b_k"))
+            .withWatermark("b_ts", delayStr)
+          startFileSink(a.join(b, expr(
+            s"a_k = b_k AND b_ts >= a_ts - INTERVAL ${p.loSec} SECONDS " +
+              s"AND b_ts <= a_ts + INTERVAL ${p.hiSec} SECONDS"), "left_outer")
+            .select(col("a_id"), col("b_id"), col("a_k").as("k"),
+              unix_micros(col("a_ts")).as("a_es"), unix_micros(col("b_ts")).as("b_es")))
         case "join_agg" =>
           // CHAINED join→agg (two stateful operators, join state feeding
           // aggregation state): the q_stream_join_agg class with BOTH
@@ -354,6 +396,31 @@ object StreamFuzzer {
             .agg(sum(col("n1")).as("n"), count(lit(1)).as("n_w1"), sum(col("c1")).as("cents"))
             .select(unix_micros(col("d.start")).as("ws"), col("k"),
               col("n"), col("n_w1"), col("cents")))
+        case "v2_session" =>
+          // transformWithState v2 with EVENT-TIME TIMERS (round-17 verdict
+          // #4): timer-driven sessionization — randomized gap, watermark
+          // delay, key cardinality, slicing, sentinel, late injection and
+          // restart — against the SAME gaps-and-islands batch oracle as the
+          // built-in session_window kind. Every emission here is a timer
+          // callback, so a timer lost across restart, never fired, fired
+          // early, or double-fired diverges exactly where a session_window
+          // bug would.
+          import iso.implicits._
+          iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          startFileSink(readSrc
+            .select(col("event_id"), col("ts"),
+              (col("user_id") % p.keyMod).as("user_id"),
+              floor(col("value") * 100).cast("long").as("cents"))
+            .withWatermark("ts", delayStr)
+            .as[graft.streaming.StateV2Sessions.SEv]
+            .groupByKey(_.user_id)
+            .transformWithState(
+              new graft.streaming.StateV2Sessions.SessionTimerProcessor(p.gapSec),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .select(col("ws"), col("user_id").as("k"),
+              col("n_events").as("n"), col("cents")))
         case "profile" =>
           // transformWithState v2 (arbitrary keyed state: ValueState counter
           // + newest-K ListState, RocksDB provider) — randomized key
@@ -420,6 +487,11 @@ object StreamFuzzer {
       // rows arrive after every real file, so they must merge into
       // already-open state; the oracle includes them (user_id ≥ 0).
       // Skipped when the delay leaves no room (recorded as lateInjected=0).
+      // (interval_outer deliberately excluded: a late-arriving a-row whose
+      // pad window already closed at arrival — wm > a_ts + hi before the row
+      // is even admitted — has UNSPECIFIED pad-emission timing; the strict
+      // guarantee covers aggregation/admission, not the outer join's
+      // eviction-coupled null emission. The inner kind keeps the injection.)
       var lateInjected = 0L
       if ((isAgg || isJoin || isChained) && p.late && p.delaySec >= 420) {
         val prev = pfiles()
@@ -444,10 +516,16 @@ object StreamFuzzer {
       // other (Δts = 0 ∈ [−lo, hi]); the matched pair lands in an agg
       // window ending past the final cutoff, so it is held, never emitted
       // — and the oracle excludes user −999 anyway.
-      if ((isAgg || isChained) && p.sentinel) {
+      // interval_outer gets the same sentinel PAIR as join_agg (both sides'
+      // watermarks must advance for the null-pad flush): with a sentinel the
+      // cutoff clears every real a-row (everything pads — the full-left-join
+      // regime the curated gate pins); without one the cutoff lands
+      // mid-range and exercises the held tail. The matched sentinel pair
+      // itself emits but is filtered by a_id ≥ 0 below.
+      if ((isAgg || isChained || isOuter) && p.sentinel) {
         val prev = pfiles()
         val sentUs = mxUs + (p.delaySec + horizonSec + 7200L) * 1000000L
-        val nSent = if (p.kind == "join_agg") 2 else 1
+        val nSent = if (p.kind == "join_agg" || isOuter) 2 else 1
         iso.range(nSent).select(
           (lit(-1L) - col("id")).as("event_id"),
           timestamp_micros(lit(sentUs)).as("ts"),
@@ -478,11 +556,30 @@ object StreamFuzzer {
         "restart plan must run two distinct query lifetimes"))
 
       // final watermark over the fully staged source (sentinel included):
-      // what the stream's event-time clock ends at
+      // what the stream's event-time clock ends at. Two engine-fidelity
+      // rules: (a) watermark tracking is MS-granular (EventTimeWatermarkExec
+      // accumulates max event time in millis), so the staged max floors to
+      // the millisecond; (b) the join kinds split the source by event-id
+      // parity and EACH side's watermark node tracks only ITS OWN input's
+      // max — the query watermark is the min over nodes, and at low SF the
+      // two parities' tails can sit minutes-to-an-hour apart (caught live:
+      // the first interval_outer smoke run padded rows the engine correctly
+      // held because the a-side's own tail, not the global max, set the
+      // clock). A side with no rows at all leaves its node at the epoch —
+      // the watermark never advances and no cutoff-gated row may emit.
       val oracleDelaySec = oracleDelayOverrideSec.getOrElse(p.delaySec)
-      val stagedMaxUs = iso.read.parquet(srcDir)
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val wmFinalUs = stagedMaxUs - oracleDelaySec * 1000000L
+      val isParitySplit = isJoin || isOuter || p.kind == "join_agg"
+      val stagedMaxUs: Long = {
+        val staged = iso.read.parquet(srcDir)
+        if (isParitySplit) {
+          val sides = staged.groupBy(pmod(col("event_id"), lit(2)).as("side"))
+            .agg(max(unix_micros(col("ts"))).as("mx")).collect()
+          if (sides.length < 2) Long.MinValue / 4 else sides.map(_.getLong(1)).min
+        } else staged.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      }
+      val wmFinalUs =
+        if (stagedMaxUs == Long.MinValue / 4) Long.MinValue / 4
+        else (stagedMaxUs / 1000L) * 1000L - oracleDelaySec * 1000000L
 
       // batch side: everything the stream is REQUIRED to aggregate — real
       // rows plus the in-horizon out-of-order rows (negative event ids,
@@ -515,10 +612,12 @@ object StreamFuzzer {
             .filter(col("ws") + wUs <= wmFinalUs)
           (iso.read.parquet(outDir), o)
 
-        case "session" =>
+        case "session" | "v2_session" =>
           // gaps-and-islands: new session iff ts − prev ≥ gap (session
           // intervals [ts, ts+gap) merge on OVERLAP, so an event exactly
-          // gap-after starts a new session)
+          // gap-after starts a new session). The SAME truth serves both the
+          // built-in session_window kind and the v2 timer kind — the two
+          // engines' emissions must coincide row-for-row.
           val ow = Window.partitionBy("k").orderBy("es", "event_id")
           val o = real
             .select(col("event_id"), unix_micros(col("ts")).as("es"), keyExpr, centsExpr.as("c"))
@@ -564,6 +663,53 @@ object StreamFuzzer {
             StructField("k", LongType), StructField("a_es", LongType),
             StructField("b_es", LongType)))
           (iso.read.schema(outSchema).parquet(outDir), o)
+
+        case "interval_outer" =>
+          // matched truth = the full banded join (matched rows emit on
+          // match, exactly the inner oracle); padded truth = every UNMATCHED
+          // a-row whose pad cutoff strictly cleared the final watermark
+          // (a_es + hi ≤ wm − margin). Rows whose cutoff lands inside the
+          // ±margin band are fp/ms-ambiguous (watermark tracking is
+          // ms-granular; the eviction bound carries a ±1 ms adjustment) and
+          // are allowed either way: they are removed from the ENGINE side
+          // below — but only when genuinely unmatched, so a row that is both
+          // padded AND matched still reds the compare — and excluded from
+          // the oracle's padded set. Everything else is exact: a padded row
+          // past the cutoff missing → oracle-extra; a held row emitted
+          // early, a pad for a matched a-row, or a duplicate pad →
+          // engine-extra.
+          val loUs = p.loSec * 1000000L
+          val hiUs = p.hiSec * 1000000L
+          val marginUs = 5000L
+          val aSide = real.filter(pmod(col("event_id"), lit(2)) === 0)
+            .select(col("event_id").as("a_id"), unix_micros(col("ts")).as("a_es"),
+              (col("user_id") % p.keyMod).as("k"))
+          val bSide = real.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(col("event_id").as("b_id"), unix_micros(col("ts")).as("b_es"),
+              (col("user_id") % p.keyMod).as("bk"))
+          val cond = col("k") === col("bk") &&
+            col("b_es") >= col("a_es") - loUs && col("b_es") <= col("a_es") + hiUs
+          val matched = aSide.join(bSide, cond)
+            .select(col("a_id"), col("b_id"), col("k"), col("a_es"), col("b_es"))
+          val unmatched = aSide.join(bSide, cond, "left_anti")
+          val padded = unmatched
+            .filter(col("a_es") + hiUs <= wmFinalUs - marginUs)
+            .select(col("a_id"), lit(null).cast("long").as("b_id"), col("k"),
+              col("a_es"), lit(null).cast("long").as("b_es"))
+          val o = matched.unionByName(padded)
+          val outSchema = StructType(Seq(
+            StructField("a_id", LongType), StructField("b_id", LongType),
+            StructField("k", LongType), StructField("a_es", LongType),
+            StructField("b_es", LongType)))
+          // a_id ≥ 0 drops the matched sentinel pair (ids −1/−2)
+          val engAll = iso.read.schema(outSchema).parquet(outDir)
+            .filter(col("a_id") >= 0)
+          val bandPad = col("b_id").isNull &&
+            col("a_es") + hiUs > wmFinalUs - marginUs &&
+            col("a_es") + hiUs < wmFinalUs + marginUs
+          val engNorm = engAll.join(unmatched.select(col("a_id").as("ua_id")),
+            col("a_id") === col("ua_id") && bandPad, "left_anti")
+          (engNorm, o)
 
         case "join_agg" =>
           // same banded theta join as the interval oracle, then the window
@@ -625,11 +771,17 @@ object StreamFuzzer {
             .agg(count(lit(1)).as("n_events"),
               coalesce(sum(when(col("event_type") === "purchase",
                 floor(col("value") * 100).cast("long"))), lit(0L)).as("purchase_cents"),
+              // newest-K via reverse/slice(1,K)/reverse, NOT slice(arr,-K,K):
+              // on this Spark a negative start whose magnitude exceeds the
+              // array length returns an EMPTY array, so a key with 1..K-1
+              // purchases would get oracle recent="" while the engine's
+              // takeRight correctly keeps the short list — a false divergence
+              // on a correct engine (and a mask for the symmetric engine bug)
               concat_ws(",", expr(
-                s"""transform(slice(array_sort(collect_list(
+                s"""transform(reverse(slice(reverse(array_sort(collect_list(
                    |  CASE WHEN event_type = 'purchase'
-                   |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END)),
-                   |  -$kCap, $kCap), x -> x.cents)""".stripMargin)).as("recent"))
+                   |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END))),
+                   |  1, $kCap)), x -> x.cents)""".stripMargin)).as("recent"))
           val profSchema = StructType(Seq(
             StructField("user_id", LongType), StructField("n_events", LongType),
             StructField("purchase_cents", LongType),

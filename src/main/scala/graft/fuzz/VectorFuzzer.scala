@@ -435,7 +435,13 @@ object VectorFuzzer {
               val c = vecById(cid); cosOpt(dot(q, c), qn, norm(c))
             }
             val engIds = eng.map(_(1).asInstanceOf[Long])
-            val engMin = eng.flatMap(r => Option(r(2)).map(_.asInstanceOf[Double])) match {
+            // the UNROUNDED recomputed cosine of the engine's worst returned
+            // candidate, not the round4-rounded output column: a survivor
+            // whose exact cosine falls inside the rounding gap (up to ~5e-5
+            // below the engine row's true cosine) must not be flagged as
+            // "better exact cos dropped" when the engine in fact kept the
+            // genuinely better row
+            val engMin = engIds.flatMap(exactCos) match {
               case s if s.nonEmpty => s.min; case _ => Double.NegativeInfinity
             }
             val bad =

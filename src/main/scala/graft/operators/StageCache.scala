@@ -38,9 +38,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StageCache {
 
-  /** Manual salt: bump when ANY cached builder's output semantics change,
-    * so a new round's code is never served a previous round's artifacts. */
-  val Version = "r16a"
+  /** Salt: bump when ANY cached builder's output semantics change, so a new
+    * round's code is never served a previous round's artifacts. The bump is
+    * no longer a purely manual invariant: StageCacheSpec hashes every source
+    * file containing a StageCache call site against the committed ledger
+    * (src/test/resources/stage_cache_versions.txt) and reds when those files
+    * changed without a NEW ledger entry — and ledger versions are unique and
+    * must match this constant, so the entry forces the bump. */
+  val Version = "r17a"
 
   @volatile private var rootDir: Option[File] = None
 
@@ -189,9 +194,10 @@ object StageCache {
   /** Copy a file tree preserving lastModified — the staged replay dirs
     * carry strictly-ordered mtimes the file source's ingest order depends
     * on ([[graft.streaming.EventsStream.orderStagedTiers]]). */
-  private def copyTree(src: Path, dst: Path): Unit = {
+  private def copyTree(src: Path, dst: Path, excludeTop: Set[String] = Set.empty): Unit = {
     Files.createDirectories(dst)
-    Option(src.toFile.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+    Option(src.toFile.listFiles()).getOrElse(Array.empty[File])
+      .filterNot(f => excludeTop(f.getName)).foreach { f =>
       val t = dst.resolve(f.getName)
       if (f.isDirectory) copyTree(f.toPath, t)
       else {
@@ -217,15 +223,13 @@ object StageCache {
     slot(sfDir, artifact) match {
       case Some(dir) if marker(dir).isFile =>
         try {
-          Option(dir.listFiles()).getOrElse(Array.empty[File])
-            .filter(f => f.isFile && f.getName != marker(dir).getName)
-            .foreach { f =>
-              val t = new File(tmp, f.getName).toPath
-              Files.copy(f.toPath, t, StandardCopyOption.COPY_ATTRIBUTES)
-              val ok = t.toFile.setLastModified(f.lastModified())
-              require(ok && t.toFile.lastModified() == f.lastModified(),
-                s"staged-file mtime did not survive the cache copy for ${f.getName}")
-            }
+          // the SAME recursive copy the miss path published with (marker
+          // excluded) — a top-level-files-only copy would silently return an
+          // incomplete tree if a staged source ever grows a subdirectory
+          // (e.g. a _spark_metadata dir), making hit and miss runs drain
+          // different sources
+          copyTree(dir.toPath, new File(tmp).toPath,
+            excludeTop = Set(marker(dir).getName))
           hits.add(artifact)
           warn(s"hit: $artifact")
           tmp

@@ -23,11 +23,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 object ReviewFeedStub {
 
   final class Stub private[ReviewFeedStub] (server: HttpServer,
-                                            counter: AtomicInteger) {
+                                            counter: AtomicInteger,
+                                            pool: java.util.concurrent.ExecutorService) {
     def endpoint: String =
       s"http://localhost:${server.getAddress.getPort}/reviews"
     def requestCount: Int = counter.get()
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      // the worker pool's threads are NON-daemon: without this, a JVM that
+      // started many stubs (the replay fuzzer starts one per HTTP plan)
+      // never exits — main returns and the process hangs on the leaked
+      // pools (caught live by ReplayFuzzMain's first 40-plan smoke run)
+      pool.shutdownNow(); ()
+    }
   }
 
   def start(failFirst: Int = 0): Stub = {
@@ -64,8 +72,9 @@ object ReviewFeedStub {
     })
     // a couple of worker threads so concurrent partition fetches don't
     // serialize behind one another
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
-    new Stub(server, counter)
+    new Stub(server, counter, pool)
   }
 }

@@ -213,11 +213,14 @@ class CrashKillSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .agg(count(lit(1)).as("n_events"),
           coalesce(sum(when(col("event_type") === "purchase",
             floor(col("value") * 100).cast("long"))), lit(0L)).as("purchase_cents"),
+          // reverse/slice(1,5)/reverse, not slice(arr,-5,5): a negative start
+          // larger than the array empties it, so a user with 1..4 purchases
+          // would get truth recent="" against the engine's correct short list
           concat_ws(",", expr(
-            """transform(slice(array_sort(collect_list(
+            """transform(reverse(slice(reverse(array_sort(collect_list(
               |  CASE WHEN event_type = 'purchase'
-              |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END)),
-              |  -5, 5), x -> x.cents)""".stripMargin)).as("recent"))
+              |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END))),
+              |  1, 5)), x -> x.cents)""".stripMargin)).as("recent"))
       assertSame("kill-profile", got, truth)
     }
   }

@@ -132,6 +132,64 @@ class StageCacheSpec extends SparkSpec {
     }
   }
 
+  test("Version salt: builder sources cannot change without a recorded bump") {
+    // Round-16 verdict #1: correctness of every bench hit depends on bumping
+    // StageCache.Version whenever a cached builder's semantics change — a
+    // forgotten bump would silently time stale artifacts for a whole round,
+    // and nothing linted it. This test makes the invariant suite-red: it
+    // hashes EVERY main-source file containing a StageCache call site (the
+    // conservative superset of "files whose change could alter a cached
+    // artifact") and compares against a committed append-only ledger of
+    // (version, hash) pairs. Changing a builder source changes the hash →
+    // the last ledger entry mismatches → the fix is appending a new line,
+    // whose version must be NEW (versions are unique) and must equal the
+    // live Version constant — the bump is forced, not remembered.
+    val rootDir = new File("src/main/scala")
+    assert(rootDir.isDirectory,
+      s"builder-source scan expects the repo root as the working dir (cwd=${new File(".").getAbsolutePath})")
+    def walk(f: File): Seq[File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+    // memoDrain is EventsStream's StageCache read-through wrapper for
+    // drained gate sinks — gates whose builder bodies live OUTSIDE
+    // EventsStream (StateV2Profile/StateV2Sessions/UpsertStream/
+    // EnrichStream) reach the cache only through it, so their sources must
+    // be in the hash too
+    val callSite =
+      "(StageCache\\.(through|stagedDir|modelSlot|modelSaved|modelLoaded)|memoDrain)".r
+    val builderFiles = walk(rootDir)
+      .filter(_.getName.endsWith(".scala"))
+      .filter { f =>
+        f.getName == "StageCache.scala" ||
+          callSite.findFirstIn(new String(Files.readAllBytes(f.toPath), "UTF-8")).isDefined
+      }
+      .sortBy(_.getPath.replace('\\', '/'))
+    assert(builderFiles.nonEmpty, "no StageCache call sites found — the scan regex rotted")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    builderFiles.foreach { f =>
+      md.update(f.getPath.replace('\\', '/').getBytes("UTF-8"))
+      md.update(Files.readAllBytes(f.toPath))
+    }
+    val hash = md.digest().map("%02x".format(_)).mkString
+    val res = getClass.getResourceAsStream("/stage_cache_versions.txt")
+    assert(res != null, "committed ledger src/test/resources/stage_cache_versions.txt is missing")
+    val entries = scala.io.Source.fromInputStream(res, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val p = l.split("\\s+"); assert(p.length == 2, s"bad ledger line: $l"); (p(0), p(1)) }
+      .toVector
+    assert(entries.nonEmpty, "ledger has no entries")
+    assert(entries.map(_._1).distinct.size == entries.size, "ledger versions must be unique")
+    assert(entries.map(_._2).distinct.size == entries.size, "ledger hashes must be unique")
+    val (lastV, lastH) = entries.last
+    assert(lastV == StageCache.Version,
+      s"last ledger version '$lastV' != StageCache.Version '${StageCache.Version}' — " +
+        "append the new version's line AND bump the constant together")
+    assert(lastH == hash,
+      s"builder sources changed since the last salt bump (files: ${builderFiles.map(_.getName).mkString(", ")}).\n" +
+        s"Bump StageCache.Version and append to src/test/resources/stage_cache_versions.txt:\n" +
+        s"  <newVersion> $hash")
+  }
+
   test("stagedDir round-trips file bytes and strictly-ordered mtimes; never hands out the slot") {
     withCache { root =>
       val corpus = scratchCorpus()

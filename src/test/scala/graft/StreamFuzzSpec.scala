@@ -8,14 +8,14 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
 /** In-suite half of the STREAMING differential fuzzer (round-14 verdict #1
-  * — SqlFuzzer for the stateful half; round 16 adds the two CHAINED
-  * multi-stateful kinds `join_agg`/`rollup2` and the `profile` kind —
-  * transformWithState v2 arbitrary state with a randomized key space and
-  * newest-K ListState cap, vs a batch recomputation of all three state
-  * families). The bulk runs live
+  * — SqlFuzzer for the stateful half; round 16 added the two CHAINED
+  * multi-stateful kinds `join_agg`/`rollup2` and the `profile` kind; round
+  * 17 adds `interval_outer` — the LEFT OUTER stream-stream interval join,
+  * whose null-pad emission timing was previously pinned at exactly one
+  * curated parameter point). The bulk runs live
   * out-of-suite (`runMain graft.StreamFuzzMain <seed> <count>
   * /root/testdata/sf0.001` — committed seeds in bench_runs/
-  * fuzz_diff_r16.json, all green under the 9-kind grammar); this spec
+  * fuzz_diff_r17.json, all green under the 10-kind grammar); this spec
   * (1) pins generation determinism, (2) drains 64 seeded plans in-suite
   * and requires every one to match its batch recomputation, (3) proves the
   * harness REDS on divergence via a mis-stated oracle (the control that
@@ -34,16 +34,16 @@ class StreamFuzzSpec extends SparkSpec {
     // 64, down from 100 (round-16 suite-wall discipline): the bulk
     // randomized evidence lives in the committed StreamFuzzMain artifacts
     // (hundreds of plans per seed); in-suite the job is kind coverage +
-    // the red-path control, and 64 plans under the 9-kind grammar cover
-    // every kind several times at ~2/3 the drain wall.
+    // the red-path control, and 64 plans under the 11-kind grammar cover
+    // most kinds several times at ~2/3 the drain wall.
     val plans = StreamFuzzer.plans(909015L, 64)
     // every kind must appear in the generator's distribution — a regression
     // that collapsed it would silently gut coverage. Checked over a 150-plan
     // draw: the lightest kind (session, weight 1/18) legitimately misses a
     // 64-plan prefix; the DRAINED set stays 64 for the suite wall
     assert(StreamFuzzer.plans(909015L, 150).map(_.kind).distinct.sorted ==
-      Seq("dedup", "interval", "join_agg", "profile", "rollup2",
-        "session", "sliding", "tumbling", "upsert"))
+      Seq("dedup", "interval", "interval_outer", "join_agg", "profile",
+        "rollup2", "session", "sliding", "tumbling", "upsert", "v2_session"))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val results = try {
@@ -78,7 +78,10 @@ class StreamFuzzSpec extends SparkSpec {
     // partition-count dependency could hide in the handoff
     // ... and the v2 profile kind: its RocksDB store partition count is
     // fixed at first checkpoint like every other state class
-    val picks = Seq("tumbling", "dedup", "interval", "join_agg", "profile").map(k =>
+    // interval_outer stands in for the join-state class (round 17): it runs
+    // the same symmetric-hash-join state machinery as the inner kind PLUS
+    // the eviction-coupled null-pad path, at the same two-drain cost
+    val picks = Seq("tumbling", "dedup", "interval_outer", "join_agg", "profile").map(k =>
       plans.find(_.kind == k).getOrElse(fail(s"no $k plan in the first 150")))
     picks.foreach { p =>
       val r1 = StreamFuzzer.run(spark, sf, p, shufflePartitions = 1)
@@ -102,6 +105,20 @@ class StreamFuzzSpec extends SparkSpec {
     val r = StreamFuzzer.run(spark, sf, p,
       oracleDelayOverrideSec = Some(p.delaySec + 10L * 86400))
     assert(!r.ok, "delay-override control came back green — the compare cannot detect divergence")
+  }
+
+  test("RED PATH: the outer-join null-pad compare reds on a mis-stated cutoff") {
+    // Same control for the round-17 interval_outer kind: inflating the
+    // oracle's delay pushes its pad cutoff ~10 days back, so the engine's
+    // legitimately-emitted padded rows become engine-extra. A sentinel plan
+    // is chosen so the real run pads every unmatched a-row (maximal pad
+    // surface for the control to disturb).
+    val p = StreamFuzzer.plans(909015L, 150)
+      .find(p => p.kind == "interval_outer" && p.sentinel)
+      .getOrElse(fail("no sentinel interval_outer plan in the first 150"))
+    val r = StreamFuzzer.run(spark, sf, p,
+      oracleDelayOverrideSec = Some(p.delaySec + 10L * 86400))
+    assert(!r.ok, "outer-join delay-override control came back green — the pad compare is vacuous")
   }
 
   test("PINNED SEMANTICS: data later than the watermark MAY be admitted (one-directional guarantee)") {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Assemble bench_runs/fuzz_diff_r{N}.json from a regen directory's JSONL
 logs (one line per FuzzMain / StreamFuzzMain / GraphFuzzMain / VectorFuzzMain
-run) plus the compare_oracle log for the SQL half. Keeps the artifact a
+/ ReplayFuzzMain run) plus the compare_oracle log for the SQL half. Keeps the artifact a
 faithful record of what actually ran: every number is read from a run log
 or derived from the spec/generator sources, never typed in — and a
 regeneration carries forward BOTH result-bearing sections of the previous
@@ -41,6 +41,7 @@ def main():
     stream = lines(f"{d}/stream.jsonl")
     graph = lines(f"{d}/graph.jsonl")
     vector = lines(f"{d}/vector.jsonl")
+    replay = lines(f"{d}/replay.jsonl")
     compares = {}
     with open(f"{d}/sql_compare.log") as f:
         for ln in f:
@@ -60,15 +61,16 @@ def main():
             "executed": r["executed"], "failed": r["failed"],
             "zero_row_plans": r["zero_row_plans"], "compare": cmp_line,
         })
-    for r in stream + graph + vector:
+    for r in stream + graph + vector + replay:
         assert r["bad"] == 0, f"non-SQL run {r['seed']} has bad plans: {r}"
 
     artifact = {
         "harness": ("graft.FuzzMain + tools/compare_oracle.py (SQL half, DuckDB oracle), "
                     "graft.StreamFuzzMain (streaming half, batch-recomputation oracle, Spark-vs-Spark), "
                     "graft.GraphFuzzMain (graph kernels vs plain-Scala brute-force oracles on random multigraphs), "
-                    "graft.VectorFuzzMain (ANN/embedding operators vs plain-Scala linear algebra on random vectors)"),
-        "generator": ("graft.fuzz.SqlFuzzer — seeded, (seed,index)->SQL stable per JDK Random spec; 19 plan kinds: "
+                    "graft.VectorFuzzMain (ANN/embedding operators vs plain-Scala linear algebra on random vectors), "
+                    "graft.ReplayFuzzMain (custom DSv2 replay source vs its own pure generator function)"),
+        "generator": ("graft.fuzz.SqlFuzzer — seeded, (seed,index)->SQL stable per JDK Random spec; 21 plan kinds: "
                       "the 18 round-15-closing kinds (filter/project/distinct, group-agg+HAVING, inner/left equi-joins (+agg), "
                       "windows, set ops, nested post-agg filters, IN/NOT IN/EXISTS/NOT EXISTS subqueries, CTE joins, "
                       "ROLLUP/CUBE with GROUPING markers, FULL OUTER joins, 3-table chain joins, null-injected derived tables, "
@@ -76,13 +78,21 @@ def main():
                       "correlated scalar subqueries, deep CASE/string expression trees) plus nonEquiJoin — "
                       "pure-inequality and BETWEEN-band joins between GROUP-BY-bounded derived tables (BroadcastNestedLoopJoin "
                       "planning, <=256-row worst case at any SF), equi-joins with non-equi ON-clause residuals, and correlated "
-                      "non-equi [NOT] EXISTS — the last planner path the round-14 verdict listed as unfuzzed"),
-        "stream_generator": ("graft.fuzz.StreamFuzzer — seeded stateful plans, now EIGHT kinds: tumbling/sliding-window "
+                      "non-equi [NOT] EXISTS — plus, round 17: lateralQ (correlated LATERAL subqueries in FROM, scalar-agg and "
+                      "multi-row shapes — the LateralJoin/DecorrelateInnerQuery path) and qualifyQ (QUALIFY-pattern windowed "
+                      "filtering: rank/dense_rank cutoffs and running-sum predicates over a shared full ORDER BY, filtered "
+                      "above the window)"),
+        "stream_generator": ("graft.fuzz.StreamFuzzer — seeded stateful plans, now ELEVEN kinds: tumbling/sliding-window "
                              "aggregation, session windows, watermark dedup, versioned-merge upsert, stream-stream INTERVAL "
                              "JOINS (random lo/hi time bounds), and — round 16 — the two CHAINED multi-stateful classes: "
                              "join_agg (interval join feeding a windowed agg, BOTH stages randomized; oracle encodes the "
                              "propagated cutoff windowEnd <= wm - max(lo, hi)) and rollup2 (two-level windowed rollup with a "
-                             "random aligned level-2 multiple; cutoff w2End <= wm). Randomized window/slide/gap/delay/key-mod/"
+                             "random aligned level-2 multiple; cutoff w2End <= wm), the transformWithState-v2 profile kind (ValueState + "
+                             "newest-K ListState on RocksDB), and — round 17 — interval_outer (LEFT OUTER interval join: null-pad "
+                             "emission only once wm > a_ts + hi, never both padded and matched, under a +-5 ms boundary band; "
+                             "oracle watermark = min over the parity sides' own maxima, ms-floored — the engine-fidelity rule the "
+                             "kind's first smoke run caught) and v2_session (event-time TIMER-driven sessionization on "
+                             "transformWithState, same gaps-and-islands oracle as the session_window kind). Randomized window/slide/gap/delay/key-mod/"
                              "slicing/sentinel/in-horizon late injection/re-delivery, and the restart axis (1/3 of plans split "
                              "staging across two query lifetimes on one checkpoint). Interval-join soundness: a late "
                              "in-horizon row's partner satisfies ts >= late_ts - hi > wm - hi, the join-state eviction bound"),
@@ -98,6 +108,12 @@ def main():
                              "artifacts, exact multiset compare unless the ADC survivor-boundary gap is inside 1e-9 relative, "
                              "then an admissibility check (no flaky fresh seeds by construction). Plus dim-stats and whitened "
                              "norms vs direct moments. Cosine oracles replay vec_dot/vec_norm's documented index-order sums"),
+        "replay_generator": ("graft.fuzz.ReplayFuzzer — seeded plans over the custom DSv2 review-replay source: random "
+                             "page size, feed length (zero included), partition fan-out re-randomized across a MID-STREAM "
+                             "restart (lifetime 1 stops the feed at a generally non-page-aligned cut; lifetime 2 resumes the "
+                             "same checkpoint), and transport (in-memory generator vs a literal HTTP stub with injected 503s "
+                             "exercising the retry ladder). Oracle = the source's own pure row function: every row exactly "
+                             "once, no micro-batch above the page size"),
         "runs": runs,
         "stream_runs": [
             {k: r[k] for k in ("seed", "count", "sf_dir", "ok", "bad", "kinds",
@@ -109,6 +125,9 @@ def main():
         "vector_runs": [
             {k: r[k] for k in ("seed", "count", "ok", "bad", "kinds",
                                "engine_rows_total", "wall_s")} for r in vector],
+        "replay_runs": [
+            {k: r[k] for k in ("seed", "count", "ok", "bad", "restart_plans",
+                               "http_plans", "zero_row_plans", "wall_s")} for r in replay],
     }
     # Result-bearing sections of the previous artifact carry forward — a
     # regeneration documents new runs, it must never drop committed evidence.
@@ -133,12 +152,12 @@ def main():
         "StreamFuzzSpec (stream: seeded plans incl. interval joins drained green, red-path delay-override "
         f"control, too-late-admission pin), GraphFuzzSpec ({g_plans} plans covering all 12 kernels + dropped-row and "
         f"rank-shift tamper controls), VectorFuzzSpec ({v_plans} plans covering all {v_kinds} kinds + tamper controls on all "
-        "three compare classes)")
+        "three compare classes), ReplayFuzzSpec (12 drained plans covering the restart + HTTP axes + tamper control)")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     total_sql = sum(r["count"] for r in runs)
     print(f"wrote {out}: {len(runs)} SQL runs ({total_sql} plans), "
-          f"{len(stream)} stream, {len(graph)} graph, {len(vector)} vector runs")
+          f"{len(stream)} stream, {len(graph)} graph, {len(vector)} vector, {len(replay)} replay runs")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ run_sql() { # seed count sfdir
 }
 
 : > "$D/sql.jsonl"; : > "$D/sql_compare.log"
-: > "$D/graph.jsonl"; : > "$D/vector.jsonl"
+: > "$D/stream.jsonl"; : > "$D/graph.jsonl"; : > "$D/vector.jsonl"
 run_sql 20260815 300 sf0.001
 run_sql 14141414 300 sf0.01
 run_sql 777000777 300 sf0.01
@@ -32,6 +32,13 @@ run_sql 31337 500 sf0.1
 run_sql 8151515 500 sf0.01
 run_sql 20260816 500 sf0.01
 run_sql 20260817 500 sf0.01    # FRESH (round-16 rotation)
+
+# the stream leg (previously missing — the header promised stream.jsonl but
+# nothing produced it, so a regeneration would have silently carried a stale
+# or absent stream artifact into assemble_fuzz_artifact.py)
+sbt -batch -error "runMain graft.StreamFuzzMain 909015 150 /root/testdata/sf0.001"   2>"$D/s1.err" | grep '"seed"' >> "$D/stream.jsonl"
+sbt -batch -error "runMain graft.StreamFuzzMain 161616 120 /root/testdata/sf0.001"   2>"$D/s2.err" | grep '"seed"' >> "$D/stream.jsonl"
+sbt -batch -error "runMain graft.StreamFuzzMain 16077016 120 /root/testdata/sf0.001" 2>"$D/s3.err" | grep '"seed"' >> "$D/stream.jsonl"
 
 sbt -batch -error "runMain graft.GraphFuzzMain 909091 240 6" 2>"$D/g1.err" | grep '"seed"' >> "$D/graph.jsonl"
 sbt -batch -error "runMain graft.GraphFuzzMain 31415 120 6"  2>"$D/g2.err" | grep '"seed"' >> "$D/graph.jsonl"
