@@ -152,6 +152,9 @@ object LocalClusterBenchMain {
     lc.sparkContext.setLogLevel("WARN")
     val (lcTimes, lcDrain) = phase(lc, sfDir, "lc")
     lc.stop()
+    // getOrCreate would otherwise hand back the stopped default session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
 
     // SAME-WINDOW local[32] baseline: a fresh context in the same JVM and
     // the same wall-clock window, so the emitted ratios carry no
