@@ -18,6 +18,9 @@ run / fork := true
 Test / testOptions ++= (
   if (sys.env.contains("GRAFT_VOLUME")) Seq.empty
   else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.VolumeTest")))
+// Per-test durations in the report (-oD): the suite-wall budget work needs
+// to attribute wall growth to named tests, not to timestamp-gap archaeology.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Forked run's stdout passes through raw instead of being re-logged at
 // info level — otherwise `sbt -error` (or any quieter log level) swallows
 // the one JSON line Bench/Verify exist to print.

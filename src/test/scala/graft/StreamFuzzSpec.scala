@@ -31,12 +31,12 @@ class StreamFuzzSpec extends SparkSpec {
   }
 
   test("64 seeded stateful plans drain green against their batch recomputation") {
-    // 64, down from 100 (round-16 suite-wall discipline): the bulk
-    // randomized evidence lives in the committed StreamFuzzMain artifacts
-    // (hundreds of plans per seed); in-suite the job is kind coverage +
-    // the red-path control, and 64 plans under the 11-kind grammar cover
-    // most kinds several times at ~2/3 the drain wall.
-    val plans = StreamFuzzer.plans(909015L, 64)
+    // 48, down from 64 (round-17 suite-wall repayment for ReplayFuzzSpec +
+    // the outer red-path control): the bulk randomized evidence lives in
+    // the committed StreamFuzzMain artifacts (510 plans across 4 seeds);
+    // in-suite the job is kind coverage + the red-path control, and 48
+    // plans under the 11-kind grammar still cover most kinds repeatedly.
+    val plans = StreamFuzzer.plans(909015L, 48)
     // every kind must appear in the generator's distribution — a regression
     // that collapsed it would silently gut coverage. Checked over a 150-plan
     // draw: the lightest kind (session, weight 1/18) legitimately misses a

@@ -36,7 +36,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * repaid by trimming the in-suite StreamFuzzSpec drains 100 → 64 (the
   * bulk evidence lives in the committed 390-plan artifacts) and by
   * preforking all four SIGKILL children CONCURRENTLY (suite cost 140 s →
-  * 47 s — each child blocks at its marker while the others init). */
+  * 47 s — each child blocks at its marker while the others init).
+  *
+  * Round 17 spent and repaid: ReplayFuzzSpec (~40 s), the outer-join
+  * red-path drain, the salt-ledger test, and two RocksDB stream-fuzz kinds
+  * in the 909015 drain mix (~+75 s total), repaid by trimming the in-suite
+  * stream drains 64 → 48 — committed wall 17m24s, the round's THIRD
+  * same-day full run after 29m24s and 24m13s on near-identical code: a
+  * 1.7× host-window spread that dwarfs any spec-level change, which is
+  * exactly why this lint reads the committed (quiet-window) wall and why
+  * `-oD` per-test durations are now on in build.sbt — the next wall
+  * investigation attributes growth to named tests, not window archaeology. */
 class SuiteBudgetSpec extends AnyFunSuite {
 
   private val CeilingMinutes = 24.0
