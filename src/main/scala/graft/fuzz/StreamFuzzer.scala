@@ -101,7 +101,8 @@ object StreamFuzzer {
     loSec: Long = 0L,    // interval/join_agg: b.ts >= a.ts − lo
     hiSec: Long = 0L,    // interval/join_agg: b.ts <= a.ts + hi
     w2Mult: Int = 2,     // rollup2: level-2 window = w2Mult × windowSec
-    profileK: Int = 5)   // profile: newest-K ListState cap
+    profileK: Int = 5,   // profile: newest-K ListState cap
+    ttlSec: Long = 0L)   // profile: state TTL (0 = TTLConfig.NONE)
 
   /** Deterministic (seed, index) → plan (java.util.Random LCG is
     * JDK-specified, so plans are stable across hosts). */
@@ -160,7 +161,16 @@ object StreamFuzzer {
       w2Mult = 2 + r.nextInt(5),
       // profile kind: random newest-K cap for the v2 ListState (1 hits the
       // degenerate single-slot case; the gate's constant is 5)
-      profileK = 1 + r.nextInt(7))
+      profileK = 1 + r.nextInt(7),
+      // state TTL (round-18 verdict #4): half the profile plans run with a
+      // processing-time TTL on BOTH column families. Hours-scale by
+      // construction — a seconds-scale drain can never legally expire
+      // anything, so the batch oracle is unchanged and the plan stays
+      // deterministic; that the TTL machinery ACTUALLY expires when told to
+      // is proven by StreamFuzzSpec's ttl≈0 red-path control, not here.
+      // Drawn LAST so every earlier field of every committed plan is
+      // unchanged under the old seeds.
+      ttlSec = if (r.nextBoolean()) (1L + r.nextInt(24)) * 3600L else 0L)
   }
 
   def plans(seed: Long, count: Int): Seq[StreamPlan] =
@@ -184,7 +194,8 @@ object StreamFuzzer {
     * vacuity. */
   def run(spark: SparkSession, d: String, p: StreamPlan,
           oracleDelayOverrideSec: Option[Long] = None,
-          shufflePartitions: Int = 2): Result = {
+          shufflePartitions: Int = 2,
+          profileTtlOverrideMs: Option[Long] = None): Result = {
     val iso = spark.newSession()
     // shufflePartitions is a differential axis of its own: a stateful query
     // FIXES its state-store partition count at first checkpoint, so results
@@ -433,14 +444,25 @@ object StreamFuzzer {
           import iso.implicits._
           iso.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          // TTL (plan-randomized hours, or the red-path ms override): a TTL'd
+          // family requires TimeMode.ProcessingTime — Spark rejects it under
+          // TimeMode.None — so the mode switches with the config. No timers
+          // are registered either way; handleInputRows semantics are
+          // identical, which is exactly why the hours-TTL plans share the
+          // no-TTL oracle.
+          val ttl = profileTtlOverrideMs.map(java.time.Duration.ofMillis)
+            .orElse(if (p.ttlSec > 0) Some(java.time.Duration.ofSeconds(p.ttlSec)) else None)
+          val timeMode =
+            if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+            else org.apache.spark.sql.streaming.TimeMode.None()
           readSrc
             .select(col("event_id"), (col("user_id") % p.keyMod).as("user_id"),
               col("event_type"), col("value"))
             .as[graft.streaming.StateV2Profile.Ev]
             .groupByKey(_.user_id)
             .transformWithState(
-              new graft.streaming.StateV2Profile.ProfileProcessor(p.profileK),
-              org.apache.spark.sql.streaming.TimeMode.None(),
+              new graft.streaming.StateV2Profile.ProfileProcessor(p.profileK, ttl),
+              timeMode,
               org.apache.spark.sql.streaming.OutputMode.Update())
             .writeStream.trigger(Trigger.AvailableNow())
             .outputMode("update")
@@ -452,9 +474,40 @@ object StreamFuzzer {
             .start()
       }
 
+      // TTL'd profile drains cannot awaitTermination (measured, Spark
+      // 4.1.2): a transformWithState operator in TimeMode.ProcessingTime
+      // reports shouldRunAnotherBatch=true on every batch — the mode exists
+      // to let processing-time timers/TTL fire later — so even
+      // Trigger.AvailableNow keeps scheduling no-data batches forever
+      // (observed 5000+, at ~10/s; processAllAvailable also proved unsafe —
+      // a run left in that loop eventually wedged inside a no-data batch's
+      // checkpoint write). The termination rule used instead: poll
+      // lastProgress and STOP at the first committed no-data batch.
+      // AvailableNow plans every staged file up front and each batch drains
+      // available files before going empty, so an observed numInputRows == 0
+      // progress entry proves all data batches committed; empty batches
+      // touch no keys (handleInputRows is the only emission path), and the
+      // one in-flight when stop() lands leaves only an uncommitted
+      // _temporary dir the parquet reader never sees — the stopped query's
+      // sink is exactly what awaitTermination would have collected if the
+      // mode let it return.
+      val ttlDrain = p.kind == "profile" &&
+        (profileTtlOverrideMs.isDefined || p.ttlSec > 0)
+      def drainTtl(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        val deadline = System.nanoTime() + 180L * 1000000000L
+        var caughtUp = false
+        while (!caughtUp && q.isActive && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val lp = q.lastProgress
+          caughtUp = lp != null && lp.numInputRows == 0
+        }
+        q.exception.foreach(throw _)
+        require(caughtUp, s"TTL'd profile drain never reached an empty batch in 180 s")
+      }
       def drainKind(): String = {
         val q = startKind()
-        try q.awaitTermination() finally q.stop()
+        try { if (ttlDrain) drainTtl(q) else q.awaitTermination() }
+        finally q.stop()
         if (sys.env.contains("GRAFT_SFUZZ_DEBUG")) {
           new java.io.File(srcDir).listFiles().filter(_.getName.endsWith(".parquet"))
             .sortBy(_.lastModified()).foreach(f =>
@@ -491,7 +544,11 @@ object StreamFuzzer {
       // pad window already closed at arrival — wm > a_ts + hi before the row
       // is even admitted — has UNSPECIFIED pad-emission timing; the strict
       // guarantee covers aggregation/admission, not the outer join's
-      // eviction-coupled null emission. The inner kind keeps the injection.)
+      // eviction-coupled null emission. The inner kind keeps the injection.
+      // Spark 4.1.2's OBSERVED behavior — admitted, then null-padded exactly
+      // once on the next eviction pass — is pinned in StreamFuzzSpec
+      // ("admitted past its own pad cutoff"), so an upstream change surfaces
+      // as a spec diff rather than a silently-stale exclusion rationale.)
       var lateInjected = 0L
       if ((isAgg || isJoin || isChained) && p.late && p.delaySec >= 420) {
         val prev = pfiles()
@@ -704,11 +761,23 @@ object StreamFuzzer {
           // a_id ≥ 0 drops the matched sentinel pair (ids −1/−2)
           val engAll = iso.read.schema(outSchema).parquet(outDir)
             .filter(col("a_id") >= 0)
-          val bandPad = col("b_id").isNull &&
-            col("a_es") + hiUs > wmFinalUs - marginUs &&
+          val inBand = col("a_es") + hiUs > wmFinalUs - marginUs &&
             col("a_es") + hiUs < wmFinalUs + marginUs
-          val engNorm = engAll.join(unmatched.select(col("a_id").as("ua_id")),
-            col("a_id") === col("ua_id") && bandPad, "left_anti")
+          // band removal is AT MOST ONE pad row per in-band a_id (round-18
+          // ADVICE: the earlier left_anti removed ALL of an a_id's pad rows,
+          // so a DUPLICATE pad whose cutoff landed inside the band was
+          // silently tolerated). Pads rank within their a_id; only the rn=1
+          // row of a genuinely-unmatched in-band a_id is ambiguous — a
+          // second pad for the same a_id is a double emission at ANY cutoff
+          // and survives normalization to red as engine-extra.
+          val pads = engAll.filter(col("b_id").isNull)
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(col("a_id")).orderBy(col("a_es"))))
+          val keptPads = pads
+            .join(unmatched.select(col("a_id").as("ua_id")),
+              col("a_id") === col("ua_id") && inBand && col("__rn") === 1, "left_anti")
+            .drop("__rn")
+          val engNorm = engAll.filter(col("b_id").isNotNull).unionByName(keptPads)
           (engNorm, o)
 
         case "join_agg" =>

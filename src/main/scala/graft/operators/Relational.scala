@@ -360,27 +360,37 @@ object Relational {
     * side is literal 1), turning the sketch's documented ±3·rsd error into a
     * hash-checkable contract instead of a rows-only entry. */
   def approxDistinctBounded(s: SparkSession, d: String): DataFrame = {
-    // exact and sketch in SEPARATE aggregations joined on the 3-row key:
-    // mixing countDistinct with other aggregates triggers the
-    // RewriteDistinctAggregates expand (input ×3) and measured 2× slower
-    // than two optimal single-mode passes over the pruned scan
+    // ONE wide exchange (round-18 verdict #2). Mixing countDistinct with
+    // other aggregates triggers the RewriteDistinctAggregates expand
+    // (input ×3 — measured 2× slower locally), and the round-13..17 shape —
+    // one expand-free single-distinct agg per column, joined — was optimal
+    // single-JVM but paid 2.06× on real executors (local_cluster_r17: two
+    // aggregations each shuffling their (flag, key) pairs over the wire as
+    // SEPARATE stages, +2.4 s, the worst delta in the artifact). This shape
+    // sends the same deduped pair volume across ONE exchange: tag each
+    // distinct column into a (flag, which, key) pair stream, partial-dedup
+    // map-side, shuffle once, then both exact counts AND both HLL sketches
+    // reduce off the deduped pairs in a second, rows≈distinct-sized agg
+    // whose partial/final exchange carries only (flag, sums, sketches).
+    // HLL insertion is idempotent (register updates are max-based), so the
+    // sketch over deduped keys is bit-identical to the sketch over raw rows.
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
-    // ...and the SAME argument again inside the exact side: two
-    // countDistinct on different columns in one agg are two distinct
-    // groups, which also plans the ×2 Expand — one expand-free
-    // single-distinct agg per column, joined on the 3-row key, beats it
-    val exactParts = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"))
-    val exact = exactParts.join(
-      broadcast(li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))),
-      Seq("l_returnflag"))
-    val approx = li.groupBy(col("l_returnflag"))
+    val pairs = li
+      .select(col("l_returnflag"), lit(0).as("which"), col("l_partkey").as("key"))
+      .unionAll(li
+        .select(col("l_returnflag"), lit(1).as("which"), col("l_suppkey").as("key")))
+    // null keys dropped BEFORE the dedup: count(DISTINCT x) ignores NULLs,
+    // but a (flag, which, NULL) row would survive distinct() and inflate
+    // the sum by one — free on these non-null TPC-H columns, structural
+    // parity if the operator is reused on nullable keys
+    pairs.filter(col("key").isNotNull).distinct()
+      .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("asu"))
-    exact.join(broadcast(approx), Seq("l_returnflag"))
+        sum(when(col("which") === 0, 1L).otherwise(0L)).as("n_parts"),
+        sum(when(col("which") === 1, 1L).otherwise(0L)).as("n_suppliers"),
+        approx_count_distinct(when(col("which") === 0, col("key")), 0.01).as("ap"),
+        approx_count_distinct(when(col("which") === 1, col("key")), 0.01).as("asu"))
       .select(
         col("l_returnflag"), col("n_parts"), col("n_suppliers"),
         (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05)

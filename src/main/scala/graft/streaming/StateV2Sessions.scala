@@ -132,19 +132,31 @@ object StateV2Sessions {
   /** Timer-driven sessionization over the events dir; AvailableNow drains
     * the source, RocksDB holds the buffer state and the timers (the v2
     * requirement). The provider conf is restored once the query starts —
-    * the checkpoint owns it from then on (the [[StateV2Profile]] protocol). */
+    * the checkpoint owns it from then on (the [[StateV2Profile]] protocol).
+    *
+    * `afterSinkWrite` / `idempotentSink` are the crash-cell hooks (the
+    * [[StateV2Profile.runProfiles]] convention): the idempotent variant
+    * writes per-batch directories through foreachBatch and fires the hook
+    * after the sink write, INSIDE the batch's uncommitted window —
+    * CrashKillSpec's timer cell SIGKILLs a forked drain there while
+    * registered event-time timers are still armed and un-fired, the one
+    * state family (timer rows travel the checkpoint like row state) the
+    * other four cells never exercised. Production callers leave both
+    * defaults and get the plain file sink. */
   def runSessions(spark: SparkSession, srcDir: String, outDir: String,
                   checkpointDir: String,
                   gapSec: Long = GapSec,
                   delaySec: Long = 1800L,
-                  maxFilesPerTrigger: Int = 4): StreamingQuery = {
+                  maxFilesPerTrigger: Int = 4,
+                  afterSinkWrite: Long => Unit = _ => (),
+                  idempotentSink: Boolean = false): StreamingQuery = {
     import spark.implicits._
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger)
+      val sessions = EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger)
         .select(col("event_id"), col("ts"), col("user_id"),
           floor(col("value") * 100).cast("long").as("cents"))
         .withWatermark("ts", s"$delaySec seconds")
@@ -152,13 +164,17 @@ object StateV2Sessions {
         .groupByKey(_.user_id)
         .transformWithState(new SessionTimerProcessor(gapSec),
           TimeMode.EventTime(), OutputMode.Append())
-        .writeStream
+      val writer = sessions.writeStream
         .trigger(Trigger.AvailableNow())
         .outputMode("append")
         .option("checkpointLocation", checkpointDir)
-        .format("parquet")
-        .option("path", outDir)
-        .start()
+      if (idempotentSink)
+        writer.foreachBatch { (batch: org.apache.spark.sql.Dataset[Session], id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/b$id")
+          afterSinkWrite(id)
+        }.start()
+      else
+        writer.format("parquet").option("path", outDir).start()
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set(confKey, p)

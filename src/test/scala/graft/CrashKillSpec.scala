@@ -27,14 +27,14 @@ class CrashKillSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val CrashBatch = 1L
 
-  /** All four child JVMs fork CONCURRENTLY on first touch (suite-wall
+  /** All five child JVMs fork CONCURRENTLY on first touch (suite-wall
     * discipline: each child pays ~20 s of JVM+Spark init and then blocks
-    * at its marker; serial forking quadrupled that). Each cell's test
+    * at its marker; serial forking quintupled that). Each cell's test
     * then finds its child already holding the commit open and only pays
     * the kill + in-process resume. */
   private lazy val cells: Map[String, (java.nio.file.Path, Process)] = {
     val srcDir = graft.streaming.EventsStream.stageEvents(spark, sf)
-    Seq("upsert", "wagg", "ssj", "profile").map { k =>
+    Seq("upsert", "wagg", "ssj", "profile", "timer").map { k =>
       val base = java.nio.file.Files.createTempDirectory(s"graft-kill-$k")
       k -> (base, forkChild(k, srcDir, base))
     }.toMap
@@ -222,6 +222,61 @@ class CrashKillSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
               |  THEN struct(event_id, CAST(floor(value * 100) AS BIGINT) AS cents) END))),
               |  1, 5)), x -> x.cents)""".stripMargin)).as("recent"))
       assertSame("kill-profile", got, truth)
+    }
+  }
+
+  test("SIGKILL cell — armed v2 event-time timers (timer rows ARE checkpoint state)") {
+    // Round-18 verdict #3: the four cells above cover upsert/window-agg/
+    // join-buffer/v2 ValueState+ListState state, but none dies while
+    // registered event-time TIMERS are armed and un-fired — and timer
+    // durability across process death is checkpoint state exactly the way
+    // row state is. The child drains StateV2Sessions one file per batch;
+    // at CrashBatch=1 only 2 of the 5 staged files (4 range files + the
+    // far-future sentinel, which is LAST) have been admitted, so the
+    // watermark trails the buffered sessions by a file's span and most
+    // keys hold an armed timer at the earliest open close. The SIGKILL
+    // lands inside (sink written, commit absent) with those timers
+    // un-fired; the resumed drain must reload timer rows + buffers from
+    // the checkpoint and emit every session EXACTLY once — a lost timer
+    // holds its sessions forever (missing rows), a replayed/double-fired
+    // one double-emits (extra rows); both diverge from the batch
+    // gaps-and-islands oracle.
+    val srcDir = EventsStream.stageEvents(spark, sf)
+    val base = forkAndKill("timer", b => new java.io.File(s"$b/out/b$CrashBatch"))
+    locally {
+      // structural pre-kill evidence: the batches written before the kill
+      // emitted only a strict PREFIX of the sessions — the remainder exists
+      // nowhere but in the recovered buffer+timer state
+      val preKill = readBatches(s"$base/out").filter(col("user_id") >= 0).count()
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StateV2Sessions.runSessions(iso, srcDir,
+        s"$base/out", s"$base/ckpt", maxFilesPerTrigger = 1, idempotentSink = true)
+      try q.awaitTermination() finally q.stop()
+      val got = readBatches(s"$base/out").filter(col("user_id") >= 0)
+        .select(col("user_id"), col("ws"), col("le"), col("n_events"), col("cents"))
+      // batch gaps-and-islands oracle (the q_stream_timer_sessions truth):
+      // a ≥30 min pause splits; the staged sentinel (max+2 h) closes every
+      // real session under the final watermark, so no cutoff filter is
+      // needed — the full sessionization is the truth
+      val gapUs = graft.streaming.StateV2Sessions.GapSec * 1000000L
+      val ow = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val truth = spark.read.parquet(srcDir).filter(col("user_id") >= 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("es"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("c"))
+        .withColumn("brk",
+          when(col("es") - lag("es", 1).over(ow) >= gapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min("es").as("ws"), max("es").as("le"),
+          count(lit(1)).as("n_events"), sum("c").as("cents"))
+        .select(col("user_id"), col("ws"), col("le"), col("n_events"), col("cents"))
+      val total = truth.count()
+      assert(preKill < total,
+        s"pre-kill batches already emitted $preKill of $total sessions — the kill " +
+          "landed after the armed-timer window, restage with a later crash batch")
+      assertSame("kill-timer", got, truth)
     }
   }
 

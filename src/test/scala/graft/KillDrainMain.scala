@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.Trigger
   * the query in-process on the same checkpoint and asserts convergence to
   * the batch oracle.
   *
-  * Args: <class: upsert|wagg|ssj> <srcDir> <baseDir> <crashBatch>
+  * Args: <class: upsert|wagg|ssj|profile|timer> <srcDir> <baseDir> <crashBatch>
   * baseDir layout: out/ (or state/ for upsert), ckpt/, killme (marker).
   */
 object KillDrainMain {
@@ -69,6 +69,17 @@ object KillDrainMain {
         // one file per batch so the crash batch has non-trivial prior state
         graft.streaming.StateV2Profile.runProfiles(spark, srcDir, outDir, ckptDir,
           hook, idempotentSink = true, maxFilesPerTrigger = 1)
+      case "timer" =>
+        // transformWithState v2 with ARMED EVENT-TIME TIMERS (round-18
+        // verdict #3): at the crash batch the staged 5-file slicing
+        // guarantees most keys hold buffered session events plus a
+        // registered, un-fired timer — the watermark is still one file's
+        // delay behind, and the sentinel that would fire the tail timers is
+        // the LAST staged file. The SIGKILL therefore lands between timer
+        // registration and expiry; resume must reload the timer rows with
+        // the buffers and emit every session exactly once.
+        graft.streaming.StateV2Sessions.runSessions(spark, srcDir, outDir, ckptDir,
+          maxFilesPerTrigger = 1, afterSinkWrite = hook, idempotentSink = true)
     }
     q.awaitTermination()
     // only reachable if the parent failed to kill us — exit distinctly so

@@ -26,9 +26,18 @@ import org.apache.spark.sql.SparkSession
   * class mechanically: artifact-probe ratios move with scheduling/transport
   * overhead, direct ratios with shuffle/codegen locality.
   *
+  * ORDERING-BIAS BOUND since round 18 (round-17 ADVICE: the local phase
+  * runs second, after lc has warmed JIT, driver-side code paths and the OS
+  * page cache over the same parquet — a systematic term that flatters the
+  * baseline and inflates every lc/local ratio): a THIRD phase re-times the
+  * local-cluster master after the local one (lc → local → lc2), so
+  * lc2/local is the same comparison with the warm-JVM advantage on the
+  * OTHER side. The true ratio lies between `ratio` and `ratio_rewarm`; the
+  * emitted `ordering_note` says so in-artifact.
+  *
   * Run with SPARK_HOME=/opt/spark (the worker/executor launch path needs
   * the distribution, not just the jars). Prints one JSON line for
-  * bench_runs/local_cluster_r17.json. */
+  * bench_runs/local_cluster_r18.json. */
 object LocalClusterBenchMain {
 
   private val Heavy20 = Seq(
@@ -162,6 +171,16 @@ object LocalClusterBenchMain {
     val loc = session("local[32]")
     loc.sparkContext.setLogLevel("WARN")
     val (locTimes, locDrain) = phase(loc, sfDir, "local")
+    loc.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // REWARM local-cluster phase (round-17 ADVICE — see the scaladoc): the
+    // same cluster master timed a second time, now with every warm-JVM
+    // advantage the local phase enjoyed; lc2/local bounds the ordering bias
+    val lc2 = session("local-cluster[4,8,4096]")
+    lc2.sparkContext.setLogLevel("WARN")
+    val (lc2Times, lc2Drain) = phase(lc2, sfDir, "lc2")
 
     // Locale.ROOT formatting (round-12 ADVICE): the f interpolator is
     // default-locale-sensitive; a comma-decimal locale would emit invalid
@@ -171,7 +190,10 @@ object LocalClusterBenchMain {
     val locMap = locTimes.toMap
     val qs = lcTimes.map { case (n, t) => s""""$n":${jnum(t, 3)}""" }.mkString("{", ",", "}")
     val lqs = locTimes.map { case (n, t) => s""""$n":${jnum(t, 3)}""" }.mkString("{", ",", "}")
+    val l2qs = lc2Times.map { case (n, t) => s""""$n":${jnum(t, 3)}""" }.mkString("{", ",", "}")
     val ratios = lcTimes.map { case (n, t) =>
+      s""""$n":${jnum(t / math.max(locMap(n), 1e-9), 2)}""" }.mkString("{", ",", "}")
+    val ratios2 = lc2Times.map { case (n, t) =>
       s""""$n":${jnum(t / math.max(locMap(n), 1e-9), 2)}""" }.mkString("{", ",", "}")
     val classes_ = Heavy20.map { n =>
       s""""$n":"${if (ArtifactBacked(n)) "artifact" else "direct"}"""" }.mkString("{", ",", "}")
@@ -179,7 +201,12 @@ object LocalClusterBenchMain {
       ts.collect { case (n, t) if pred(n) => t }.sum
     val lcTotal = lcTimes.map(_._2).sum
     val locTotal = locTimes.map(_._2).sum
-    println(s"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":${jnum(lcTotal, 1)},"local_total":${jnum(locTotal, 1)},"ratio":${jnum(lcTotal / locTotal, 3)},"artifact_subtotal":${jnum(subtotal(ArtifactBacked, lcTimes), 1)},"artifact_subtotal_local":${jnum(subtotal(ArtifactBacked, locTimes), 1)},"direct_subtotal":${jnum(subtotal(n => !ArtifactBacked(n), lcTimes), 1)},"direct_subtotal_local":${jnum(subtotal(n => !ArtifactBacked(n), locTimes), 1)},"queries":$qs,"local_queries":$lqs,"per_query_ratio":$ratios,"query_class":$classes_,"stream_windowed_drain":${jnum(lcDrain, 3)},"stream_windowed_drain_local":${jnum(locDrain, 3)},"sf":"$sfDir"}""")
-    loc.stop()
+    val lc2Total = lc2Times.map(_._2).sum
+    val orderingNote = "phases run lc -> local -> lc2 in ONE JVM: `ratio` " +
+      "(lc/local) carries the warm-JVM advantage on the LOCAL side, " +
+      "`ratio_rewarm` (lc2/local) carries it on the CLUSTER side; the " +
+      "unbiased ratio lies between them"
+    println(s"""{"metric":"local_cluster","master":"local-cluster[4,8,4096]","total":${jnum(lcTotal, 1)},"local_total":${jnum(locTotal, 1)},"rewarm_total":${jnum(lc2Total, 1)},"ratio":${jnum(lcTotal / locTotal, 3)},"ratio_rewarm":${jnum(lc2Total / locTotal, 3)},"ordering_note":"$orderingNote","artifact_subtotal":${jnum(subtotal(ArtifactBacked, lcTimes), 1)},"artifact_subtotal_local":${jnum(subtotal(ArtifactBacked, locTimes), 1)},"direct_subtotal":${jnum(subtotal(n => !ArtifactBacked(n), lcTimes), 1)},"direct_subtotal_local":${jnum(subtotal(n => !ArtifactBacked(n), locTimes), 1)},"queries":$qs,"local_queries":$lqs,"rewarm_queries":$l2qs,"per_query_ratio":$ratios,"per_query_ratio_rewarm":$ratios2,"query_class":$classes_,"stream_windowed_drain":${jnum(lcDrain, 3)},"stream_windowed_drain_local":${jnum(locDrain, 3)},"stream_windowed_drain_rewarm":${jnum(lc2Drain, 3)},"sf":"$sfDir"}""")
+    lc2.stop()
   }
 }

@@ -137,13 +137,19 @@ class StageCacheSpec extends SparkSpec {
     // StageCache.Version whenever a cached builder's semantics change — a
     // forgotten bump would silently time stale artifacts for a whole round,
     // and nothing linted it. This test makes the invariant suite-red: it
-    // hashes EVERY main-source file containing a StageCache call site (the
-    // conservative superset of "files whose change could alter a cached
-    // artifact") and compares against a committed append-only ledger of
-    // (version, hash) pairs. Changing a builder source changes the hash →
-    // the last ledger entry mismatches → the fix is appending a new line,
-    // whose version must be NEW (versions are unique) and must equal the
-    // live Version constant — the bump is forced, not remembered.
+    // hashes every main-source file containing a StageCache call site PLUS
+    // a curated list of known transitive builder dependencies
+    // (ExtraBuilderDeps — round-18 ADVICE: a call-site regex alone misses a
+    // helper file the builders call into, e.g. the expression classes the
+    // shingle/IVF builders evaluate or the Tables readers every builder
+    // scans). NOT a proof of transitive closure — a brand-new helper file
+    // must be added to the list when a builder starts calling it; the scan
+    // is the broad first line, the list is the named second — and compares
+    // against a committed append-only ledger of (version, hash) pairs.
+    // Changing a covered source changes the hash → the last ledger entry
+    // mismatches → the fix is appending a new line, whose version must be
+    // NEW (versions are unique) and must equal the live Version constant —
+    // the bump is forced, not remembered.
     val rootDir = new File("src/main/scala")
     assert(rootDir.isDirectory,
       s"builder-source scan expects the repo root as the working dir (cwd=${new File(".").getAbsolutePath})")
@@ -157,13 +163,25 @@ class StageCacheSpec extends SparkSpec {
     // be in the hash too
     val callSite =
       "(StageCache\\.(through|stagedDir|modelSlot|modelSaved|modelLoaded)|memoDrain)".r
+    // known transitive dependencies of the cached builders that carry no
+    // call site of their own: the table readers every builder scans, the
+    // schema constants, the session-memo machinery the cache composes with,
+    // and the native expressions the shingle/minhash/IVF/centroid builders
+    // evaluate inside their plans. A semantics change in any of these
+    // changes cached artifacts without touching a call-site file.
+    val ExtraBuilderDeps = Set(
+      "Tables.scala", "Schemas.scala", "SessionCache.scala",
+      "TextExpressions.scala", "VectorExpressions.scala",
+      "SketchExpressions.scala", "CentroidAggregator.scala")
     val builderFiles = walk(rootDir)
       .filter(_.getName.endsWith(".scala"))
       .filter { f =>
-        f.getName == "StageCache.scala" ||
+        f.getName == "StageCache.scala" || ExtraBuilderDeps(f.getName) ||
           callSite.findFirstIn(new String(Files.readAllBytes(f.toPath), "UTF-8")).isDefined
       }
       .sortBy(_.getPath.replace('\\', '/'))
+    assert(ExtraBuilderDeps.forall(n => builderFiles.exists(_.getName == n)),
+      "an ExtraBuilderDeps entry matched no file — the dependency list rotted")
     assert(builderFiles.nonEmpty, "no StageCache call sites found — the scan regex rotted")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     builderFiles.foreach { f =>

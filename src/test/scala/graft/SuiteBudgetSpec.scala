@@ -47,6 +47,76 @@ import org.scalatest.funsuite.AnyFunSuite
   * exactly why this lint reads the committed (quiet-window) wall and why
   * `-oD` per-test durations are now on in build.sbt — the next wall
   * investigation attributes growth to named tests, not window archaeology. */
+/** Parse + profile-check for the MEASURED-durations ledger (round-18
+  * verdict #1): the committed suite-WALL lint reads a self-reported number
+  * a regression can hide behind until a slow number is chosen for commit.
+  * The live gate is `tools/closing_state.py lint_durations` — every closing
+  * regen parses the ACTUAL `-oD` test log. The rule compares per-suite
+  * SHARES of the duration sum, not the sum itself: per-test durations are
+  * wall measurements, so the whole profile scales with the host window like
+  * the wall does (measured round 18: identical code at 17m24s committed vs
+  * 31m14s in a slow window, 1.8×, with a flat share profile) — a total-based
+  * factor would red on every slow window and ratchet the baseline up with
+  * forced appends. A suite's SHARE cancels the window multiplier: a new
+  * heavy spec or a regressing suite moves its share; uniform host slowness
+  * moves nothing. A 2.5× total backstop still catches runaway growth no
+  * window explains. This object mirrors the Python parse/check so the suite
+  * can unit-test the red path without a Python dependency — keep the
+  * regexes and factors in sync with closing_state.py. */
+private[graft] object TestDurations {
+  val ShareFactor = 1.5  // == closing_state.py SHARE_FACTOR
+  val SharePp = 1.5      // == closing_state.py SHARE_PP (percentage points)
+  val TotalBackstop = 2.5 // == closing_state.py TOTAL_BACKSTOP
+
+  private val header = """^(?:\[info\]\s*)?([A-Z][A-Za-z0-9]*(?:Spec|Suite)):\s*$""".r
+  // `- name (durations)` bullets only, with or without sbt's `[info] `
+  // logger prefix; suite headers / `+ info()` lines / sbt timing noise
+  // carry no dash bullet and must not count
+  private val line = ("""^(?:\[info\]\s*)?- .*\(((?:\d+ (?:hour|minute|second|millisecond)s?""" +
+    """(?:, )?)+)\)\s*$""").r
+  private val unit = """(\d+) (hour|minute|second|millisecond)s?""".r
+  private val unitS = Map("hour" -> 3600.0, "minute" -> 60.0,
+    "second" -> 1.0, "millisecond" -> 0.001)
+
+  /** (total seconds, suite → seconds) from a ScalaTest -oD log; suite
+    * attribution is the running header (ScalaTest's sbt runner prints each
+    * suite's output as one atomic group). */
+  def parse(log: String): (Double, Map[String, Double]) = {
+    var suite = ""
+    var total = 0.0
+    val per = scala.collection.mutable.Map.empty[String, Double]
+    log.linesIterator.foreach { l =>
+      header.findFirstMatchIn(l) match {
+        case Some(h) => suite = h.group(1)
+        case None => line.findFirstMatchIn(l).foreach { m =>
+          val d = unit.findAllMatchIn(m.group(1))
+            .map(u => u.group(1).toLong * unitS(u.group(2))).sum
+          total += d
+          if (suite.nonEmpty) per(suite) = per.getOrElse(suite, 0.0) + d
+        }
+      }
+    }
+    (total, per.toMap)
+  }
+
+  /** Left(reasons) when the measured profile regresses vs the baseline —
+    * the decision closing_state.py enforces live. */
+  def check(measured: (Double, Map[String, Double]),
+            baseline: (Double, Map[String, Double])): Either[String, Unit] = {
+    val (total, per) = measured
+    val (tot0, per0) = baseline
+    val offenders = per.toSeq.flatMap { case (s, v) =>
+      val share = v / total
+      val base = per0.getOrElse(s, 0.0) / tot0
+      if (share > base * ShareFactor + SharePp / 100.0)
+        Some(f"$s: share ${share * 100}%.1f%% vs baseline ${base * 100}%.1f%%")
+      else None
+    } ++ (if (total > tot0 * TotalBackstop)
+      Some(f"TOTAL $total%.0f s > ${TotalBackstop}x baseline $tot0%.0f s") else None)
+    if (offenders.nonEmpty) Left(offenders.mkString("; ")) else Right(())
+  }
+}
+
 class SuiteBudgetSpec extends AnyFunSuite {
 
   private val CeilingMinutes = 24.0
@@ -67,5 +137,79 @@ class SuiteBudgetSpec extends AnyFunSuite {
       f"suite wall $minutes%.1f min exceeds the $CeilingMinutes%.0f min driver ceiling — " +
         "stage or sample the new cost (see VolumeTruthSpec's subsampling pattern) " +
         "or raise the ceiling WITH a documented decision")
+  }
+
+  test("durations ledger is well-formed with a real measured baseline block") {
+    val f = new java.io.File("test_durations.txt")
+    assert(f.exists(), "test_durations.txt missing — seed it via " +
+      "closing_state.py --accept-durations (round-18 verdict #1)")
+    // block format: `@ <tag> <totalSeconds>` then one `<Suite> <seconds>`
+    // line per suite; the LAST block is the active baseline
+    val lines = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      finally src.close()
+    }
+    assert(lines.nonEmpty, "durations ledger has no blocks — seed it via " +
+      "closing_state.py --accept-durations <tag>")
+    val tags = lines.filter(_.startsWith("@ ")).map(_.split("\\s+")(1))
+    assert(tags.nonEmpty && tags.distinct.size == tags.size,
+      s"ledger block tags must exist and be unique: $tags")
+    val lastBlock = lines.drop(lines.lastIndexWhere(_.startsWith("@ ")))
+    val lastTotal = lastBlock.head.split("\\s+")(2).toDouble
+    val suites = lastBlock.tail.map { l =>
+      val p = l.split("\\s+"); assert(p.length == 2, s"bad ledger line: $l")
+      (p(0), p(1).toDouble)
+    }
+    assert(suites.size >= 20 && lastTotal > 300.0,
+      "baseline block is implausibly small — the -oD parse matched nothing (regex rot)")
+    val accounted = suites.map(_._2).sum / lastTotal
+    assert(accounted > 0.95 && accounted < 1.01,
+      f"per-suite durations account for ${accounted * 100}%.0f%% of the block total")
+    // every baseline suite must still exist as a spec source — a renamed or
+    // deleted suite silently shrinks lint coverage until re-accepted
+    suites.foreach { case (s, _) =>
+      assert(new java.io.File(s"src/test/scala/graft/$s.scala").exists(),
+        s"ledger suite $s has no source file — re-accept the durations baseline")
+    }
+    info(f"durations baseline ${tags.last}: ${lastTotal / 60}%.1f min over ${suites.size} suites")
+  }
+
+  test("RED PATH: the durations parse attributes suites and check() reds on share growth") {
+    // synthetic -oD fragment in each duration format ScalaTest emits
+    val log =
+      """AlphaSpec:
+        |- raw scalatest test (312 milliseconds)
+        |[info] - sbt-prefixed test (1 second, 250 milliseconds)
+        |[info] BetaSpec:
+        |[info] - long one (2 minutes, 3 seconds)
+        |- untimed line that must not match
+        |[info] Run completed in 17 minutes, 24 seconds.
+        |  + info() output with a duration-looking tail (9 seconds)
+        |""".stripMargin
+    val (total, per) = TestDurations.parse(log)
+    // 0.312 + 1.25 + 123; the Run-completed wall and the `+` line must NOT count
+    assert(math.abs(total - 124.562) < 1e-9, s"parsed $total")
+    assert(math.abs(per("AlphaSpec") - 1.562) < 1e-9 && math.abs(per("BetaSpec") - 123.0) < 1e-9, s"$per")
+    // identical profile at ANY window multiple: green (the whole point)
+    val twiceSlower = (total * 2, per.view.mapValues(_ * 2).toMap)
+    assert(TestDurations.check(twiceSlower, (total, per)).isRight,
+      "a uniform 2x window scaled profile must NOT red — shares are unchanged")
+    // a suite share jump reds even when the total stays flat
+    val shifted = (total, per.updated("AlphaSpec", 40.0).updated("BetaSpec", 84.562))
+    assert(TestDurations.check(shifted, (total, per)).isLeft,
+      "AlphaSpec share 1.3% -> 32% came back green — the share lint rotted")
+    // runaway total reds past the backstop even with flat shares
+    val runaway = (total * 3, per.view.mapValues(_ * 3).toMap)
+    assert(TestDurations.check(runaway, (total, per)).isLeft,
+      "3x total came back green — the backstop rotted")
+    // the live Python gate mirrors this logic; factors must agree
+    val py = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/closing_state.py")), "UTF-8")
+    assert(py.contains("SHARE_FACTOR = 1.5") && py.contains("SHARE_PP = 1.5") &&
+      py.contains("TOTAL_BACKSTOP = 2.5") &&
+      TestDurations.ShareFactor == 1.5 && TestDurations.SharePp == 1.5 &&
+      TestDurations.TotalBackstop == 2.5,
+      "closing_state.py and TestDurations disagree on the lint factors")
   }
 }

@@ -91,8 +91,12 @@ def main():
                              "newest-K ListState on RocksDB), and — round 17 — interval_outer (LEFT OUTER interval join: null-pad "
                              "emission only once wm > a_ts + hi, never both padded and matched, under a +-5 ms boundary band; "
                              "oracle watermark = min over the parity sides' own maxima, ms-floored — the engine-fidelity rule the "
-                             "kind's first smoke run caught) and v2_session (event-time TIMER-driven sessionization on "
-                             "transformWithState, same gaps-and-islands oracle as the session_window kind). Randomized window/slide/gap/delay/key-mod/"
+                             "kind's first smoke run caught; since round 18 the band normalization removes AT MOST ONE pad per "
+                             "in-band a_id, so an in-band duplicate pad reds) and v2_session (event-time TIMER-driven sessionization on "
+                             "transformWithState, same gaps-and-islands oracle as the session_window kind); round 18 adds a state-TTL "
+                             "axis to the profile kind (~half the plans run both column families under an hours-scale processing-time "
+                             "TTLConfig + TimeMode.ProcessingTime — inert by construction inside a seconds-scale drain, so the no-TTL "
+                             "oracle stands; that expiry actually fires is StreamFuzzSpec's ttl~0 red-path control). Randomized window/slide/gap/delay/key-mod/"
                              "slicing/sentinel/in-horizon late injection/re-delivery, and the restart axis (1/3 of plans split "
                              "staging across two query lifetimes on one checkpoint). Interval-join soundness: a late "
                              "in-horizon row's partner satisfies ts >= late_ts - hi > wm - hi, the join-state eviction bound"),
@@ -150,7 +154,8 @@ def main():
     artifact["in_suite"] = (
         "FuzzDifferentialSpec (SQL: determinism + 40 executed plans + partition invariance + the ROLLUP pin), "
         "StreamFuzzSpec (stream: seeded plans incl. interval joins drained green, red-path delay-override "
-        f"control, too-late-admission pin), GraphFuzzSpec ({g_plans} plans covering all 12 kernels + dropped-row and "
+        "controls for both join polarities, the state-TTL green/red pair, the too-late-admission pin and the "
+        f"outer-join late-admission pin), GraphFuzzSpec ({g_plans} plans covering all 12 kernels + dropped-row and "
         f"rank-shift tamper controls), VectorFuzzSpec ({v_plans} plans covering all {v_kinds} kinds + tamper controls on all "
         "three compare classes), ReplayFuzzSpec (12 drained plans covering the restart + HTTP axes + tamper control)")
     with open(out, "w") as f:

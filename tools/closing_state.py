@@ -60,11 +60,122 @@ def lint_plans_pinned():
                  + "\n".join(bad))
 
 
+def parse_durations(log):
+    """(total seconds, {suite: seconds}) of NAMED-test durations from a
+    ScalaTest -oD log. ScalaTest's sbt runner prints each suite's output as
+    one atomic group (suite header line, then its `- name (duration)`
+    bullets), so attribution is a running current-suite header. Mirrors
+    TestDurations.parse in SuiteBudgetSpec (the Scala copy exists for the
+    in-suite red-path unit test; keep the regexes and factors in sync)."""
+    total = 0.0
+    per = {}
+    suite = None
+    hdr = re.compile(r"^(?:\[info\]\s*)?([A-Z][A-Za-z0-9]*(?:Spec|Suite)):\s*$")
+    # a test line is a `- name (durations)` bullet, with or without sbt's
+    # `[info] ` logger prefix; suite headers, `+ info()` output and sbt's
+    # own timing lines have no dash bullet and must not count
+    pat = re.compile(r"^(?:\[info\]\s*)?- .*\(((?:\d+ (?:hour|minute|second"
+                     r"|millisecond)s?(?:, )?)+)\)\s*$")
+    unit_s = {"hour": 3600.0, "minute": 60.0, "second": 1.0,
+              "millisecond": 0.001}
+    for ln in log.splitlines():
+        h = hdr.match(ln)
+        if h:
+            suite = h.group(1)
+            continue
+        m = pat.match(ln)
+        if not m:
+            continue
+        d = sum(int(n) * unit_s[u] for n, u in
+                re.findall(r"(\d+) (hour|minute|second|millisecond)s?",
+                           m.group(1)))
+        total += d
+        if suite:
+            per[suite] = per.get(suite, 0.0) + d
+    return total, per
+
+
+DURATIONS_LEDGER = os.path.join(ROOT, "test_durations.txt")
+# Keep in sync with TestDurations in SuiteBudgetSpec.scala.
+# WHY SHARES, NOT THE TOTAL (round-18 measurement): per-test durations are
+# wall measurements per test, so the whole profile scales with the host
+# window exactly like the suite wall — same code measured 17m24s committed vs
+# 31m14s in this round's slow window (1.8x) with a FLAT per-suite share
+# profile. A >1.25x total rule would red on every slow window and ratchet the
+# baseline up with forced appends. A suite's SHARE of the total cancels the
+# window multiplier: a new heavy spec or a regressing suite moves its share,
+# uniform host slowness moves nothing.
+SHARE_FACTOR = 1.5    # a suite's share may grow to 1.5x its baseline share
+SHARE_PP = 1.5        # ...plus 1.5 percentage points (admits new small suites)
+TOTAL_BACKSTOP = 2.5  # total still reds beyond any observed window spread
+
+
+def lint_durations(log, accept_tag):
+    """Measured-durations lint (round-18 verdict #1, the salt-ledger pattern
+    applied to suite cost): every closing regen parses the ACTUAL test log —
+    the committed-wall lint reads a self-reported number a regression can
+    hide behind until a slow number is chosen for commit. Red when any
+    suite's share of the duration sum grows past SHARE_FACTOR x baseline +
+    SHARE_PP (window-insensitive), or the total grows past TOTAL_BACKSTOP x
+    (runaway growth no window explains). Accepting a new profile is a
+    deliberate `--accept-durations <tag>` block append, never silent."""
+    total, per = parse_durations(log)
+    if total <= 0 or not per:
+        sys.exit("--test-log has no -oD per-test durations — run sbt test "
+                 "with the build.sbt default options")
+    blocks = []  # (tag, total, {suite: seconds})
+    for ln in open(DURATIONS_LEDGER):
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        if ln.startswith("@ "):
+            _, tag, tot = ln.split()
+            blocks.append((tag, float(tot), {}))
+        else:
+            suite, val = ln.split()
+            blocks[-1][2][suite] = float(val)
+    if accept_tag:
+        if any(t == accept_tag for t, _, _ in blocks):
+            sys.exit(f"--accept-durations tag '{accept_tag}' already in the "
+                     "ledger — tags are unique")
+        with open(DURATIONS_LEDGER, "a") as f:
+            f.write(f"@ {accept_tag} {total:.1f}\n")
+            for s, v in sorted(per.items()):
+                f.write(f"{s} {v:.1f}\n")
+        blocks.append((accept_tag, total, dict(per)))
+        print(f"durations ledger: appended block {accept_tag} ({total:.1f}s, "
+              f"{len(per)} suites)")
+    if not blocks:
+        sys.exit("test_durations.txt has no blocks — seed the baseline with "
+                 "--accept-durations <tag>")
+    tag0, tot0, per0 = blocks[-1]
+    offenders = []
+    for s, v in per.items():
+        share = v / total
+        base = per0.get(s, 0.0) / tot0
+        if share > base * SHARE_FACTOR + SHARE_PP / 100.0:
+            offenders.append(f"{s}: share {share * 100:.1f}% vs baseline "
+                             f"{base * 100:.1f}% ({tag0})")
+    if total > tot0 * TOTAL_BACKSTOP:
+        offenders.append(f"TOTAL {total:.0f}s > {TOTAL_BACKSTOP}x baseline "
+                         f"{tot0:.0f}s ({tag0}) — beyond any window spread")
+    if offenders:
+        sys.exit(
+            "measured test-duration profile regressed vs the committed "
+            "ledger (test_durations.txt):\n  " + "\n  ".join(offenders) +
+            "\nEither fix the regression or accept deliberately: re-run "
+            "with --accept-durations <new-tag> (appends a new block).")
+    return total, tot0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--test-log", help="path to an `sbt test` output log")
     ap.add_argument("--volume-log", help="path to the once-per-round "
                     "GRAFT_VOLUME=1 testOnly graft.VolumeTruthSpec log")
+    ap.add_argument("--accept-durations", metavar="TAG",
+                    help="deliberately accept >25%% duration-sum growth by "
+                    "appending '<TAG> <measured>' to test_durations.txt")
     args = ap.parse_args()
 
     lint_plans_pinned()
@@ -155,8 +266,10 @@ def main():
             ]
 
     tests = suites = wall = None
+    dur_measured = dur_baseline = None
     if args.test_log:
         log = open(args.test_log).read()
+        dur_measured, dur_baseline = lint_durations(log, args.accept_durations)
         m = re.search(r"Total number of tests run: (\d+)", log)
         s = re.search(r"Suites: completed (\d+), aborted (\d+)", log)
         ok = re.search(r"Tests: succeeded (\d+), failed (\d+)", log)
@@ -213,6 +326,12 @@ def main():
     if wall is not None:
         lines.append(f"- **Suite wall:** {wall // 60}m{wall % 60:02d}s "
                      "(SuiteBudgetSpec lints this against its ceiling)")
+    if dur_measured is not None:
+        lines.append(
+            f"- **Measured test-duration sum (-oD):** {dur_measured:.1f}s vs "
+            f"ledger baseline {dur_baseline:.1f}s — per-suite SHARE lint "
+            f"(window-insensitive) + {TOTAL_BACKSTOP}x total backstop, both "
+            f"green (test_durations.txt)")
     lines += [
         f"- **Bench series ({series_name}):** "
         + ", ".join(f"{t} s" for _, t in totals)

@@ -6,6 +6,11 @@ src/test/resources/stage_cache_versions.txt next to the bumped Version."""
 import hashlib, os, re, sys
 root = "src/main/scala"
 rx = re.compile(r"(StageCache\.(through|stagedDir|modelSlot|modelSaved|modelLoaded)|memoDrain)")
+# keep in sync with StageCacheSpec's ExtraBuilderDeps (round-18 ADVICE: known
+# transitive builder dependencies with no call site of their own)
+EXTRA = {"Tables.scala", "Schemas.scala", "SessionCache.scala",
+         "TextExpressions.scala", "VectorExpressions.scala",
+         "SketchExpressions.scala", "CentroidAggregator.scala"}
 files = []
 for dp, _, fns in os.walk(root):
     for fn in fns:
@@ -13,7 +18,7 @@ for dp, _, fns in os.walk(root):
             continue
         p = os.path.join(dp, fn)
         data = open(p, "rb").read()
-        if fn == "StageCache.scala" or rx.search(data.decode("utf-8")):
+        if fn == "StageCache.scala" or fn in EXTRA or rx.search(data.decode("utf-8")):
             files.append((p, data))
 files.sort(key=lambda t: t[0])
 md = hashlib.sha256()
