@@ -493,16 +493,27 @@ object StreamFuzzer {
       // mode let it return.
       val ttlDrain = p.kind == "profile" &&
         (profileTtlOverrideMs.isDefined || p.ttlSec > 0)
+      // The stop rule additionally requires a DATA batch in THIS lifetime
+      // before an empty batch counts as caught-up (caught by the r18 regen,
+      // 2/120 restart+TTL plans on seed 16077016): stopping lifetime 1 can
+      // land after an empty batch's offsets are written but before its
+      // commit, so lifetime 2 REPLAYS that empty batch first — its first
+      // completed progress has numInputRows == 0 while the second half of
+      // the staged files is still unread, and a naive first-empty stop
+      // truncates the drain (counters froze at first-half totals). Every
+      // fuzz lifetime stages at least one file, so data-then-empty is
+      // always reachable.
       def drainTtl(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
         val deadline = System.nanoTime() + 180L * 1000000000L
         var caughtUp = false
         while (!caughtUp && q.isActive && System.nanoTime() < deadline) {
           Thread.sleep(100)
-          val lp = q.lastProgress
-          caughtUp = lp != null && lp.numInputRows == 0
+          val rp = q.recentProgress
+          val lastData = rp.lastIndexWhere(_.numInputRows > 0)
+          caughtUp = lastData >= 0 && rp.indexWhere(_.numInputRows == 0, lastData + 1) > lastData
         }
         q.exception.foreach(throw _)
-        require(caughtUp, s"TTL'd profile drain never reached an empty batch in 180 s")
+        require(caughtUp, s"TTL'd profile drain never reached data-then-empty in 180 s")
       }
       def drainKind(): String = {
         val q = startKind()
