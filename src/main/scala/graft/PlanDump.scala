@@ -30,10 +30,32 @@ object PlanDump {
     val names: Seq[String] =
       if (args(3) == "all") SparkEntry.queries.keys.toSeq.sorted
       else args(3).split(",").toSeq
+    // Pre-checkpoint plan builders (round-18 verdict #8): the iterated gates
+    // return localCheckpoint'ed frames, so dumping the registered fn yields
+    // an 8-line `Scan ExistingRDD` stub. For these names, dump the SAME
+    // frame without the final cut (per-iteration-cut loops show their last
+    // iteration's body — the repeated unit). Marked in the file header.
+    val preCut: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q_pagerank" -> (operators.Graph.pageRankPlan _),
+      "q_pagerank_directed" -> (operators.Graph.pageRankDirectedPlan _),
+      "q_ppr" -> (operators.Graph.pprPlan _),
+      "q_cc_star" -> (operators.Graph.ccStarRoundPlan _),
+      "q_modularity" -> (operators.Graph.modularityPlan _))
     names.foreach { name =>
       try {
-        val plan = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        val (fn, header, gateScoped) = preCut.get(name)
+          .map(f => (f, s"// pre-checkpoint plan for $name (iterated gates: last iteration's body = the repeated unit; q_cc_star: one contraction round)\n", true))
+          .getOrElse((SparkEntry.queries(name), "", false))
+        // the gates EXECUTE under withGatePartitions (shuffle.partitions =
+        // GatePartitions); explain lazily re-plans under the conf active at
+        // explain time, so scope it identically or the dump shows a
+        // 32-partition requirement the bench never runs (spurious Exchange
+        // above the 8-partition checkpointed artifacts)
+        def explain(df: org.apache.spark.sql.DataFrame): String =
+          df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        val plan = header + (
+          if (gateScoped) operators.Graph.withGatePartitions(spark)(explain(fn(spark, sfDir)))
+          else explain(fn(spark, sfDir)))
         java.nio.file.Files.write(
           outDir.resolve(s"${name}_$suffix.txt"), plan.getBytes("UTF-8"))
         System.err.println(s"[plandump] wrote $name")
