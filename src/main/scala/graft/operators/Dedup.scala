@@ -634,6 +634,13 @@ object Dedup {
   private[graft] def recallBoundVsHighJaccard(s: SparkSession, d: String,
                                        pairs: DataFrame, minRecall: Double,
                                        maxDocId: Long = 500): DataFrame = {
+    // Shape deliberately kept as TWO independent 1-row aggregates
+    // crossJoined (round 19): the join-once rewrite (left join + single
+    // aggregate) halves the static plan (q_near_dup_ml 52 → 28 Exchanges)
+    // but measured ~50% SLOWER at sf0.1 — AQE exchange reuse already
+    // dedupes the duplicated truth subtree at runtime and the independent
+    // 1-row branches schedule concurrently (same finding as
+    // Similarity.pairSetBound; see OPTIMIZATION_r19.md).
     val truth = exactShingleJaccardPairs(s, d, maxDocId)
       .filter(col("j") >= 0.5).select(col("doc_a"), col("doc_b"))
     val hits = truth.join(
@@ -715,11 +722,23 @@ object Dedup {
       .filter(col("j") >= 0.5)
       .filter((col("doc_a") % 10 === 6) =!= (col("doc_b") % 10 === 6))
       .select(col("doc_a"), col("doc_b"))
-    val hit = truth.join(emitted, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    val bad = emitted.join(truth, Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("n_bad"))
-    truth.agg(count(lit(1)).as("n_true_cross")).crossJoin(hit).crossJoin(bad)
+    // ONE full-outer join + ONE 1-row aggregate (round 19, guide §2.4): the
+    // old shape referenced `truth` three times (count + hit join + anti
+    // join) and `emitted` twice (hit + anti) — the exact shingle-Jaccard
+    // slice pipeline ran 3× and the banded probe + verify 2× per query.
+    // Both sides are unique on (doc_a, doc_b) (truth: groupBy output;
+    // emitted: verify over a distinct candidate set, and new/corpus doc
+    // sets are disjoint so least/greatest cannot collide), so the outer
+    // join reproduces all three counts exactly: count(is_true) = |truth|,
+    // count(both) = |truth ∩ emitted| (the old inner-join count),
+    // count(is_emit where is_true null) = |emitted ∖ truth| (the old
+    // anti-join count).
+    truth.withColumn("is_true", lit(1))
+      .join(emitted.withColumn("is_emit", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("is_true")).as("n_true_cross"),
+        count(when(col("is_true") === 1, col("is_emit"))).as("n_hit"),
+        count(when(col("is_true").isNull, col("is_emit"))).as("n_bad"))
       .select(col("n_true_cross"),
         (col("n_bad") === 0).cast("int").as("precision_ok"),
         (col("n_hit") >= col("n_true_cross") * minRecall).cast("int").as("recall_in_bound"))

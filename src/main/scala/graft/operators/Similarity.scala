@@ -318,6 +318,14 @@ object Similarity {
 
   private[graft] def pairSetBound(lsh: DataFrame, exact: DataFrame,
                                   threshold: Double, minSliceRecall: Double): DataFrame = {
+    // Shape deliberately kept as THREE independent 1-row aggregates
+    // crossJoined (round 19): a join-once rewrite (full-outer on the pair
+    // key + single aggregate) halves the static plan (32 → 14 Exchanges)
+    // but measured 35–60% SLOWER at sf0.1 — the duplicate subtrees are
+    // deduped at runtime by AQE exchange reuse AND the independent 1-row
+    // branches schedule as concurrent stages, while the join-once form
+    // adds a pair-keyed Exchange+Sort on the serial critical path. See
+    // OPTIMIZATION_r19.md (q_cosine_near_dup_lsh).
     val truthPairs = exact.select(col("vec_a"), col("vec_b"))
     val truth = truthPairs.agg(count(lit(1)).as("n_true_slice"))
     val hits = truthPairs.join(lsh.select(col("vec_a"), col("vec_b")), Seq("vec_a", "vec_b"))
