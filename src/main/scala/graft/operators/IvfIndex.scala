@@ -76,12 +76,17 @@ object IvfIndex {
     * vectors (keyed on id) for exact scoring. Recall vs the float probe is
     * pinned in IvfStreamSpec. */
   def ivfTopKQuantized(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
-                       k: Int, nProbe: Int = 6, rerank: Int = 3): DataFrame = {
-    val quantized = assigned.select(
-      col("vec_id").as("cand_id"), col("cell"),
-      expr("""transform(embedding, x -> CAST(round(x / greatest(
-             |  array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0D,
-             |  1e-30D)) AS TINYINT))""".stripMargin).as("qv"))
+                       k: Int, nProbe: Int = 6, rerank: Int = 3,
+                       quantizedOpt: Option[DataFrame] = None): DataFrame = {
+    // The int8 table is INDEX STATE (what a production deployment stores
+    // next to the cell assignments — the 4× cut quantizeEmbeddings
+    // promises); the registered gate passes the memoized [[q8Index]] so
+    // the per-row quantization transform runs once per corpus, not inside
+    // every probe's stage-1 scan (round 19: the transform was the gate's
+    // single largest job, 0.8 s of a 2.9 s total at sf0.1). Fuzz/spec
+    // callers omit it and get the inline derivation — bit-identical
+    // arithmetic either way, pinned by IvfStreamSpec equality.
+    val quantized = quantizedOpt.getOrElse(quantizeAssigned(assigned))
     val qc = queries
       .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("q_emb"))
       .crossJoin(broadcast(centroids))
@@ -111,6 +116,32 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /** Symmetric per-vector int8 quantization of the assigned index — the
+    * candidate-stage representation [[ivfTopKQuantized]] scores against.
+    * Factored out so the memoized [[q8Index]] and the inline fuzz/spec path
+    * share one expression (identical bits by construction). */
+  private[graft] def quantizeAssigned(assigned: DataFrame): DataFrame =
+    assigned.select(
+      col("vec_id").as("cand_id"), col("cell"),
+      expr("""transform(embedding, x -> CAST(round(x / greatest(
+             |  array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0D,
+             |  1e-30D)) AS TINYINT))""".stripMargin).as("qv"))
+
+  /** The int8 index table, memoized per (session, dir) under the same
+    * persisted-index contract as [[pqIndex]] — a real deployment stores the
+    * quantized vectors alongside the cell assignments; deriving them inside
+    * every probe re-paid the per-row transform per query (round 19). */
+  @transient private lazy val q8Cache =
+    new SessionCache[String, DataFrame](_.unpersist())
+
+  def q8Index(s: SparkSession, d: String): DataFrame =
+    q8Cache.getOrCompute(s, d) {
+      StageCache.throughDf(s, d, "ivf-q8") {
+        val (assigned, _) = index(s, d)
+        quantizeAssigned(assigned)
+      }.cache()
+    }
 
   // ------------------------------------------------ Product quantization
 
@@ -391,6 +422,7 @@ object IvfIndex {
   def invalidateCorpus(d: String): Unit = {
     invalidateIndex(d)
     pqCache.invalidateIfAll(_ == d)
+    q8Cache.invalidateIfAll(_ == d)
   }
 
   /** Registered query: IVF top-5 for the first 5 vectors (rows-only — the
@@ -425,7 +457,8 @@ object IvfIndex {
     val (assigned, centroids) = index(s, d)
     Similarity.probeQualityBound(
       Similarity.bruteForceTopK(q, emb, 5),
-      ivfTopKQuantized(q, assigned, centroids, 5),
+      ivfTopKQuantized(q, assigned, centroids, 5,
+        quantizedOpt = Some(q8Index(s, d))),
       minRecall = 0.6, maxRegret = 0.12, minReturnedFrac = 1.0)
   }
 }
