@@ -1195,19 +1195,54 @@ object Relational {
     * at extreme price cardinality the `q_token_budget` fixed-width histogram
     * trick replaces the ordered window. */
   def weightedMedianPrice(s: SparkSession, d: String): DataFrame = {
-    val perPrice = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("l_quantity").cast("long")).as("wt"))
-    // running weight AND per-flag total as two windows over the SAME
-    // aggregate (the total's frame is the whole partition) — one lineitem
-    // scan; a separate totals aggregation + rejoin would scan it twice
+    // TWO-PASS exact rank (round 19, guide §2.3/§2.5 — the q_token_budget
+    // fixed-width histogram trick the old scaladoc promised "at extreme
+    // price cardinality", now the shipped shape). The old single-pass form
+    // windowed the FULL per-(flag, price) aggregate: prices are near-unique,
+    // so the running-sum sort ordered ~450k rows at sf0.1 inside a window
+    // partitioned by the 3-value return flag — parallelism 3 regardless of
+    // cluster width, and a full |distinct prices| exchange. Now pass 1
+    // aggregates weight into fixed-width price buckets (width 64 — ~1.6k
+    // buckets per flag; map-side partial agg collapses the scan, the
+    // exchange and the window are bucket-sized) and locates the bucket the
+    // weighted median falls in, plus the cumulative weight strictly before
+    // it; pass 2 re-scans only rows whose price lands IN that one bucket
+    // and runs the exact per-price window there (~400 rows per flag).
+    // EXACT by bucket monotonicity: every price in a lower bucket is lower,
+    // so global cume(p) = prev_wt + in-bucket cume(p), and the smallest
+    // qualifying price globally is the smallest qualifying price inside the
+    // first bucket whose end-of-bucket cume crosses half — integer long
+    // arithmetic end to end, identical to the one-pass form (oracle-hashed).
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("qty"))
+    val wBRun = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBAll = Window.partitionBy(col("l_returnflag"))
+    val med = li
+      .groupBy(col("l_returnflag"), floor(col("l_extendedprice") / 64).as("bkt"))
+      .agg(sum(col("qty")).as("bwt"))
+      .withColumn("cume_b", sum(col("bwt")).over(wBRun))
+      .withColumn("total_wt", sum(col("bwt")).over(wBAll))
+      .filter(col("cume_b") * 2 >= col("total_wt"))
+      .groupBy(col("l_returnflag"))
+      // bkt is unique per flag, so min(struct(bkt, prev)) rides the
+      // cume-before-bucket value along with the median bucket id
+      .agg(min(struct(col("bkt"), (col("cume_b") - col("bwt")).as("prev"))).as("m"),
+        max(col("total_wt")).as("total_wt"))
+      .select(col("l_returnflag").as("flag"), col("m.bkt").as("med_bkt"),
+        col("m.prev").as("prev_wt"), col("total_wt"))
     val wRun = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    perPrice
-      .withColumn("cume_wt", sum(col("wt")).over(wRun))
-      .withColumn("total_wt", sum(col("wt")).over(wAll))
+    li.join(broadcast(med),
+        col("l_returnflag") === col("flag")
+          && floor(col("l_extendedprice") / 64) === col("med_bkt"))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"),
+        col("prev_wt"), col("total_wt"))
+      .agg(sum(col("qty")).as("wt"))
+      .withColumn("cume_wt", col("prev_wt") + sum(col("wt")).over(wRun))
       .filter(col("cume_wt") * 2 >= col("total_wt"))
       .groupBy(col("l_returnflag"))
       .agg(round(min(col("l_extendedprice")), 2).as("w_median"),
