@@ -504,16 +504,15 @@ object Graph {
         coalesce(sum(col("parent")), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var prev = probe(e)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
+    // One LARGE-STAR + SMALL-STAR contraction round, as a pure plan
+    // transform (no cut, no probe — the loop below decides the cadence).
+    def contractRound(in: DataFrame): DataFrame = {
       // LARGE-STAR over the symmetric neighborhood: for each u with
       // m = min(N(u) ∪ {u}), connect every STRICTLY LARGER neighbor to m.
       // Emitted rows have v > u ≥ m, so the output is canonical by
       // construction and never contains a self-loop.
-      val sym = e.select(col("child").as("u"), col("parent").as("v"))
-        .unionAll(e.select(col("parent").as("u"), col("child").as("v")))
+      val sym = in.select(col("child").as("u"), col("parent").as("v"))
+        .unionAll(in.select(col("parent").as("u"), col("child").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(mins, Seq("u"))
@@ -524,12 +523,26 @@ object Graph {
       // P(u) (all < u) and m = min(P(u)), re-hang u and every other parent
       // on m. Again p > m and u > m, so canonical form is preserved.
       val pMin = large.groupBy(col("child")).agg(min(col("parent")).as("m"))
-      val small = large.join(pMin, Seq("child"))
+      large.join(pMin, Seq("child"))
         .filter(col("parent") =!= col("m"))
         .select(col("parent").as("child"), col("m").as("parent"))
         .unionAll(pMin.select(col("child"), col("m").as("parent")))
         .distinct()
-      e = cut(small)
+    }
+    var prev = probe(e)
+    var converged = false
+    var round = 0
+    // ONE contraction round per cut + probe — KEPT deliberately (round 19):
+    // batching two rounds per cut to halve the driver round-trips was
+    // measured 3× SLOWER (1.9 → 6.0 s at sf0.1), because the round body
+    // references its input THREE times (sym = in ∪ in, and `large` feeds
+    // both pMin and the re-hang join), so an uncut pair re-executes the
+    // inner round's plan up to 4× — the self-referential doubling the
+    // per-round cut exists to prevent (contrast labelPropagation, where
+    // the state frame feeds the next round exactly once and the per-round
+    // cut WAS removable). See OPTIMIZATION_r19.md.
+    while (!converged && round < maxRounds) {
+      e = cut(contractRound(e))
       val cur = probe(e)
       // fixpoint = the round was an identity: E is then a star forest with
       // one star per component rooted at the component min (a root that
@@ -711,16 +724,26 @@ object Graph {
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val sym = cut(und.unionAll(und.select(col("b").as("a"), col("a").as("b"))))
-    var labels = cut(sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    // NO per-round lineage cut (round 19): `labels` feeds the next round
+    // exactly ONCE (the cut `sym` frame is the only other input), so the
+    // uncut plan grows LINEARLY in `rounds` — ~3 operators per round, not
+    // the self-referential doubling the cut policy exists for (contrast
+    // pageRankDirected, where ranks feeds two branches per iteration, or
+    // kCore/bfsHops, where the state frame is referenced 2-3× per round).
+    // For the fixed 4-round gate the 4 per-round localCheckpoint
+    // materialization jobs were a third of the gate's job count; all 4
+    // rounds now plan and execute as one query. Labels are identical
+    // (the cut was a layout/materialization op only).
     for (_ <- 1 to rounds) {
       val counted = sym
         .join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      labels = cut(counted
+      labels = counted
         .groupBy(col("a").as("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("lbl")))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("community"))
   }
@@ -975,7 +998,10 @@ object Graph {
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val lab = labels.select(col("doc_id"), col("community"))
+    // labels are referenced THREE times below (both tag sides + degC);
+    // cut once here so a lazily-built labeling (labelPropagation no longer
+    // cuts per round — round 19) executes once, not per reference
+    val lab = Iterative.cutLineage(labels.select(col("doc_id"), col("community")))
     val tagged = und
       .join(lab.select(col("doc_id").as("a"), col("community").as("ca")), Seq("a"))
       .join(lab.select(col("doc_id").as("b"), col("community").as("cb")), Seq("b"))
