@@ -342,6 +342,10 @@ object Bench {
       // and q_edit_distance_scale (round-9 verdict #1: ~6 s of pass-1,
       // paid twice); its banded-DP cross join stages once here
       "ed-truth-build" -> (() => { operators.Dedup.edTruthArtifact(spark, sfDir); () }),
+      // the bounded shingle-Jaccard slice truth feeds all four recall-bound
+      // near-dup gates plus the incremental cross-set bound (round 19: each
+      // re-ran the slice's shingle self-join per query); stages once here
+      "jaccard-truth-build" -> (() => { operators.Dedup.jaccardTruthArtifact(spark, sfDir); () }),
       // RP signatures are a corpus build too: without the artifact, the
       // cosine-LSH self-join derives the 96-hyperplane projection twice
       "rp-signature-build" -> (() => {

@@ -425,7 +425,7 @@ object Dedup {
     // slice bound 500, not 80: the sf0.01 corpus plants its dup groups
     // across the id range, and a recall evaluated over zero true pairs is
     // zero evidence (the q_near_dup_ml lesson from CORRECTNESS_r04)
-    val exact = exactShingleJaccardPairs(s, d, maxDocId)
+    val exact = jaccardTruthArtifact(s, d, maxDocId)
       .filter(col("j") >= 0.5)
       .withColumn("tier", when(col("j") >= 0.8, "high").otherwise("mid"))
     val sliceShingles = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
@@ -525,6 +525,7 @@ object Dedup {
     labelCache.invalidateIfAll(_ == d)
     lshLabelCache.invalidateIfAll(_ == d)
     invalidateEdTruth(d)
+    invalidateJaccardTruth(d)
   }
 
   /** Edit-distance dedup at corpus scale: the banded minhash candidates
@@ -609,6 +610,30 @@ object Dedup {
     * ([[minhashCandidateRecall]], [[simhashRecallBound]],
     * [[mlRecallBound]]). All-pairs BY DESIGN bounded: truth only exists
     * exact. */
+  /** [[exactShingleJaccardPairs]] memoized per (session, dir, slice) — the
+    * ed-truth-300 staged-truth pattern applied to the shingle-Jaccard
+    * ground truth (round 19): FOUR recall-bound gates (q_near_dup_minhash /
+    * _ml / _simhash / q_minhash_recall) and the incremental cross-set bound
+    * each re-ran the slice's shingle self-join per query — the dominant
+    * cost of every one of them. The truth set is slice-bounded (≤ a few
+    * thousand pair rows at any SF), so the cached frame is model-sized.
+    * Invalidated in [[invalidateCorpus]]. */
+  @transient private lazy val jaccardTruthCache =
+    new SessionCache[(String, Long), DataFrame](_.unpersist())
+
+  def jaccardTruthArtifact(s: SparkSession, d: String, maxDocId: Long = 500): DataFrame =
+    jaccardTruthCache.getOrCompute(s, (d, maxDocId)) {
+      val t = StageCache.throughDf(s, d, s"jaccard-truth-$maxDocId") {
+        exactShingleJaccardPairs(s, d, maxDocId)
+      }.cache()
+      t.count() // materialize: the artifact contract, not lazy lineage
+      t
+    }
+
+  /** Corpus-replacement invalidation hook for the Jaccard slice truth. */
+  def invalidateJaccardTruth(d: String): Unit =
+    jaccardTruthCache.removeIfAll(_._1 == d).foreach(df => scala.util.Try(df.unpersist()))
+
   private[graft] def exactShingleJaccardPairs(s: SparkSession, d: String,
                                               maxDocId: Long): DataFrame = {
     val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < maxDocId))
@@ -641,7 +666,7 @@ object Dedup {
     // dedupes the duplicated truth subtree at runtime and the independent
     // 1-row branches schedule concurrently (same finding as
     // Similarity.pairSetBound; see OPTIMIZATION_r19.md).
-    val truth = exactShingleJaccardPairs(s, d, maxDocId)
+    val truth = jaccardTruthArtifact(s, d, maxDocId)
       .filter(col("j") >= 0.5).select(col("doc_a"), col("doc_b"))
     val hits = truth.join(
       pairs.filter(col("doc_a") < maxDocId && col("doc_b") < maxDocId)
@@ -718,7 +743,7 @@ object Dedup {
       .select(least(col("new_doc"), col("dup_of")).as("doc_a"),
         greatest(col("new_doc"), col("dup_of")).as("doc_b"))
       .filter(col("doc_a") < 500 && col("doc_b") < 500)
-    val truth = exactShingleJaccardPairs(s, d, 500)
+    val truth = jaccardTruthArtifact(s, d, 500)
       .filter(col("j") >= 0.5)
       .filter((col("doc_a") % 10 === 6) =!= (col("doc_b") % 10 === 6))
       .select(col("doc_a"), col("doc_b"))

@@ -45,7 +45,7 @@ object StageCache {
     * (src/test/resources/stage_cache_versions.txt) and reds when those files
     * changed without a NEW ledger entry — and ledger versions are unique and
     * must match this constant, so the entry forces the bump. */
-  val Version = "r19d"
+  val Version = "r19e"
 
   @volatile private var rootDir: Option[File] = None
 
