@@ -119,6 +119,17 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Pass-1 ITERATION order (round 19, r18 verdict #7): ascending committed
+    // duration from the bench_durations.txt ledger, unknown (new) queries
+    // first. Alphabetical pass 1 meant a host stall always ate an arbitrary
+    // alphabetically-contiguous tail — BENCH_r18 budget-skipped 27 queries
+    // (q_token_histogram..q_zscore_outliers, ~10 s of work at healthy
+    // speed) because the stall landed mid-alphabet. Cheapest-first is the
+    // greedy max-coverage order: a budget death now skips the FEWEST
+    // queries, and the ones it skips are the expensive well-characterized
+    // head, not the cheap tail. Timing methodology, query set, and the
+    // emitted JSON (alphabetical, from `ordered`) are unchanged.
+    val pass1Ordered = pass1Order(ordered)
     // The one printing path, callable from the main thread (normal end) or
     // the watchdog (stalled mid-query or mid-warmup). Every completed timing
     // is in `done` the moment it finishes; anything absent reports as
@@ -377,7 +388,7 @@ object Bench {
     // Pass 1: every query once, until the deadline. Keep a ~15 s margin so
     // a query started near the line can finish and the JSON still prints
     // inside the outer timeout.
-    val pass1 = ordered.map { case (name, fn) =>
+    val pass1 = pass1Ordered.map { case (name, fn) =>
       if (abandonedDrains.contains(name)) {
         // the gate's memo cell may still be held by the cancelled warmup
         // thread — timing it could block, not fail (round-12 ADVICE #4)
@@ -416,4 +427,33 @@ object Bench {
     emit()
     spark.stop()
   }
+
+  /** Committed per-query warm durations (sec) from the last healthy
+    * full-coverage bench artifact — `src/main/resources/bench_durations.txt`,
+    * `<name> <sec>` per line, '#' comments. Missing/garbled file degrades
+    * to an empty map (pass 1 then runs alphabetically, the pre-r19 order). */
+  private[graft] def committedDurations(): Map[String, Double] = {
+    val in = Option(getClass.getResourceAsStream("/bench_durations.txt"))
+    in.map { s =>
+      try scala.io.Source.fromInputStream(s, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\\s+") match {
+            case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+      catch { case _: Throwable => Map.empty[String, Double] }
+      finally s.close()
+    }.getOrElse(Map.empty)
+  }
+
+  /** Ascending-committed-duration pass-1 order; queries without a ledger
+    * entry (new this round) sort FIRST, alphabetically — they are the rows
+    * with no prior measurement, so their coverage is the most informative
+    * and must survive a stalled window. Ties and knowns break by name, so
+    * the order is total and deterministic. */
+  private[graft] def pass1Order[T](qs: Seq[(String, T)],
+                                   dur: Map[String, Double] = committedDurations()): Seq[(String, T)] =
+    qs.sortBy { case (n, _) => (dur.getOrElse(n, -1.0), n) }
 }
