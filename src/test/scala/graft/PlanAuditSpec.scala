@@ -124,7 +124,10 @@ class PlanAuditSpec extends SparkSpec {
     // scale paths are the banded/bucketed variants)
     "q_containment", "q_cosine_near_dup", "q_cosine_near_dup_lsh",
     "q_dedup_canonical_lsh", "q_dedup_clusters_lsh", "q_edit_distance",
-    "q_edit_distance_scale", "q_hard_negatives", "q_near_dup_incremental",
+    // q_near_dup_incremental left this list in round 19: its bound payload
+    // became ONE full-outer join + one aggregate (no 1-row crossJoin
+    // assembly), so it no longer plans a BNLJ anywhere
+    "q_edit_distance_scale", "q_hard_negatives",
     "q_near_dup_minhash", "q_near_dup_ml", "q_near_dup_simhash",
     "q_ngram_jaccard", "q_pmi_bigrams",
     // the explicit cross-join gate itself (5×5 dims, oracle-pinned)
